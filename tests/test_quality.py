@@ -1,0 +1,80 @@
+"""End-to-end quality engine test on a hand-corrupted corpus — mirrors the
+reference's SparkTest (tests_convertor.py:353-391) with native evaluation."""
+
+import os
+
+from tests.conftest import DATA_DIR, MODEL_DIR
+from waterbear_spark import Expectations, SchemaCompiler
+from waterbear_spark.quality.expectations import array_element_enum
+from waterbear_spark.sources import read_entity
+
+CORPUS = os.path.join(DATA_DIR, "staff.jsonl")
+
+EXPECTED_VIOLATIONS = {
+    "[`id`] NULLABLE": 1,
+    "[`id`] VALUE": 1,
+    "[`contact`] NULLABLE": 1,
+    "[`contact`.`given_name`] NULLABLE": 2,   # missing contact + missing field
+    "[`contact`.`family_name`] NULLABLE": 1,  # via missing contact
+    "[`contact`.`born_on`] NULLABLE": 1,      # via missing contact
+    "[`contact`.`born_on`] VALUE": 1,
+    "[`contact`.`handle`] MATCH": 1,
+    "[`started_on`] VALUE": 1,
+    "[`kudos`] VALUE": 1,
+    "[`languages`] SIZE": 1,
+    "[`grade`] VALUE": 1,
+    "[`badge`] MATCH": 1,
+}
+
+
+def _load(spark):
+    compiled = SchemaCompiler(MODEL_DIR).compile("staff")
+    df = read_entity(spark, CORPUS, compiled.schema, fmt="json")
+    return compiled, df
+
+
+def test_schema_enforced_read(spark):
+    _, df = _load(spark)
+    assert df.count() == 13
+
+
+def test_violation_report(spark):
+    compiled, df = _load(spark)
+    report = Expectations.for_entity(compiled).report(df)
+    actual = {row["constraint"]: row["violations"] for row in report.collect()}
+    assert actual == EXPECTED_VIOLATIONS
+
+
+def test_quarantine_split(spark):
+    compiled, df = _load(spark)
+    valid, quarantined = Expectations.for_entity(compiled).split(df)
+    assert valid.count() == 2
+    assert quarantined.count() == 11
+    assert "violations" in quarantined.columns
+    assert "violations" not in valid.columns
+
+
+def test_report_plan_has_no_python_udf(spark):
+    # the whole evaluation must stay in Catalyst (no BatchEvalPython /
+    # ArrowEvalPython nodes), unlike the reference's filter_array UDF
+    compiled, df = _load(spark)
+    plan = (
+        Expectations.for_entity(compiled)
+        .report(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+
+
+def test_array_element_enum_opt_in(spark):
+    compiled, df = _load(spark)
+    exp = Expectations(
+        array_element_enum("`languages`", ["SCALA", "PYTHON", "SQL", "R"])
+    )
+    # corpus has no out-of-domain array elements, so no violations
+    assert exp.report(df).count() == 0
+    bad = spark.createDataFrame([(["SCALA", "COBOL"],)], "languages array<string>")
+    actual = {r["constraint"]: r["violations"] for r in exp.report(bad).collect()}
+    assert actual == {"[`languages`] ELEMENT": 1}

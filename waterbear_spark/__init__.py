@@ -1,0 +1,25 @@
+"""waterbear_spark — a PySpark-native analytics engine.
+
+Reimplements the capability surface of databrickslabs/waterbear (a JSON-Schema
+-> Spark schema + SQL-expectation compiler with schema-enforced batch/stream
+execution patterns) as an idiomatic, scale-first PySpark engine, and extends
+it with the relational + LLM-data-pipeline operator set described in
+SURVEY.md §2b.
+
+Public API:
+    from waterbear_spark import SchemaCompiler, Expectations, RecordGenerator
+"""
+
+from waterbear_spark.schema.compiler import CompiledEntity, SchemaCompiler
+from waterbear_spark.quality.expectations import Expectations
+from waterbear_spark.generator.records import RecordGenerator
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "SchemaCompiler",
+    "CompiledEntity",
+    "Expectations",
+    "RecordGenerator",
+    "__version__",
+]
