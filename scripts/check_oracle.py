@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness harness: run every declared
+query on Spark and its oracle SQL on DuckDB over the same parquet tables,
+compare row count, column names, and an order-insensitive value hash.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+from waterbear_spark.queries.catalog import ORACLE_SQL, QUERIES
+from waterbear_spark.queries.tables import TABLES
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        # canonical float text (both engines produce identical doubles by
+        # design; repr differences like 1.0 vs 1 are normalized here)
+        if v == int(v) and abs(v) < 1e15:
+            return f"{v:.1f}"
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def frame_fingerprint(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted(
+        "\x01".join(norm_cell(row[i]) for i in order) for row in rows
+    )
+    digest = hashlib.sha256("\n".join(lines).encode()).hexdigest()
+    return digest
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    failures = []
+    for name, fn in sorted(QUERIES.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as err:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {err}")
+            continue
+        sql = ORACLE_SQL.get(name)
+        if sql is None:
+            print(f"rows-only  {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(sql)
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as err:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {err}")
+            continue
+
+        problems = []
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"columns {sorted(s_cols)} != {sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rows {len(s_rows)} != {len(d_rows)}")
+        if not problems:
+            sh = frame_fingerprint(s_cols, s_rows)
+            dh = frame_fingerprint(d_cols, d_rows)
+            if sh != dh:
+                problems.append("value hash mismatch")
+                # show first diff for debugging
+                s_set = {
+                    "\x01".join(
+                        norm_cell(r[i])
+                        for i in sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+                    )
+                    for r in s_rows
+                }
+                d_set = {
+                    "\x01".join(
+                        norm_cell(r[i])
+                        for i in sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+                    )
+                    for r in d_rows
+                }
+                for line in sorted(s_set - d_set)[:3]:
+                    print("   spark-only:", line[:200])
+                for line in sorted(d_set - s_set)[:3]:
+                    print("   duck-only :", line[:200])
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            print(f"ok    {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        sys.exit(1)
+    print("all queries match their oracles")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,386 @@
+"""LLM-data-pipeline operator catalog: dedup (exact + MinHash/LSH near-dup),
+embedding similarity search, and text analysis over the ``documents`` /
+``embeddings`` tables (SURVEY.md §2b "LLM ops").
+
+Determinism design: every hash used here is ``md5`` (bit-identical in Spark
+and DuckDB), MinHash takes the lexicographic min of md5 hex strings (engine
+independent), Jaccard is exact integer arithmetic, and cosine similarity is
+rounded to 4 decimals with vec_id tie-breaks — so all of these have exact
+DuckDB oracle twins.
+
+Scale notes per operator below; the shared principles: tokenize/shingle
+with native higher-order functions (no Python), shuffle once on the group
+key, and let LSH banding turn the O(n^2) near-dup problem into a
+band-key equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from waterbear_spark.queries.tables import davg, dsum, oracle_davg, oracle_dsum, table
+
+N_HASHES = 8
+N_BANDS = 4  # bands of 2 hashes each
+JACCARD_THRESHOLD = 0.5
+
+
+def _tokens(col: Column) -> Column:
+    """Whitespace tokens, lowercased, empties dropped — all in codegen."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
+TOKENS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+def _shingles(toks: Column, k: int = 3) -> Column:
+    """Word k-grams via sequence+transform (1-based, mirrors the DuckDB
+    generate_series oracle). Caller must guarantee size(toks) >= k."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + off) for off in range(k)]
+        ),
+    )
+
+
+SHINGLES_SQL = (
+    "list_transform(generate_series(1, len(toks) - 2),"
+    " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+)
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical doc per identical text (min doc_id wins).
+
+    Scale: one shuffle on md5(text) — hashing the 128-bit digest instead of
+    shuffling full document bodies keeps exchange volume tiny; the window
+    row_number keeps the winner without a self-join.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM (
+    SELECT doc_id, lang, source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+)
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding, verified by exact
+    shingle Jaccard.
+
+    Pipeline: 3-word shingles -> 8 MinHash signatures (min of md5 per seed)
+    -> 4 bands of 2 -> equi-join on (band, key) for candidates -> exact
+    Jaccard on candidates only.
+
+    Scale: the signature step is one shuffle keyed by doc_id; the candidate
+    step is an equi-join on band keys (never the O(n^2) cross join); the
+    verify step touches only candidate pairs. Band width / hash count tune
+    the recall-cost curve.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    docs = docs.filter(F.size("toks") >= 3)
+    shingles = docs.select(
+        "doc_id", F.explode(_shingles(F.col("toks"))).alias("shingle")
+    ).distinct()
+
+    sig = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias("bkey"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_entries).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey")
+    )
+
+    left = bands.alias("a")
+    right = bands.alias("b")
+    candidates = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.alias("sa")
+    sb = shingles.alias("sb")
+    shared = (
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    return (
+        shared.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("na.n") + F.col("nb.n") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_NEAR_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+),
+shingled AS (
+    SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS shingle
+    FROM tok WHERE len(toks) >= 3
+),
+sig AS (
+    SELECT doc_id,
+           {', '.join(f"MIN(md5('{i}|' || shingle)) AS h{i}" for i in range(N_HASHES))}
+    FROM shingled GROUP BY doc_id
+),
+bands AS (
+    {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS bkey FROM sig" for b in range(N_BANDS))}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+shared AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+    FROM cand c
+    JOIN shingled sa ON sa.doc_id = c.doc_a
+    JOIN shingled sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY c.doc_a, c.doc_b
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id)
+SELECT s.doc_a, s.doc_b, s.n_shared,
+       ROUND(CAST(s.n_shared AS DOUBLE) / (na.n + nb.n - s.n_shared), 4) AS jaccard
+FROM shared s
+JOIN sizes na ON na.doc_id = s.doc_a
+JOIN sizes nb ON nb.doc_id = s.doc_b
+WHERE ROUND(CAST(s.n_shared AS DOUBLE) / (na.n + nb.n - s.n_shared), 4) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbours for 5 query vectors.
+
+    Scale: the query set is broadcast (crossJoin + broadcast hint), so the
+    scan side streams once with no shuffle; the only exchange is the
+    window's partition-by-query (5 keys x top rows). The IVF/LSH-bucketed
+    variant (round 2) replaces the cross join with a bucket equi-join.
+    All arithmetic is double with per-element products and a left-fold sum
+    — the same IEEE sequence DuckDB's list_dot_product runs, then rounded
+    to 4 decimals with vec_id tie-breaks for deterministic membership.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    emb = emb.withColumn("nrm", norm)
+    queries = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(dot / (F.col("qn") * F.col("nrm")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
+EMBEDDING_TOPK_SQL = """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+n AS (
+    SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5
+),
+pairs AS (
+    SELECT q.query_id, n.vec_id,
+           ROUND(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 4) AS cos_sim
+    FROM n, q
+    WHERE n.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos_sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+FROM pairs
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics by language: doc counts, char/token distributions."""
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens(F.col("text")))
+    return (
+        docs.select("lang", "n_chars", n_tokens.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            davg(F.col("n_chars"), "avg_chars"),
+            F.max("n_tokens").alias("max_tokens"),
+            davg(F.col("n_tokens"), "avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEXT_STATS_SQL = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       {oracle_davg('n_chars', 'avg_chars')},
+       CAST(MAX(len({TOKENS_SQL})) AS INTEGER) AS max_tokens,
+       {oracle_davg(f'len({TOKENS_SQL})', 'avg_tokens')}
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token count, stopword ratio, mean
+    token length — the length/stopword heuristics of a training-data
+    quality filter, all in codegen (no UDF)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*_STOPWORDS))
+    )
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_tokens.alias("n_tokens"),
+            F.round(n_stop.cast("double") / n_tokens, 4).alias("stop_ratio"),
+            F.round(total_len.cast("double") / n_tokens, 4).alias("mean_token_len"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .orderBy("doc_id")
+    )
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+DOC_QUALITY_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, lang, {TOKENS_SQL} AS toks FROM documents
+)
+SELECT doc_id, lang,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       ROUND(CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+             / len(toks), 4) AS stop_ratio,
+       ROUND(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+             / len(toks), 4) AS mean_token_len
+FROM tok
+WHERE len(toks) > 0
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_near_minhash": dedup_near_minhash,
+    "embedding_topk": embedding_topk,
+    "text_stats": text_stats,
+    "doc_quality": doc_quality,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_near_minhash": DEDUP_NEAR_SQL,
+    "embedding_topk": EMBEDDING_TOPK_SQL,
+    "text_stats": TEXT_STATS_SQL,
+    "doc_quality": DOC_QUALITY_SQL,
+}

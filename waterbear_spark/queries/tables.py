@@ -1,0 +1,55 @@
+"""Parquet table access + numeric determinism helpers shared by the catalog.
+
+Float determinism strategy (SURVEY.md §7 "determinism rules"): double
+summation order differs between Spark partial aggregation and DuckDB, so
+any SUM over doubles is computed over ``DECIMAL(20,6)`` — per-row casts are
+IEEE-deterministic and decimal addition is exact, making the aggregate
+bit-identical across engines — then rounded and cast back to double for a
+stable comparison schema. Averages divide the exact decimal sum (as double)
+by the count, which is a single deterministic IEEE division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEC = "decimal(20,6)"
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read it as raw nanos and floor to micros — the
+        # same truncation DuckDB applies (its TIMESTAMP is micro-precision)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dsum(col: Column, alias: str, scale: int = 2) -> Column:
+    """Exact decimal SUM, rounded, surfaced as double."""
+    return F.round(F.sum(col.cast(DEC)), scale).cast("double").alias(alias)
+
+
+def davg(col: Column, alias: str, scale: int = 2) -> Column:
+    """Deterministic average: exact decimal sum -> double -> one division."""
+    return F.round(
+        F.sum(col.cast(DEC)).cast("double") / F.count(col), scale
+    ).alias(alias)
+
+
+def oracle_dsum(expr: str, alias: str, scale: int = 2) -> str:
+    return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(20,6))), {scale}) AS DOUBLE) AS {alias}"
+
+
+def oracle_davg(expr: str, alias: str, scale: int = 2) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(20,6))) AS DOUBLE)"
+        f" / COUNT({expr}), {scale}) AS {alias}"
+    )
