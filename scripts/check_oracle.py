@@ -8,7 +8,6 @@ Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import hashlib
 import os
 import sys
 import time
@@ -20,29 +19,7 @@ from pyspark.sql import SparkSession
 
 from waterbear_spark.queries.catalog import ORACLE_SQL, QUERIES
 from waterbear_spark.queries.tables import TABLES
-
-
-def norm_cell(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        # canonical float text (both engines produce identical doubles by
-        # design; repr differences like 1.0 vs 1 are normalized here)
-        if v == int(v) and abs(v) < 1e15:
-            return f"{v:.1f}"
-        return repr(v)
-    if isinstance(v, bool):
-        return str(v).lower()
-    return str(v)
-
-
-def frame_fingerprint(columns, rows):
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    lines = sorted(
-        "\x01".join(norm_cell(row[i]) for i in order) for row in rows
-    )
-    digest = hashlib.sha256("\n".join(lines).encode()).hexdigest()
-    return digest
+from waterbear_spark.testing import frame_fingerprint, norm_cell
 
 
 def main():

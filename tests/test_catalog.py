@@ -1,0 +1,75 @@
+"""Catalog sanity inside pytest: a representative subset of queries is
+compared against its DuckDB oracle at sf0.001 (the full sweep runs via
+scripts/check_oracle.py at sf0.01); plus plan-shape assertions that guard
+the scale properties .explain() claims."""
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_SMOKE
+from waterbear_spark.queries.catalog import ORACLE_SQL, QUERIES
+from waterbear_spark.queries.tables import TABLES
+from waterbear_spark.testing import compare_frames
+
+REPRESENTATIVE = [
+    "q1_pricing_summary",
+    "asof_last_order",
+    "window_topk_parts",
+    "dedup_near_minhash",
+    "embedding_topk",
+    "rollup_orders",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def test_catalog_is_complete():
+    assert len(QUERIES) >= 27
+    assert set(ORACLE_SQL) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_query_matches_oracle(spark, oracle, name):
+    sdf = QUERIES[name](spark, SF_SMOKE)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    res = oracle.execute(ORACLE_SQL[name])
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    assert compare_frames(sdf.columns, s_rows, d_cols, d_rows) == []
+
+
+def test_no_python_udf_anywhere(spark):
+    """Every catalog query must stay JVM-side (no Python-worker nodes)."""
+    for name, fn in QUERIES.items():
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, f"{name} falls back to Python"
+
+
+def test_q1_plan_is_scan_plus_hashagg(spark):
+    plan = (
+        QUERIES["q1_pricing_summary"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "HashAggregate" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = (
+        QUERIES["q5_region_revenue"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,83 @@
+"""Unit tests for custom operators (as-of join, top-k per group)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from waterbear_spark.operators import asof_join, top_k_per_group
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_basic_and_ties(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:05"), "t1"),
+            (1, _ts("2024-01-01T10:00:00"), "t0-exact"),
+            (1, _ts("2024-01-01T09:59:59"), "t-before"),
+            (2, _ts("2024-01-01T10:00:10"), "other-key"),
+            (3, _ts("2024-01-01T10:00:10"), "no-quotes"),
+        ],
+        "key int, t timestamp, label string",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100, 9.99),
+            (1, _ts("2024-01-01T10:00:00"), 101, 10.01),  # same-time tie
+            (1, _ts("2024-01-01T10:00:04"), 102, 10.05),
+            (2, _ts("2024-01-01T10:00:01"), 200, 20.0),
+        ],
+        "key int, qt timestamp, quote_id int, price double",
+    )
+    out = asof_join(
+        trades,
+        quotes,
+        on_left="key",
+        on_right="key",
+        left_time="t",
+        right_time="qt",
+        value_cols=["quote_id", "price"],
+        tiebreak="quote_id",
+    )
+    got = {r["label"]: (r["quote_id"], r["price"]) for r in out.collect()}
+    assert got["t1"] == (102, 10.05)          # latest prior quote
+    assert got["t0-exact"] == (101, 10.01)    # inclusive match, max tiebreak wins
+    assert got["t-before"] == (None, None)    # nothing prior
+    assert got["other-key"] == (200, 20.0)    # keys don't leak
+    assert got["no-quotes"] == (None, None)   # key with no right rows
+
+
+def test_asof_join_single_shuffle_no_blowup(spark):
+    # the physical plan must contain exactly one shuffle on the key
+    # (union-timeline), not a join-then-filter cartesian blowup
+    left = spark.range(100).select(
+        (F.col("id") % 5).cast("int").alias("k"),
+        F.timestamp_seconds(F.col("id") * 60).alias("t"),
+        F.col("id").alias("left_id"),
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 5).cast("int").alias("k"),
+        F.timestamp_seconds(F.col("id") * 97).alias("rt"),
+        F.col("id").alias("right_id"),
+    )
+    out = asof_join(
+        left, right, on_left="k", left_time="t", right_time="rt",
+        value_cols=["right_id"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # no join operator at all: union + window
+    assert out.count() == 100
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 4, 5.0)],
+        "grp string, id int, score double",
+    )
+    out = top_k_per_group(
+        df, ["grp"], [F.col("score").desc(), F.col("id")], k=2
+    )
+    got = {(r["grp"], r["rank"]): r["id"] for r in out.collect()}
+    assert got == {("a", 1): 2, ("a", 2): 3, ("b", 1): 4}

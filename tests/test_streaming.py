@@ -1,0 +1,109 @@
+"""Structured Streaming tests: file-source stream with enforced schema,
+Trigger.AvailableNow, memory sink — results must equal the batch run of
+the same transform (the functions are batch/stream polymorphic)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from waterbear_spark.queries.tables import table
+from waterbear_spark.streaming import session_metrics, stream_dedup, tumbling_metrics
+from waterbear_spark.testing import compare_frames
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, tmp_path_factory):
+    """Events from sf0.001 written as JSON files (a file-source stream)."""
+    path = str(tmp_path_factory.mktemp("events_json"))
+    # default timestampFormat truncates to millis; keep full micros so
+    # session boundaries match the parquet batch exactly
+    (
+        table(spark, SF_SMOKE, "events")
+        .coalesce(4)
+        .write.mode("overwrite")
+        .option("timestampFormat", TS_FMT)
+        .json(path)
+    )
+    return path
+
+
+def _run_stream(spark, stream_df, name, mode="complete"):
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def _stream_source(spark, path):
+    schema = table(spark, SF_SMOKE, "events").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .option("timestampFormat", TS_FMT)
+        .json(path)
+    )
+
+
+def test_tumbling_stream_matches_batch(spark, event_stream_dir):
+    stream_result = _run_stream(
+        spark,
+        tumbling_metrics(_stream_source(spark, event_stream_dir), watermark="31 days"),
+        "tumbling_test",
+    )
+    batch_result = tumbling_metrics(table(spark, SF_SMOKE, "events"))
+    problems = compare_frames(
+        stream_result.columns,
+        [tuple(r) for r in stream_result.collect()],
+        batch_result.columns,
+        [tuple(r) for r in batch_result.collect()],
+    )
+    assert problems == []
+    assert stream_result.count() > 0
+
+
+def test_sliding_window(spark):
+    batch = tumbling_metrics(
+        table(spark, SF_SMOKE, "events"), window="2 hours", slide="1 hour"
+    )
+    rows = batch.collect()
+    assert len(rows) > 0
+    # every event lands in exactly two 2h/1h sliding windows
+    total = sum(r["n_events"] for r in rows)
+    assert total == 2 * table(spark, SF_SMOKE, "events").count()
+
+
+def test_session_stream_matches_batch(spark, event_stream_dir):
+    stream_result = _run_stream(
+        spark,
+        session_metrics(_stream_source(spark, event_stream_dir), gap="5 minutes", watermark="31 days"),
+        "session_test",
+    )
+    batch_result = session_metrics(table(spark, SF_SMOKE, "events"), gap="5 minutes")
+    problems = compare_frames(
+        stream_result.columns,
+        [tuple(r) for r in stream_result.collect()],
+        batch_result.columns,
+        [tuple(r) for r in batch_result.collect()],
+    )
+    assert problems == []
+
+
+def test_stream_dedup_drops_planted_duplicates(spark, tmp_path):
+    events = table(spark, SF_SMOKE, "events").limit(200)
+    doubled_dir = str(tmp_path / "doubled")
+    events.unionAll(events).coalesce(2).write.mode("overwrite").json(doubled_dir)
+
+    schema = events.schema
+    stream = spark.readStream.schema(schema).json(doubled_dir)
+    result = _run_stream(
+        spark, stream_dedup(stream), "dedup_test", mode="append"
+    )
+    assert result.count() == 200

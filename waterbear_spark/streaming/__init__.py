@@ -1,0 +1,7 @@
+from waterbear_spark.streaming.windows import (
+    session_metrics,
+    stream_dedup,
+    tumbling_metrics,
+)
+
+__all__ = ["tumbling_metrics", "session_metrics", "stream_dedup"]

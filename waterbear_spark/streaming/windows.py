@@ -1,0 +1,108 @@
+"""Structured Streaming operators: watermarked tumbling/sliding/session
+windows and stateful dedup over an event stream.
+
+Parity target: the reference only documents streaming as "the same schema
+applied through readStream / Auto Loader" (README.md:82-98) and delegates
+state to DLT. Here the streaming surface is first-class: each transform
+takes a (possibly streaming) DataFrame and returns the aggregated stream,
+so the same function serves batch backfill and incremental execution —
+run under ``trigger(availableNow=True)`` + checkpoint for exactly-once
+incremental batches.
+
+Scale notes: watermarks bound state size (late rows beyond the horizon are
+dropped, state for closed windows is evicted); windowed aggregation state
+is partitioned by (window, keys) across executors; ``dropDuplicates``
+state is partitioned by the id columns — always include the event-time
+column + watermark so the dedup map can evict.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from waterbear_spark.queries.tables import DEC
+
+
+def tumbling_metrics(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    slide: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding, if ``slide`` given) windowed counts + sums.
+
+    Works identically on batch and streaming inputs; on a stream the
+    watermark lets Spark finalize windows and evict their state.
+    """
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    stream = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        stream.groupBy(win.alias("win"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_metrics(
+    events: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows: activity bursts per key separated by ``gap`` of
+    silence. State is one open session per key, merged as events arrive.
+    """
+    stream = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        stream.groupBy(F.session_window(ts_col, gap).alias("sess"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    id_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Drop duplicate events by id within the watermark horizon.
+
+    Including ``ts_col`` in the key set (Spark requirement for streaming
+    dedup with watermark) bounds the state store: entries older than the
+    watermark are evicted instead of accumulating forever.
+    """
+    id_cols = id_cols or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicates(
+            id_cols + [ts_col]
+        )
+    return events.dropDuplicates(id_cols + [ts_col])
