@@ -46,10 +46,16 @@ def test_query_matches_oracle(spark, oracle, name):
 
 
 def test_no_python_udf_anywhere(spark):
-    """Every catalog query must stay JVM-side (no Python-worker nodes)."""
+    """Every catalog query stays JVM-side — except the pandas_* entries,
+    which exist precisely to exercise the Arrow-batched UDF surface (and
+    must use ArrowEvalPython / FlatMapGroupsInPandas, never row-at-a-time
+    BatchEvalPython)."""
     for name, fn in QUERIES.items():
         plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
-        assert "EvalPython" not in plan, f"{name} falls back to Python"
+        if name.startswith("pandas_"):
+            assert "BatchEvalPython" not in plan, f"{name} is row-at-a-time"
+        else:
+            assert "EvalPython" not in plan, f"{name} falls back to Python"
 
 
 def test_q1_plan_is_scan_plus_hashagg(spark):

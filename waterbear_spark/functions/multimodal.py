@@ -1,0 +1,171 @@
+"""Multimodal column support: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the actual decode is STUBBED
+(clearly marked below): ``decode_media`` raises ``NotImplementedError``
+unless a codec library is importable, and ``fake_decode_features`` is a
+deterministic byte-level stand-in. Everything around the stub — the
+typed schema, the mapInPandas batch shape, binary slicing for frame
+sampling, partition behavior — is real Spark plumbing and is tested.
+
+Scale notes: binary payloads ride in Arrow record batches; mapInPandas
+streams an iterator of batches per partition (bounded memory regardless
+of partition size); frame sampling slices binary **before** any Python
+step so the JVM drops unneeded bytes first; `read_binary_files` uses the
+binaryFile source with pathGlobFilter + partition pruning on directories.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META = StructType(
+    [
+        StructField("kind", StringType()),        # image | audio | video
+        StructField("format", StringType()),      # png, wav, raw, ...
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("data", BinaryType()),
+        StructField("meta", MEDIA_META),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("mean_byte", IntegerType()),
+        StructField("head_hex", StringType()),
+    ]
+)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """binaryFile source: (path, modificationTime, length, content).
+
+    Directory layout `<root>/kind=image/...` gives free partition pruning
+    on the kind column at 100 TB.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """REAL decode path — requires a codec library.
+
+    STUB: the execution container ships no image/audio codecs (no PIL,
+    no libav); this raises until one is available. The Spark-side
+    contract (input MEDIA_SCHEMA, output FEATURE_SCHEMA via mapInPandas)
+    is identical to ``fake_decode_features`` below, which is what tests
+    exercise.
+    """
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as err:
+        raise NotImplementedError(
+            "no codec library in this environment - use fake_decode_features "
+            "for the deterministic stand-in"
+        ) from err
+    return fake_decode_features(df)  # pragma: no cover - codec not present
+
+
+def fake_decode_features(df: DataFrame) -> DataFrame:
+    """Deterministic FAKE decode: byte-level features standing in for real
+    pixel/sample decoding. The mapInPandas batch shape, schema, and
+    distribution behavior are exactly what the real decoder would use.
+    """
+
+    def batches(parts: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in parts:
+            data = pdf["data"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["meta"].map(
+                        lambda m: m["kind"] if m is not None else None
+                    ),
+                    "n_bytes": data.map(lambda b: 0 if b is None else len(b)),
+                    "mean_byte": data.map(
+                        lambda b: 0 if not b else int(sum(b) / len(b))
+                    ),
+                    "head_hex": data.map(
+                        lambda b: bytes(b[:4]).hex() if b else ""
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int, every_k: int, max_frames: int = 8
+) -> DataFrame:
+    """Frame sampling for fixed-frame-size "video" payloads: keep every
+    k-th frame, entirely JVM-side (binary substr before any Python step),
+    exploded to one row per sampled frame.
+    """
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("frame_no"),
+                F.substring("data", i * frame_bytes + 1, frame_bytes).alias("frame"),
+            )
+            for i in range(0, max_frames, every_k)
+        ]
+    )
+    return (
+        df.withColumn("n_frames_avail", (F.length("data") / frame_bytes).cast("int"))
+        .select(
+            "media_id",
+            "n_frames_avail",
+            F.explode(slices).alias("f"),
+        )
+        .filter(F.col("f.frame_no") < F.col("n_frames_avail"))
+        .select(
+            "media_id",
+            F.col("f.frame_no").alias("frame_no"),
+            F.col("f.frame").alias("frame"),
+        )
+    )
+
+
+def attach_fake_media(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Test helper: derive a deterministic binary payload from document
+    text (md5 -> bytes, repeated), shaped into MEDIA_SCHEMA."""
+    data = F.unhex(F.repeat(F.md5("text"), 8))  # 128 deterministic bytes
+    return docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        data.alias("data"),
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.lit("raw").alias("format"),
+            F.lit(8).alias("width"),
+            F.lit(4).alias("height"),
+            F.lit(4).alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )

@@ -5,11 +5,26 @@ this for the driver harness.
 
 from __future__ import annotations
 
-from waterbear_spark.queries import llm, relational
+from waterbear_spark.functions import udfs
+from waterbear_spark.queries import llm, relational, relational_ext, textops
 
-QUERIES = {**relational.QUERIES, **llm.QUERIES}
+QUERIES = {
+    **relational.QUERIES,
+    **relational_ext.QUERIES,
+    **llm.QUERIES,
+    **textops.QUERIES,
+    # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
+    # (everything else in the catalog is UDF-free by policy)
+    **udfs.QUERIES,
+}
 
-ORACLE_SQL = {**relational.ORACLES, **llm.ORACLES}
+ORACLE_SQL = {
+    **relational.ORACLES,
+    **relational_ext.ORACLES,
+    **llm.ORACLES,
+    **textops.ORACLES,
+    **udfs.ORACLES,
+}
 
 # every oracle key must have a query twin (the reverse may lag for
 # non-SQL-expressible ops, which get rows-only checks)

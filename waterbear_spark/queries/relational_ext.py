@@ -1,0 +1,211 @@
+"""Relational catalog extensions: outer joins, GROUPING SETS, analytic
+windows (ntile/lag/lead), correlated subqueries, math functions, and
+approximate aggregates (rows-only check — approx sketches have no exact
+oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from waterbear_spark.queries.tables import dsum, oracle_dsum, table
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: per-nation customer and supplier counts, keeping
+    nations that only appear on one side."""
+    cust = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cust.withColumnRenamed("nationkey", "c_nk")
+        .join(supp.withColumnRenamed("nationkey", "s_nk"),
+              F.col("c_nk") == F.col("s_nk"), "full_outer")
+        .select(
+            F.coalesce(F.col("c_nk"), F.col("s_nk")).alias("nationkey"),
+            F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+            F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+JOIN_FULL_OUTER_SQL = """
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       COALESCE(c.n_customers, 0) AS n_customers,
+       COALESCE(s.n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+      FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+                 FROM supplier GROUP BY s_nationkey) s
+  ON c.nationkey = s.nationkey
+ORDER BY nationkey
+"""
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither pure rollup nor cube): totals by
+    (status), by (priority), and grand total."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               {oracle_dsum('o_totalprice', 'sum_price')}
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """)
+
+
+GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       {oracle_dsum('o_totalprice', 'sum_price')}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / lag / lead / percent_rank over part prices per brand."""
+    part = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.ntile(4).over(w).cast("int").alias("price_quartile"),
+        F.lag("p_retailprice").over(w).alias("prev_price"),
+        F.lead("p_retailprice").over(w).alias("next_price"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    ).orderBy("p_brand", "p_partkey")
+
+
+WINDOW_ANALYTICS_SQL = """
+SELECT p_brand, p_partkey, p_retailprice,
+       CAST(NTILE(4) OVER w AS INTEGER) AS price_quartile,
+       LAG(p_retailprice) OVER w AS prev_price,
+       LEAD(p_retailprice) OVER w AS next_price,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+ORDER BY p_brand, p_partkey
+"""
+
+
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS: parts that ship in large quantity (>45)."""
+    for name in ("part", "lineitem"):
+        table(spark, sf_dir, name).createOrReplaceTempView(f"{name}_ex")
+    return spark.sql("""
+        SELECT p_partkey, p_brand
+        FROM part_ex
+        WHERE EXISTS (SELECT 1 FROM lineitem_ex
+                      WHERE l_partkey = p_partkey AND l_quantity > 45)
+        ORDER BY p_partkey
+    """)
+
+
+EXISTS_SUBQUERY_SQL = """
+SELECT p_partkey, p_brand
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_partkey = p_partkey AND l_quantity > 45)
+ORDER BY p_partkey
+"""
+
+
+def scalar_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sc")
+    return spark.sql(f"""
+        SELECT o_orderkey, o_totalprice
+        FROM orders_sc
+        WHERE o_totalprice > (SELECT {oracle_dsum('o_totalprice', 's').replace(' AS s', '')}
+                              / COUNT(*) * 1.5 FROM orders_sc)
+        ORDER BY o_orderkey
+    """)
+
+
+SCALAR_SUBQUERY_SQL = f"""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT {oracle_dsum('o_totalprice', 's').replace(' AS s', '')}
+                      / COUNT(*) * 1.5 FROM orders)
+ORDER BY o_orderkey
+"""
+
+
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar family: abs/round/floor/ceil/sqrt/ln/pow/pmod — all on
+    deterministic per-row arithmetic."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        F.abs(F.col("l_extendedprice") * -1).alias("abs_price"),
+        F.floor(F.col("l_quantity")).cast("long").alias("qty_floor"),
+        F.ceil(F.col("l_discount") * 100).cast("long").alias("disc_pct_ceil"),
+        F.round(F.sqrt(F.col("l_extendedprice")), 6).alias("sqrt_price"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("tax_sq"),
+        F.pmod(F.col("l_orderkey"), 97).cast("long").alias("key_mod"),
+    ).orderBy("l_orderkey")
+
+
+MATH_FUNCS_SQL = """
+SELECT l_orderkey,
+       ABS(l_extendedprice * -1) AS abs_price,
+       CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+       CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+       ROUND(SQRT(l_extendedprice), 6) AS sqrt_price,
+       ROUND(LN(l_extendedprice), 6) AS ln_price,
+       ROUND(POW(l_tax + 1, 2), 6) AS tax_sq,
+       CAST(l_orderkey % 97 AS BIGINT) AS key_mod
+FROM lineitem
+WHERE l_linenumber = 1
+ORDER BY l_orderkey
+"""
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate count-distinct (rows-only check: sketch
+    estimates are engine-specific by nature; the driver records row count
+    + schema only). At 100 TB this replaces exact distinct's full shuffle
+    with fixed-size sketches merged map-side."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES = {
+    "join_full_outer": join_full_outer,
+    "grouping_sets_orders": grouping_sets_orders,
+    "window_analytics": window_analytics,
+    "exists_subquery": exists_subquery,
+    "scalar_in_subquery": scalar_in_subquery,
+    "math_functions": math_functions,
+    "approx_distinct": approx_distinct,
+}
+
+ORACLES = {
+    "join_full_outer": JOIN_FULL_OUTER_SQL,
+    "grouping_sets_orders": GROUPING_SETS_SQL,
+    "window_analytics": WINDOW_ANALYTICS_SQL,
+    "exists_subquery": EXISTS_SUBQUERY_SQL,
+    "scalar_in_subquery": SCALAR_SUBQUERY_SQL,
+    "math_functions": MATH_FUNCS_SQL,
+    # approx_distinct: intentionally no oracle (rows-only)
+}

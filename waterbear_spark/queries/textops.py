@@ -1,0 +1,320 @@
+"""Text-analysis operators: SimHash near-dup, n-gram Jaccard, language ID,
+token counting, document fingerprinting (SURVEY.md §2b "text analysis" /
+"dedup" families).
+
+SimHash and the fingerprint use generated SQL shared between engines via
+small dialect substitutions (hex->int cast, shifts, xor), so the oracle is
+structurally the same computation; everything is integer/string arithmetic
+— bit-exact across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from waterbear_spark.queries.llm import SHINGLES_SQL, TOKENS_SQL, _fan_out, _tokens
+from waterbear_spark.queries.tables import table
+
+# SHINGLES_SQL in llm.py is written against a CTE column named `toks`
+SHINGLES_FROM_TOKS_SQL = SHINGLES_SQL
+
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4  # 15 bits per band
+SIMHASH_BAND_BITS = 15
+SIMHASH_MAX_HAMMING = 3
+
+_SPARK_DIALECT = {
+    "HEX2INT": "CAST(CONV(SUBSTR(md5({x}), 1, 15), 16, 10) AS BIGINT)",
+    "SHL1": "SHIFTLEFT(CAST(1 AS BIGINT), {b})",
+    "XOR": "({a} ^ {b})",
+    "TOKENS": "filter(split(lower(text), '\\\\s+'), t -> t != '')",
+}
+_DUCK_DIALECT = {
+    "HEX2INT": "CAST(('0x' || substr(md5({x}), 1, 15)) AS UBIGINT)::BIGINT",
+    "SHL1": "(CAST(1 AS BIGINT) << {b})",
+    "XOR": "xor({a}, {b})",
+    "TOKENS": TOKENS_SQL,
+}
+
+
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (60-bit sketch over 3-word shingles,
+    4x15-bit LSH bands, Hamming <= 3).
+
+    Classic SimHash (Charikar 2002; web-scale near-dup per Manku et al.
+    2007): per document, sum +1/-1 per bit over feature hashes; the sign
+    vector is the sketch. Band width follows the pigeonhole bound: <=3
+    differing bits across 4 bands always leave one band untouched (full
+    recall at the threshold) while 15-bit keys keep spurious candidates
+    at ~n^2/2^15 per band.
+
+    Features are 3-word shingles, not unigrams: with a small vocabulary,
+    unigram sketches degenerate (every doc shares most words, everything
+    collides); word order carried by the shingle keeps sketches apart.
+
+    Scale: the whole sketch is computed **row-locally** — shingle array ->
+    hash array (one md5 per shingle) -> 60 bit-sum folds -> one long.
+    Nothing explodes and nothing shuffles until the 4-rows-per-doc band
+    exchange. (An earlier explode-based variant was O(shingles^2) per doc
+    because Generate re-evaluates its child expression per emitted row —
+    see the bench history.) The tiny sketch frame is persisted because
+    bands + both verify sides reuse it.
+    """
+    from waterbear_spark.queries.llm import _shingles
+
+    docs = _fan_out(
+        spark,
+        table(spark, sf_dir, "documents").select(
+            "doc_id", _tokens(F.col("text")).alias("raw")
+        ),
+    )
+    shingled = docs.filter(F.size("raw") >= 3).select(
+        "doc_id", F.array_distinct(_shingles(F.col("raw"))).alias("toks")
+    )
+    hashed = shingled.select(
+        "doc_id",
+        F.expr(
+            "transform(toks, s -> CAST(CONV(SUBSTR(md5(s), 1, 15), 16, 10) AS BIGINT))"
+        ).alias("hs"),
+    )
+    bits = hashed.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"aggregate(hs, 0L, (acc, h) -> acc + ((h >> {b}) & 1) * 2 - 1)"
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ],
+    )
+    sketch = bits.select(
+        "doc_id",
+        sum(
+            [
+                F.expr(
+                    f"CASE WHEN b{b} > 0 THEN SHIFTLEFT(CAST(1 AS BIGINT), {b})"
+                    f" ELSE CAST(0 AS BIGINT) END"
+                )
+                for b in range(SIMHASH_BITS)
+            ],
+            F.lit(0).cast("bigint"),
+        ).alias("simhash"),
+    ).persist()
+
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                F.expr(f"(simhash >> {SIMHASH_BAND_BITS * k}) & {mask}").alias("bkey"),
+            )
+            for k in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = sketch.select("doc_id", F.explode(band_entries).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    hamming = F.expr("CAST(bit_count(sa_hash ^ sb_hash) AS INT)")
+    return (
+        cand.join(
+            sketch.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa_hash")),
+            "doc_a",
+        )
+        .join(
+            sketch.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb_hash")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_oracle_sql() -> str:
+    hex2int = _DUCK_DIALECT["HEX2INT"].format(x="s")
+    bit_sums = ",\n           ".join(
+        f"list_sum(list_transform(hs, h -> ((h >> {b}) & 1) * 2 - 1)) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sketch = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {_DUCK_DIALECT['SHL1'].format(b=b)} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {k} AS band,"
+        f" (simhash >> {SIMHASH_BAND_BITS * k}) & {mask} AS bkey FROM sh"
+        for k in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH tokraw AS (SELECT doc_id, {_DUCK_DIALECT['TOKENS']} AS toks FROM documents),
+doc_tokens AS (
+    SELECT doc_id, list_distinct({SHINGLES_FROM_TOKS_SQL}) AS toks
+    FROM tokraw WHERE len(toks) >= 3
+),
+hashed AS (SELECT doc_id, list_transform(toks, s -> {hex2int}) AS hs FROM doc_tokens),
+bits AS (
+    SELECT doc_id,
+           {bit_sums}
+    FROM hashed
+),
+sh AS (SELECT doc_id, {sketch} AS simhash FROM bits),
+bands AS ({bands}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+FROM cand
+JOIN sh sa ON sa.doc_id = cand.doc_a
+JOIN sh sb ON sb.doc_id = cand.doc_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
+SIMHASH_SQL = _simhash_oracle_sql()
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID from stopword-profile hit counts, argmax with
+    alphabetical tie-break. A real deployment swaps the profiles for
+    char-n-gram models; the operator shape (per-row scoring in codegen,
+    no shuffle) is the point.
+    """
+    profiles = {
+        "de": ("der", "die", "und", "das", "ist", "nicht"),
+        "en": ("the", "a", "of", "and", "to", "is"),
+        "es": ("el", "la", "de", "que", "y", "en"),
+        "fr": ("le", "la", "de", "et", "les", "est"),
+    }
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+
+    def hits(words):
+        # closure, not a default-arg lambda (which would capture the HOF
+        # index column instead of the word list)
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scores = {lang: hits(words) for lang, words in profiles.items()}
+    best = F.greatest(*scores.values())
+    predicted = F.when(best <= 0, F.lit("und"))
+    for lang in sorted(profiles):  # alphabetical priority on ties
+        predicted = predicted.when(scores[lang] == best, F.lit(lang))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            predicted.alias("predicted_lang"),
+            *[scores[lang].cast("int").alias(f"score_{lang}") for lang in sorted(profiles)],
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LANG_PROFILES_SQL = {
+    "de": "('der','die','und','das','ist','nicht')",
+    "en": "('the','a','of','and','to','is')",
+    "es": "('el','la','de','que','y','en')",
+    "fr": "('le','la','de','et','les','est')",
+}
+
+_SCORE_EXPRS = {
+    lang: f"len(list_filter(toks, t -> t IN {words}))"
+    for lang, words in _LANG_PROFILES_SQL.items()
+}
+
+LANG_ID_SQL = f"""
+WITH tok AS (SELECT doc_id, lang, {TOKENS_SQL} AS toks FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN greatest({', '.join(_SCORE_EXPRS.values())}) <= 0 THEN 'und'
+            {' '.join(f"WHEN {_SCORE_EXPRS[lang]} = greatest({', '.join(_SCORE_EXPRS.values())}) THEN '{lang}'" for lang in sorted(_LANG_PROFILES_SQL))}
+       END AS predicted_lang,
+       {', '.join(f"CAST({_SCORE_EXPRS[lang]} AS INTEGER) AS score_{lang}" for lang in sorted(_LANG_PROFILES_SQL))}
+FROM tok
+ORDER BY doc_id
+"""
+
+_BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting per document: whitespace tokens, BPE-ish regex
+    tokens (letter runs / digit runs / single punctuation — the classic
+    pre-tokenizer shape), characters. Pure codegen, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(_tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(_BPE_ISH)).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    ).orderBy("doc_id")
+
+
+TOKEN_COUNTING_SQL = f"""
+SELECT doc_id, lang,
+       CAST(len({TOKENS_SQL}) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_ISH}')) AS INTEGER) AS n_bpe_tokens,
+       LENGTH(text) AS n_chars_actual
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint (cf. Schleimer et al., SIGMOD 2003):
+    md5 over all sliding char-8-grams, keep the 3 smallest digests as the
+    document's fingerprint. Equal fingerprints => near-identical content;
+    robust to global shifts. Row-local (arrays never leave the row)."""
+    docs = _fan_out(
+        spark, table(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 7),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(8))),
+    )
+    fp = F.concat_ws("", F.slice(F.sort_array(grams), 1, 3))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id,
+       array_to_string(list_sort(list_transform(
+           generate_series(1, length(text) - 7),
+           i -> md5(substr(text, i, 8))))[1:3], '') AS fingerprint
+FROM documents
+WHERE length(text) >= 8
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "simhash_near_dup": simhash_near_dup,
+    "lang_id": lang_id,
+    "token_counting": token_counting,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+ORACLES = {
+    "simhash_near_dup": SIMHASH_SQL,
+    "lang_id": LANG_ID_SQL,
+    "token_counting": TOKEN_COUNTING_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+}
