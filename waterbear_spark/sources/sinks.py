@@ -1,0 +1,151 @@
+"""Write paths: partitioned sinks, bucketed tables, and MERGE upsert.
+
+Delta Lake is the intended production sink (reference README.md:39-111
+documents Delta + DLT); this environment has no delta-spark, so every
+writer gates on its availability and falls back to parquet with the same
+semantics expressed via core Spark.
+
+Scale notes:
+* partitioned writes put the partition column in the directory layout ->
+  partition pruning on read (the bronze `_ingest_date` pattern);
+* bucketed tables co-locate join keys at write time: two tables bucketed
+  by the same key join with ZERO exchange — pre-paying the shuffle once
+  at ingest, the decisive pattern for repeated 100 TB fact-fact joins;
+* merge_upsert without a transaction log stages the rewritten table and
+  swaps directories; with Delta it becomes a single MERGE with file-level
+  pruning. The join-based rewrite is still one shuffle on the keys.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+try:
+    from delta.tables import DeltaTable
+
+    HAS_DELTA = True
+except ImportError:
+    DeltaTable = None
+    HAS_DELTA = False
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    fmt: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partition-pruned sink (directory layout = partition columns)."""
+    fmt = fmt or ("delta" if HAS_DELTA else "parquet")
+    df.write.mode(mode).format(fmt).partitionBy(*partition_cols).save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted table: co-locates (and pre-sorts) rows by join
+    key so equi-joins/aggregations on the bucket key need no exchange.
+    Bucket metadata lives in the session catalog (saveAsTable is required
+    for Spark to trust bucketing on read)."""
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    fmt: str | None = None,
+) -> DataFrame:
+    """Upsert ``updates`` into the table at ``target_path``:
+    matched keys are replaced, unmatched keys are inserted.
+
+    Delta available -> a real MERGE (file-pruned, transactional).
+    Parquet fallback -> anti-join keep + union, staged write, directory
+    swap (atomic enough for single-writer pipelines; Delta is the answer
+    for concurrent writers).
+    """
+    fmt = fmt or ("delta" if HAS_DELTA else "parquet")
+    if fmt == "delta" and HAS_DELTA:  # pragma: no cover - delta not in env
+        target = DeltaTable.forPath(spark, target_path)
+        cond = " AND ".join(f"t.{k} = u.{k}" for k in keys)
+        (
+            target.alias("t")
+            .merge(updates.alias("u"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return spark.read.format("delta").load(target_path)
+
+    target = spark.read.format(fmt).load(target_path)
+    kept = target.join(updates.select(*keys), on=keys, how="left_anti")
+    merged = kept.unionByName(updates)
+
+    staging = f"{target_path}__staging_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").format(fmt).save(staging)
+    backup = f"{target_path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(target_path, backup)
+    os.rename(staging, target_path)
+    shutil.rmtree(backup)
+    return spark.read.format(fmt).load(target_path)
+
+
+def scd2_apply(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key: str,
+    ts_col: str,
+    fmt: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: close out current versions of
+    changed keys (set ``_valid_to``) and append the new versions as
+    current rows. The silver-layer history pattern on top of merge.
+    """
+    fmt = fmt or ("delta" if HAS_DELTA else "parquet")
+    target = spark.read.format(fmt).load(target_path)
+
+    changed_keys = updates.select(key).distinct()
+    closing = (
+        target.join(changed_keys, on=key, how="left_semi")
+        .filter(F.col("_valid_to").isNull())
+        .withColumn("_valid_to", F.current_timestamp())
+    )
+    untouched = target.join(changed_keys, on=key, how="left_anti").unionByName(
+        target.join(changed_keys, on=key, how="left_semi").filter(
+            F.col("_valid_to").isNotNull()
+        )
+    )
+    fresh = (
+        updates.withColumn("_valid_from", F.col(ts_col))
+        .withColumn("_valid_to", F.lit(None).cast("timestamp"))
+        .drop(ts_col)
+    )
+    merged = untouched.unionByName(closing).unionByName(fresh)
+
+    staging = f"{target_path}__staging_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").format(fmt).save(staging)
+    backup = f"{target_path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(target_path, backup)
+    os.rename(staging, target_path)
+    shutil.rmtree(backup)
+    return spark.read.format(fmt).load(target_path)
