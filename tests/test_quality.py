@@ -38,6 +38,35 @@ def test_schema_enforced_read(spark):
     assert df.count() == 13
 
 
+def test_schema_enforced_csv_read(spark, tmp_path):
+    """R17 CSV variant: schema-on-read coerces types and nulls missing
+    fields for CSV just as for JSON (nested structs are JSON-only, so a
+    flat projection is used)."""
+    csv_path = str(tmp_path / "flat.csv")
+    with open(csv_path, "w") as fh:
+        fh.write("1,2019-03-01,12,SR\n")          # clean row
+        fh.write(",2018-07-15,50,STAFF\n")         # missing id -> NULL
+        fh.write("3,2020-01-01,notanum,JR\n")      # bad int -> NULL (permissive)
+    from pyspark.sql.types import (
+        DateType, IntegerType, StringType, StructField, StructType,
+    )
+
+    flat_schema = StructType(
+        [
+            StructField("id", IntegerType(), False),
+            StructField("started_on", DateType(), True),
+            StructField("kudos", IntegerType(), True),
+            StructField("grade", StringType(), True),
+        ]
+    )
+    df = read_entity(spark, csv_path, flat_schema, fmt="csv")
+    rows = {r["grade"]: r for r in df.collect()}
+    assert df.count() == 3
+    assert rows["STAFF"]["id"] is None
+    assert rows["JR"]["kudos"] is None
+    assert str(rows["SR"]["started_on"]) == "2019-03-01"
+
+
 def test_violation_report(spark):
     compiled, df = _load(spark)
     report = Expectations.for_entity(compiled).report(df)

@@ -317,56 +317,56 @@ ORDER BY query_id, rank
 
 def embedding_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed (IVF-style) nearest neighbour: each vector's top-1 cosine
-    neighbour **within its label bucket**.
+    neighbour **within its label bucket**, computed per-bucket with
+    numpy/BLAS via ``applyInPandas``.
 
-    Scale: this is the ANN scale path — the full cross join never happens;
-    candidates are generated by an equi-join on the bucket id (here the
-    label column; in production a k-means/IVF cell id or LSH hyperplane
-    sign computed the same row-local way). Cost drops from O(n^2) to
-    O(sum bucket^2), and each bucket's pairs co-locate in one shuffle
-    partition.
+    Scale: this is the ANN scale path — the full cross join never happens.
+    One shuffle groups vectors by bucket id (here the label column; in
+    production a k-means/IVF cell id or LSH hyperplane sign computed the
+    same row-local way); inside each bucket a single BLAS matmul scores
+    all pairs at memory bandwidth. This is the one family where the Arrow
+    +numpy path beats Catalyst: per-pair interpreted folds cost ~64
+    boxed ops each, a bucket matmul amortizes to ~1 FLOP. Buckets must
+    fit in a worker (bound bucket size upstream; oversized cells get
+    re-split in a production IVF).
+
+    Determinism vs the DuckDB oracle: float64 dot products differ from
+    the fold order only below ~1e-12; rounding to 4 decimals + vec_id
+    tie-breaks absorb it.
     """
-    dim = _embedding_dim(spark, sf_dir)
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    emb = emb.withColumn("nrm", F.sqrt(_dot_expr("v", "v", dim)))
-    dot = _dot_expr("av", "bv", dim)
-    pairs = (
-        emb.select(
-            F.col("vec_id").alias("a_id"),
-            F.col("label").alias("label"),
-            F.col("v").alias("av"),
-            F.col("nrm").alias("an"),
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+
+    out_schema = "vec_id long, label int, nn_vec_id long, cos_sim double"
+
+    def bucket_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:  # singleton bucket has no neighbour (oracle parity)
+            return pd.DataFrame(
+                {"vec_id": [], "label": [], "nn_vec_id": [], "cos_sim": []}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        np.fill_diagonal(sims, -np.inf)
+        sims = np.round(sims, 4)
+        # argmax with vec_id tie-break: order candidates by (-sim, id)
+        order = np.lexsort((ids[np.newaxis, :].repeat(len(ids), 0), -sims), axis=1)
+        best = order[:, 0]
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "label": pdf["label"].to_numpy(),
+                "nn_vec_id": ids[best],
+                "cos_sim": sims[np.arange(len(ids)), best],
+            }
         )
-        .join(
-            emb.select(
-                F.col("vec_id").alias("b_id"),
-                F.col("label").alias("b_label"),
-                F.col("v").alias("bv"),
-                F.col("nrm").alias("bn"),
-            ),
-            (F.col("label") == F.col("b_label")) & (F.col("a_id") != F.col("b_id")),
-        )
-        .select(
-            "a_id",
-            "label",
-            "b_id",
-            F.round(dot / (F.col("an") * F.col("bn")), 4).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("a_id").orderBy(F.col("cos_sim").desc(), F.col("b_id"))
+
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("a_id").alias("vec_id"),
-            "label",
-            F.col("b_id").alias("nn_vec_id"),
-            "cos_sim",
-        )
+        emb.groupBy("label")
+        .applyInPandas(bucket_knn, schema=out_schema)
         .orderBy("vec_id")
     )
 
