@@ -1,0 +1,52 @@
+"""Plan lint over the whole catalog: the physical plans must have the
+shape we'd accept on a 1000-executor cluster — no cartesian products, no
+accidental nested-loop joins, no row-at-a-time Python, and scans that
+prune columns."""
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from waterbear_spark.queries.catalog import QUERIES
+
+# queries whose semantics legitimately need a broadcast nested loop
+# (theta-only join conditions); everything else must hash/sort-merge join
+NESTED_LOOP_OK = {
+    "embedding_topk",  # deliberate broadcast cross join against 5 query rows
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    return {
+        name: fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        for name, fn in QUERIES.items()
+    }
+
+
+def test_no_cartesian_products(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert offenders == []
+
+
+def test_no_accidental_nested_loop_joins(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in NESTED_LOOP_OK
+    ]
+    assert offenders == []
+
+
+def test_no_rowwise_python(plans):
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert offenders == []
+
+
+def test_scans_prune_columns(plans):
+    # lineitem has 11 columns; no query needs more than 8 of them
+    for name, plan in plans.items():
+        for line in plan.splitlines():
+            if "FileScan parquet" in line and "lineitem" in line and "ReadSchema" in line:
+                schema_part = line.split("ReadSchema:")[1]
+                n_cols = schema_part.count(":")
+                assert n_cols <= 8, f"{name} reads {n_cols} lineitem columns"

@@ -6,13 +6,20 @@ this for the driver harness.
 from __future__ import annotations
 
 from waterbear_spark.functions import udfs
-from waterbear_spark.queries import llm, relational, relational_ext, textops
+from waterbear_spark.queries import (
+    llm,
+    quality_queries,
+    relational,
+    relational_ext,
+    textops,
+)
 
 QUERIES = {
     **relational.QUERIES,
     **relational_ext.QUERIES,
     **llm.QUERIES,
     **textops.QUERIES,
+    **quality_queries.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -23,6 +30,7 @@ ORACLE_SQL = {
     **relational_ext.ORACLES,
     **llm.ORACLES,
     **textops.ORACLES,
+    **quality_queries.ORACLES,
     **udfs.ORACLES,
 }
 
