@@ -96,6 +96,48 @@ def test_session_stream_matches_batch(spark, event_stream_dir):
     assert problems == []
 
 
+def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """Auto-Loader-style incremental ingest: a restarted stream with the
+    same checkpoint processes only files that arrived since the last run
+    — no reprocessing, no loss."""
+    events = table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = events.filter(F.col("event_id") < 300)
+    first.coalesce(3).write.mode("overwrite").option("timestampFormat", TS_FMT).json(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("timestampFormat", TS_FMT)
+            .json(src)
+        )
+        query = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 300
+
+    # a new file lands; the resumed stream must pick up ONLY that file
+    more = events.filter(F.col("event_id") >= 880)
+    n_more = more.count()
+    more.coalesce(1).write.mode("append").option("timestampFormat", TS_FMT).json(src)
+    run_once()
+
+    result = spark.read.parquet(out)
+    assert result.count() == 300 + n_more  # nothing reprocessed
+    assert result.select("event_id").distinct().count() == 300 + n_more
+
+
 def test_stream_dedup_drops_planted_duplicates(spark, tmp_path):
     events = table(spark, SF_SMOKE, "events").limit(200)
     doubled_dir = str(tmp_path / "doubled")

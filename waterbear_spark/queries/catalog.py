@@ -12,11 +12,13 @@ from waterbear_spark.queries import (
     relational,
     relational_ext,
     textops,
+    tpch_more,
 )
 
 QUERIES = {
     **relational.QUERIES,
     **relational_ext.QUERIES,
+    **tpch_more.QUERIES,
     **llm.QUERIES,
     **textops.QUERIES,
     **quality_queries.QUERIES,
@@ -28,6 +30,7 @@ QUERIES = {
 ORACLE_SQL = {
     **relational.ORACLES,
     **relational_ext.ORACLES,
+    **tpch_more.ORACLES,
     **llm.ORACLES,
     **textops.ORACLES,
     **quality_queries.ORACLES,
