@@ -49,6 +49,27 @@ def test_asof_join_basic_and_ties(spark):
     assert got["no-quotes"] == (None, None)   # key with no right rows
 
 
+def test_asof_join_tolerance(spark):
+    trades = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:10"), "recent"),
+         (1, _ts("2024-01-01T12:00:00"), "stale")],
+        "key int, t timestamp, label string",
+    )
+    quotes = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 100, 9.99)],
+        "key int, qt timestamp, quote_id int, price double",
+    )
+    out = asof_join(
+        trades, quotes, on_left="key",
+        left_time="t", right_time="qt",
+        value_cols=["quote_id", "price"], tiebreak="quote_id",
+        tolerance="1 minute",
+    )
+    got = {r["label"]: r["quote_id"] for r in out.collect()}
+    assert got["recent"] == 100      # 10s old quote: within tolerance
+    assert got["stale"] is None      # 2h old quote: too stale, nulled
+
+
 def test_asof_join_single_shuffle_no_blowup(spark):
     # the physical plan must contain exactly one shuffle on the key
     # (union-timeline), not a join-then-filter cartesian blowup

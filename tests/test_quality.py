@@ -67,6 +67,47 @@ def test_schema_enforced_csv_read(spark, tmp_path):
     assert str(rows["SR"]["started_on"]) == "2019-03-01"
 
 
+def test_corrupt_record_modes(spark, tmp_path):
+    """Schema-on-read strictness surface (R17 options): PERMISSIVE with
+    corrupt-record capture, DROPMALFORMED, FAILFAST."""
+    import pytest
+    from pyspark.sql.types import StringType
+
+    path = str(tmp_path / "mixed.jsonl")
+    with open(path, "w") as fh:
+        fh.write('{"id": 1, "grade": "SR"}\n')
+        fh.write("this is not json at all\n")
+        fh.write('{"id": 3, "grade": "JR"}\n')
+
+    from pyspark.sql.types import StructField, StructType
+
+    compiled = SchemaCompiler(MODEL_DIR).compile("staff")
+    # copy — StructType.add mutates in place (see udfs.zscore_by_group)
+    capture_schema = StructType(
+        list(compiled.schema.fields) + [StructField("_corrupt", StringType())]
+    )
+
+    captured = read_entity(
+        spark, path, capture_schema, fmt="json",
+        mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt",
+    ).cache()
+    assert captured.count() == 3
+    bad = captured.filter(captured["_corrupt"].isNotNull())
+    assert bad.count() == 1
+    assert "not json" in bad.first()["_corrupt"]
+
+    dropped = read_entity(
+        spark, path, compiled.schema, fmt="json", mode="DROPMALFORMED"
+    )
+    assert dropped.count() == 2
+
+    with pytest.raises(Exception) as err:
+        read_entity(
+            spark, path, compiled.schema, fmt="json", mode="FAILFAST"
+        ).count()
+    assert "MALFORMED_RECORD" in str(err.value) or "FAILFAST" in str(err.value)
+
+
 def test_violation_report(spark):
     compiled, df = _load(spark)
     report = Expectations.for_entity(compiled).report(df)

@@ -39,6 +39,7 @@ def asof_join(
     right_time: str,
     value_cols: list[str],
     tiebreak: str | None = None,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right_time <= left_time`` for the same join key.
@@ -52,10 +53,17 @@ def asof_join(
         (returned as-is; NULL when no prior right row exists).
     :param tiebreak: right-side column breaking equal-time ties
         (greatest wins); defaults to the first value column.
+    :param tolerance: optional max lookback as an INTERVAL string (e.g.
+        ``"7 days"``): a match older than ``left_time - tolerance`` is
+        discarded (NULLed), mirroring pandas ``merge_asof(tolerance=...)``.
     """
     on_right = on_right or on_left
     tiebreak = tiebreak or value_cols[0]
 
+    # the carried state includes the right event time (__rt) so an
+    # optional tolerance can invalidate matches that are too old
+    state_fields = [f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols]
+    state_fields.append(f"__rt:{right.schema[right_time].dataType.simpleString()}")
     probe = left.select(
         F.col(on_left).alias("__key"),
         F.col(left_time).alias("__t"),
@@ -63,13 +71,7 @@ def asof_join(
         F.lit(None).cast(right.schema[tiebreak].dataType).alias("__tie"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
         F.lit(None)
-        .cast(
-            "struct<"
-            + ",".join(
-                f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
-            )
-            + ">"
-        )
+        .cast("struct<" + ",".join(state_fields) + ">")
         .alias("__state"),
     )
     state = right.select(
@@ -78,7 +80,10 @@ def asof_join(
         F.lit(0).alias("__origin"),
         F.col(tiebreak).alias("__tie"),
         F.lit(None).cast(probe.schema["__left"].dataType).alias("__left"),
-        F.struct(*[F.col(c) for c in value_cols]).alias("__state"),
+        F.struct(
+            *[F.col(c) for c in value_cols],
+            F.col(right_time).alias("__rt"),
+        ).alias("__state"),
     )
 
     timeline = state.unionByName(probe)
@@ -91,8 +96,16 @@ def asof_join(
         "__asof", F.last("__state", ignorenulls=True).over(carry)
     )
 
+    if tolerance:
+        fresh = F.col("__asof.__rt") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        carried = [
+            F.when(fresh, F.col(f"__asof.{c}")).alias(c) for c in value_cols
+        ]
+    else:
+        carried = [F.col(f"__asof.{c}").alias(c) for c in value_cols]
+
     result = matched.filter(F.col("__origin") == 1).select(
         *[F.col(f"__left.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__asof.{c}").alias(c) for c in value_cols],
+        *carried,
     )
     return result

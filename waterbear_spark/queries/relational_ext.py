@@ -190,7 +190,124 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per market segment x order status. Spark's
+    pivot with an explicit value list stays a single hash aggregate (no
+    second pass to discover values)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(F.lit(1)))
+        .orderBy("c_mktsegment")
+    )
+
+
+PIVOT_SQL = """
+SELECT c_mktsegment,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide part metrics to long (metric, value) rows."""
+    part = table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_retailprice").alias("retailprice"),
+            F.col("p_size").cast("double").alias("size"),
+        )
+        .unpivot(
+            ids=["p_partkey"],
+            values=["retailprice", "size"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .orderBy("p_partkey", "metric")
+    )
+
+
+UNPIVOT_SQL = """
+SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+UNION ALL
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+ORDER BY p_partkey, metric
+"""
+
+
+def percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``; rounded to absorb interpolation fp)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+PERCENTILES_SQL = """
+SELECT o_orderstatus,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS p50_price,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4) AS p90_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def regex_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction + conditional scalar family (coalesce / nullif /
+    greatest / least / CASE)."""
+    cust = table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.regexp_extract(F.col("c_name"), "#([0-9]+)", 1)
+        .cast("long")
+        .alias("name_number"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("(bldg)"))
+        .alias("segment_or_tag"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("nonneg_bal"),
+        F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("capped_bal"),
+        F.when(F.col("c_acctbal") < 0, "delinquent")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .otherwise("normal")
+        .alias("balance_class"),
+    ).orderBy("c_custkey")
+
+
+REGEX_CONDITIONAL_SQL = """
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, '#([0-9]+)', 1) AS BIGINT) AS name_number,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(bldg)') AS segment_or_tag,
+       GREATEST(c_acctbal, 0.0) AS nonneg_bal,
+       LEAST(c_acctbal, 5000.0) AS capped_bal,
+       CASE WHEN c_acctbal < 0 THEN 'delinquent'
+            WHEN c_acctbal < 1000 THEN 'low'
+            ELSE 'normal' END AS balance_class
+FROM customer
+ORDER BY c_custkey
+"""
+
+
 QUERIES = {
+    "pivot_segment_status": pivot_segment_status,
+    "unpivot_part_metrics": unpivot_part_metrics,
+    "percentiles_by_status": percentiles_by_status,
+    "regex_conditional": regex_conditional,
     "join_full_outer": join_full_outer,
     "grouping_sets_orders": grouping_sets_orders,
     "window_analytics": window_analytics,
@@ -201,6 +318,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pivot_segment_status": PIVOT_SQL,
+    "unpivot_part_metrics": UNPIVOT_SQL,
+    "percentiles_by_status": PERCENTILES_SQL,
+    "regex_conditional": REGEX_CONDITIONAL_SQL,
     "join_full_outer": JOIN_FULL_OUTER_SQL,
     "grouping_sets_orders": GROUPING_SETS_SQL,
     "window_analytics": WINDOW_ANALYTICS_SQL,
