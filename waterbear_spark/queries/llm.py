@@ -394,6 +394,238 @@ ORDER BY vec_id
 """
 
 
+N_PLANES = 8  # 2^8 = 256 LSH buckets
+
+
+# deterministic pseudo-random hyperplane component in [-1, 1):
+# md5(plane|dim) -> 60-bit int -> scaled; the Spark side precomputes the
+# same values driver-side (see ann_hyperplane_buckets.plane)
+_PLANE_COMPONENT_DUCK = (
+    "(CAST(CAST(('0x' || substr(md5(CONCAT({j}, '|', {i})), 1, 15)) AS UBIGINT)"
+    " AS DOUBLE) / 576460752303423488.0 - 1.0)"
+)
+
+
+def ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (sign) LSH over embeddings: 8 deterministic
+    md5-derived hyperplanes -> 8 sign bits -> 256 buckets; report bucket
+    occupancy and each bucket's top-2 closest pair.
+
+    This is the embedding scale path beyond label blocking: bucket
+    assignment is **row-local** (8 dot products per vector, no shuffle),
+    the O(n^2) pair space shrinks to within-bucket pairs, and bucket keys
+    shuffle as single integers. In production the same sketch feeds
+    multi-probe search (flip lowest-margin bits) — the operator shape is
+    identical.
+    """
+    import hashlib
+
+    dim = _embedding_dim(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    # plane j component for dim i (1-based): deterministic md5 expansion.
+    # Precomputed driver-side as literals — int->double rounding and the
+    # /2^59 exponent shift are IEEE-exact, so these equal the oracle's
+    # SQL-side md5 expansion bit for bit, while the executors do zero
+    # hashing per row.
+    def plane(j: int) -> list[float]:
+        return [
+            int(hashlib.md5(f"{j}|{i}".encode()).hexdigest()[:15], 16)
+            / 576460752303423488.0
+            - 1.0
+            for i in range(1, dim + 1)
+        ]
+
+    planes = [
+        F.aggregate(
+            F.zip_with(
+                "v",
+                F.array(*[F.lit(c) for c in plane(j)]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for j in range(N_PLANES)
+    ]
+    bucket = sum(
+        [
+            F.when(planes[j] > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(N_PLANES)
+        ],
+        F.lit(0),
+    )
+    bucketed = emb.select("vec_id", "v", bucket.cast("int").alias("bucket"))
+
+    nrm = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    bucketed = bucketed.withColumn("nrm", nrm)
+    a = bucketed.select(
+        F.col("bucket"), F.col("vec_id").alias("a_id"), F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    b = bucketed.select(
+        F.col("bucket").alias("b_bucket"), F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"), F.col("nrm").alias("bn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("av", "bv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pairs = (
+        a.join(b, (F.col("bucket") == F.col("b_bucket")) & (F.col("a_id") < F.col("b_id")))
+        .select(
+            "bucket",
+            "a_id",
+            "b_id",
+            F.round(dot / (F.col("an") * F.col("bn")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("cos_sim").desc(), F.col("a_id"), F.col("b_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 2)
+        .select("bucket", "a_id", "b_id", "cos_sim", F.col("rn").alias("rank"))
+        .orderBy("bucket", "rank")
+    )
+
+
+ANN_HYPERPLANE_SQL = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+planed AS (
+    SELECT vec_id, v,
+           {' + '.join(
+               f"(CASE WHEN list_dot_product(v, list_transform(generate_series(1, 64),"
+               f" i -> {_PLANE_COMPONENT_DUCK.format(i='i', j=j)})) > 0"
+               f" THEN {1 << j} ELSE 0 END)"
+               for j in range(N_PLANES)
+           )} AS bucket
+    FROM e
+),
+n AS (
+    SELECT vec_id, v, CAST(bucket AS INTEGER) AS bucket,
+           SQRT(list_dot_product(v, v)) AS nrm
+    FROM planed
+),
+pairs AS (
+    SELECT a.bucket, a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+    FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT bucket, a_id, b_id, cos_sim, CAST(rn AS INTEGER) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+                                 ORDER BY cos_sim DESC, a_id, b_id) AS rn
+    FROM pairs
+)
+WHERE rn <= 2
+ORDER BY bucket, rank
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-4-gram Jaccard near-dup: 3-MinHash AND-blocking (docs
+    agreeing on all three seeded min-gram hashes become candidates),
+    exact char-gram Jaccard verify at 0.6.
+
+    Character grams complement word shingles: robust to whitespace and
+    tokenization damage. Same row-local pattern as the word-level op:
+    gram sets stay arrays, only a blocking key shuffles. Block width is a
+    recall/cost dial: a single min-gram key degenerates on low-entropy
+    corpora (common grams put thousands of docs in one block — measured
+    3047/5000 here), while the 3-hash AND key keeps the worst block at
+    ~200 docs for ~0.73 recall on 0.9-Jaccard true pairs.
+    """
+    docs = _fan_out(
+        spark,
+        table(spark, sf_dir, "documents").filter(F.length("text") >= 4),
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - 3),
+            lambda i: F.col("text").substr(i, F.lit(4)),
+        )
+    )
+
+    def seeded_min(seed: int):
+        return F.array_min(
+            F.transform("arr", lambda g: F.md5(F.concat(F.lit(f"{seed}|"), g)))
+        )
+
+    sets = (
+        docs.select("doc_id", grams.alias("arr"))
+        .withColumn("n", F.size("arr"))
+        .withColumn("block", F.concat(seeded_min(0), seeded_min(1), seeded_min(2)))
+        .persist()
+    )
+
+    cand = (
+        sets.alias("a")
+        .join(
+            sets.alias("b"),
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.arr").alias("arr_a"),
+            F.col("b.arr").alias("arr_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+    )
+    shared = F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            shared.alias("n_shared"),
+            F.round(
+                shared.cast("double") / (F.col("na") + F.col("nb") - shared), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NGRAM_JACCARD_SQL = """
+WITH sets AS (
+    SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, length(text) - 3),
+                                        i -> substr(text, i, 4))) AS arr
+    FROM documents
+    WHERE length(text) >= 4
+),
+keyed AS (
+    SELECT doc_id, arr, len(arr) AS n,
+           list_min(list_transform(arr, g -> md5('0|' || g)))
+           || list_min(list_transform(arr, g -> md5('1|' || g)))
+           || list_min(list_transform(arr, g -> md5('2|' || g))) AS block
+    FROM sets
+),
+cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.arr, b.arr)) AS BIGINT) AS n_shared,
+           a.n AS na, b.n AS nb
+    FROM keyed a JOIN keyed b
+      ON a.block = b.block AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / (na + nb - n_shared), 4) AS jaccard
+FROM cand
+WHERE ROUND(CAST(n_shared AS DOUBLE) / (na + nb - n_shared), 4) >= 0.6
+ORDER BY doc_a, doc_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -479,6 +711,8 @@ QUERIES = {
     "dedup_near_minhash": dedup_near_minhash,
     "embedding_topk": embedding_topk,
     "embedding_knn_label": embedding_knn_label,
+    "ann_hyperplane_buckets": ann_hyperplane_buckets,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "text_stats": text_stats,
     "doc_quality": doc_quality,
 }
@@ -488,6 +722,8 @@ ORACLES = {
     "dedup_near_minhash": DEDUP_NEAR_SQL,
     "embedding_topk": EMBEDDING_TOPK_SQL,
     "embedding_knn_label": EMBEDDING_KNN_LABEL_SQL,
+    "ann_hyperplane_buckets": ANN_HYPERPLANE_SQL,
+    "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "text_stats": TEXT_STATS_SQL,
     "doc_quality": DOC_QUALITY_SQL,
 }
