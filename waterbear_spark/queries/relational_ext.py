@@ -174,6 +174,57 @@ ORDER BY l_orderkey
 """
 
 
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map scalar family: map_from_arrays construction, element_at lookup,
+    map_keys / cardinality — surfaced as plain columns (map cell reprs
+    differ across engines; lookups don't)."""
+    orders = table(spark, sf_dir, "orders")
+    counts = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("f_n"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("o_n"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("p_n"),
+        )
+    )
+    status_map = F.map_from_arrays(
+        F.array(F.lit("F"), F.lit("O"), F.lit("P")),
+        F.array(F.col("f_n"), F.col("o_n"), F.col("p_n")),
+    )
+    return (
+        counts.select("o_custkey", status_map.alias("m"))
+        .select(
+            "o_custkey",
+            F.element_at("m", "O").alias("open_orders"),
+            F.element_at("m", "F").alias("finished_orders"),
+            F.size("m").alias("n_statuses"),
+            F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("statuses"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+MAP_FUNCS_SQL = """
+WITH counts AS (
+    SELECT o_custkey,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_n,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_n,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_n
+    FROM orders GROUP BY o_custkey
+),
+mapped AS (
+    SELECT o_custkey, MAP(['F', 'O', 'P'], [f_n, o_n, p_n]) AS m FROM counts
+)
+SELECT o_custkey,
+       m['O'][1] AS open_orders,
+       m['F'][1] AS finished_orders,
+       CAST(CARDINALITY(m) AS INTEGER) AS n_statuses,
+       ARRAY_TO_STRING(LIST_SORT(MAP_KEYS(m)), ',') AS statuses
+FROM mapped
+ORDER BY o_custkey
+"""
+
+
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate count-distinct (rows-only check: sketch
     estimates are engine-specific by nature; the driver records row count
@@ -308,6 +359,7 @@ QUERIES = {
     "unpivot_part_metrics": unpivot_part_metrics,
     "percentiles_by_status": percentiles_by_status,
     "regex_conditional": regex_conditional,
+    "map_functions": map_functions,
     "join_full_outer": join_full_outer,
     "grouping_sets_orders": grouping_sets_orders,
     "window_analytics": window_analytics,
@@ -322,6 +374,7 @@ ORACLES = {
     "unpivot_part_metrics": UNPIVOT_SQL,
     "percentiles_by_status": PERCENTILES_SQL,
     "regex_conditional": REGEX_CONDITIONAL_SQL,
+    "map_functions": MAP_FUNCS_SQL,
     "join_full_outer": JOIN_FULL_OUTER_SQL,
     "grouping_sets_orders": GROUPING_SETS_SQL,
     "window_analytics": WINDOW_ANALYTICS_SQL,

@@ -24,12 +24,6 @@ SIMHASH_BANDS = 4  # 15 bits per band
 SIMHASH_BAND_BITS = 15
 SIMHASH_MAX_HAMMING = 3
 
-_SPARK_DIALECT = {
-    "HEX2INT": "CAST(CONV(SUBSTR(md5({x}), 1, 15), 16, 10) AS BIGINT)",
-    "SHL1": "SHIFTLEFT(CAST(1 AS BIGINT), {b})",
-    "XOR": "({a} ^ {b})",
-    "TOKENS": "filter(split(lower(text), '\\\\s+'), t -> t != '')",
-}
 _DUCK_DIALECT = {
     "HEX2INT": "CAST(('0x' || substr(md5({x}), 1, 15)) AS UBIGINT)::BIGINT",
     "SHL1": "(CAST(1 AS BIGINT) << {b})",
