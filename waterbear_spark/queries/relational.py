@@ -685,6 +685,81 @@ ORDER BY hour_start, event_type
 """
 
 
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h windows over events (each event lands in exactly two
+    windows). Oracle: per-event unnest of its two hour-grid window starts."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+EVENTS_SLIDING_SQL = f"""
+SELECT ws AS window_start, event_type,
+       COUNT(*) AS n_events,
+       {oracle_dsum('value', 'sum_value')}
+FROM (
+    SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
+                   time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour']) AS ws,
+           event_type, value
+    FROM events
+)
+GROUP BY ws, event_type
+ORDER BY window_start, event_type
+"""
+
+
+def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via the bucketized range-join operator (see
+    operators/rangejoin.py): events against 2-hour interval rows, no
+    nested loop — the bucket equi-join shuffles integer keys only."""
+    from waterbear_spark.operators.rangejoin import range_join
+
+    events = table(spark, sf_dir, "events").select("ts", "value")
+    hours = events.select(F.date_trunc("hour", "ts").alias("h")).distinct()
+    starts = hours.unionByName(
+        hours.select((F.col("h") - F.expr("INTERVAL 1 HOUR")).alias("h"))
+    ).distinct()
+    ranges = starts.select(
+        F.col("h").alias("window_start"),
+        (F.col("h") + F.expr("INTERVAL 2 HOURS")).alias("window_end"),
+    )
+    joined = range_join(events, ranges, "ts", "window_start", "window_end", 3600)
+    return (
+        joined.groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "sum_value"),
+        )
+        .orderBy("window_start")
+    )
+
+
+RANGE_JOIN_SQL = f"""
+SELECT ws AS window_start, COUNT(*) AS n_events,
+       {oracle_dsum('value', 'sum_value')}
+FROM (
+    SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
+                   time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour']) AS ws,
+           value
+    FROM events
+)
+GROUP BY ws
+ORDER BY window_start
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -708,6 +783,8 @@ QUERIES = {
     "date_functions": date_functions,
     "json_functions": json_functions,
     "events_hourly": events_hourly,
+    "events_sliding": events_sliding,
+    "range_join_windows": range_join_windows,
 }
 
 ORACLES = {
@@ -733,4 +810,6 @@ ORACLES = {
     "date_functions": DATE_FUNCS_SQL,
     "json_functions": JSON_FUNCS_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
+    "events_sliding": EVENTS_SLIDING_SQL,
+    "range_join_windows": RANGE_JOIN_SQL,
 }
