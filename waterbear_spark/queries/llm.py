@@ -638,6 +638,68 @@ ORDER BY doc_a, doc_b
 """
 
 
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping fixed-size token chunks (the
+    context-window preparation step of a training/RAG pipeline).
+
+    Row-local: the token array is sliced per chunk index and exploded to
+    one row per chunk; chunk boundaries are pure arithmetic so the whole
+    transform stays in one narrow stage — at 100 TB this is a map-only
+    job with output ~ (1 + overlap/stride) x input.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    n = F.size("toks")
+    n_chunks = F.when(n <= CHUNK_TOKENS, F.lit(1)).otherwise(
+        F.ceil((n - CHUNK_TOKENS) / F.lit(float(CHUNK_STRIDE))).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.slice("toks", i * CHUNK_STRIDE + 1, CHUNK_TOKENS).alias("ctoks"),
+        ),
+    )
+    return (
+        docs.filter(n > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size("c.ctoks").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.col("c.ctoks")).alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+DOC_CHUNKING_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+),
+sized AS (
+    SELECT doc_id, toks, len(toks) AS n,
+           CASE WHEN len(toks) <= {CHUNK_TOKENS} THEN 1
+                ELSE CAST(CEIL((len(toks) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) AS INTEGER) + 1
+           END AS n_chunks
+    FROM tok WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_id,
+       CAST(len(toks[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS INTEGER)
+           AS n_chunk_tokens,
+       array_to_string(toks[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')
+           AS chunk_text
+FROM sized, UNNEST(generate_series(0, n_chunks - 1)) AS t(i)
+ORDER BY doc_id, chunk_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -725,6 +787,7 @@ QUERIES = {
     "embedding_knn_label": embedding_knn_label,
     "ann_hyperplane_buckets": ann_hyperplane_buckets,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "doc_chunking": doc_chunking,
     "text_stats": text_stats,
     "doc_quality": doc_quality,
 }
@@ -736,6 +799,7 @@ ORACLES = {
     "embedding_knn_label": EMBEDDING_KNN_LABEL_SQL,
     "ann_hyperplane_buckets": ANN_HYPERPLANE_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+    "doc_chunking": DOC_CHUNKING_SQL,
     "text_stats": TEXT_STATS_SQL,
     "doc_quality": DOC_QUALITY_SQL,
 }
