@@ -399,11 +399,28 @@ N_PLANES = 8  # 2^8 = 256 LSH buckets
 
 # deterministic pseudo-random hyperplane component in [-1, 1):
 # md5(plane|dim) -> 60-bit int -> scaled; the Spark side precomputes the
-# same values driver-side (see ann_hyperplane_buckets.plane)
+# same values driver-side (see _plane_components)
 _PLANE_COMPONENT_DUCK = (
     "(CAST(CAST(('0x' || substr(md5(CONCAT({j}, '|', {i})), 1, 15)) AS UBIGINT)"
     " AS DOUBLE) / 576460752303423488.0 - 1.0)"
 )
+
+
+def _plane_components(j: int, dim: int) -> list[float]:
+    """Plane ``j``'s component for dims 1..dim: deterministic md5 expansion.
+    Precomputed driver-side as literals — int->double rounding and the
+    /2^59 exponent shift are IEEE-exact, so these equal the oracle's
+    SQL-side md5 expansion bit for bit, while the executors do zero
+    hashing per row.
+    """
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{j}|{i}".encode()).hexdigest()[:15], 16)
+        / 576460752303423488.0
+        - 1.0
+        for i in range(1, dim + 1)
+    ]
 
 
 def ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -418,25 +435,12 @@ def ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-probe search (flip lowest-margin bits) — the operator shape is
     identical.
     """
-    import hashlib
-
     dim = _embedding_dim(spark, sf_dir)
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    # plane j component for dim i (1-based): deterministic md5 expansion.
-    # Precomputed driver-side as literals — int->double rounding and the
-    # /2^59 exponent shift are IEEE-exact, so these equal the oracle's
-    # SQL-side md5 expansion bit for bit, while the executors do zero
-    # hashing per row.
-    def plane(j: int) -> list[float]:
-        return [
-            int(hashlib.md5(f"{j}|{i}".encode()).hexdigest()[:15], 16)
-            / 576460752303423488.0
-            - 1.0
-            for i in range(1, dim + 1)
-        ]
+    plane = lambda j: _plane_components(j, dim)  # noqa: E731
 
     planes = [
         F.aggregate(
@@ -526,6 +530,191 @@ FROM (
 )
 WHERE rn <= 2
 ORDER BY bucket, rank
+"""
+
+
+def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test assignment by key hash
+    (80/10/10): bucket = md5('split|' || doc_id) mod 100 — stable under
+    re-runs, re-partitioning, and data growth (a doc's split never changes
+    when new docs arrive), which is the property a training pipeline needs.
+
+    Scale: the hash is row-local; the only shuffle is the 3-group
+    aggregation. On 100 TB the same expression is used as a partition
+    filter (``WHERE bucket < 80``) so each split materialises with one
+    scan and zero data movement beyond the write.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg(F.col("n_chars"), "avg_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("split")
+    )
+
+
+DETERMINISTIC_SPLIT_SQL = f"""
+WITH b AS (
+    SELECT doc_id, n_chars,
+           CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                AS UBIGINT)::BIGINT % 100 AS bucket
+    FROM documents
+),
+s AS (
+    SELECT *, CASE WHEN bucket < 80 THEN 'train'
+                   WHEN bucket < 90 THEN 'validation'
+                   ELSE 'test' END AS split
+    FROM b
+)
+SELECT split, COUNT(*) AS n_docs, {oracle_davg('n_chars', 'avg_chars')},
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM s
+GROUP BY split
+ORDER BY split
+"""
+
+
+NEAR_COS_TAU = 0.4  # synthetic embeddings are near-orthogonal; max pair ~0.51
+_N_BANDS = 2  # 2 bands x 4 planes: OR-banding candidate generation
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded sign-LSH blocking
+    + exact cosine verification (threshold ``NEAR_COS_TAU``).
+
+    The missing dedup mode next to exact/MinHash/SimHash/n-gram: duplicates
+    defined in *embedding* space. Shape: 8 row-local hyperplane sign bits
+    (md5-derived planes shared bit-for-bit with the oracle) -> 2 OR-bands of
+    4 bits -> equi-join per band on the 4-bit key -> exact cosine >= tau ->
+    DISTINCT collapses pairs caught by both bands.
+
+    Scale: candidate generation never materialises the O(n^2) pair space —
+    each band join only pairs vectors agreeing on 4 sign bits (~6% of pairs
+    at random). Cosine is verified inside the band join (vectors already
+    co-located), so no join-back to fetch vectors; the duplicate-band hit is
+    collapsed by a DISTINCT on the (a_id, b_id) key, a shuffle of bare ids.
+    At 100 TB you'd raise planes/bands to keep bucket sizes bounded and
+    AQE-skew-split hot buckets; the operator shape is unchanged.
+    """
+    dim = _embedding_dim(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    planes = [
+        F.aggregate(
+            F.zip_with(
+                "v",
+                F.array(*[F.lit(c) for c in _plane_components(j, dim)]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for j in range(N_PLANES)
+    ]
+    per_band = N_PLANES // _N_BANDS
+
+    def band_key(b: int) -> Column:
+        return sum(
+            [
+                F.when(planes[b * per_band + k] > 0, F.lit(1 << k)).otherwise(F.lit(0))
+                for k in range(per_band)
+            ],
+            F.lit(0),
+        ).cast("int")
+
+    nrm = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    keyed = emb.select(
+        "vec_id",
+        "v",
+        nrm.alias("nrm"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "v", "nrm", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = keyed.select(
+        "band", "key", F.col("vec_id").alias("a_id"), F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    b = keyed.select(
+        F.col("band").alias("b_band"), F.col("key").alias("b_key"),
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), F.col("nrm").alias("bn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("av", "bv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band") == F.col("b_band"))
+            & (F.col("key") == F.col("b_key"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select(
+            "a_id", "b_id", F.round(dot / (F.col("an") * F.col("bn")), 4).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= NEAR_COS_TAU)
+        .distinct()
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _duck_band_key(b: int, per_band: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, list_transform(generate_series(1, 64),"
+        f" i -> {_PLANE_COMPONENT_DUCK.format(i='i', j=b * per_band + k)})) > 0"
+        f" THEN {1 << k} ELSE 0 END)"
+        for k in range(per_band)
+    )
+    return f"CAST({bits} AS INTEGER)"
+
+
+DEDUP_EMBEDDING_COS_SQL = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+keyed AS (
+    SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm,
+           0 AS band, {_duck_band_key(0, N_PLANES // _N_BANDS)} AS key
+    FROM e
+    UNION ALL
+    SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm,
+           1 AS band, {_duck_band_key(1, N_PLANES // _N_BANDS)} AS key
+    FROM e
+)
+SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+FROM keyed a JOIN keyed b
+  ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= {NEAR_COS_TAU}
+ORDER BY a_id, b_id
 """
 
 
@@ -786,6 +975,8 @@ QUERIES = {
     "embedding_topk": embedding_topk,
     "embedding_knn_label": embedding_knn_label,
     "ann_hyperplane_buckets": ann_hyperplane_buckets,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "deterministic_split": deterministic_split,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "doc_chunking": doc_chunking,
     "text_stats": text_stats,
@@ -798,6 +989,8 @@ ORACLES = {
     "embedding_topk": EMBEDDING_TOPK_SQL,
     "embedding_knn_label": EMBEDDING_KNN_LABEL_SQL,
     "ann_hyperplane_buckets": ANN_HYPERPLANE_SQL,
+    "dedup_embedding_cosine": DEDUP_EMBEDDING_COS_SQL,
+    "deterministic_split": DETERMINISTIC_SPLIT_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "doc_chunking": DOC_CHUNKING_SQL,
     "text_stats": TEXT_STATS_SQL,

@@ -354,7 +354,119 @@ ORDER BY c_custkey
 """
 
 
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream in batch: a new
+    session starts after a >30-min silence per user; report per-session
+    start, event count, duration, and value total.
+
+    The batch twin of ``F.session_window`` (streaming sessions live in
+    ``streaming/windows.py``) and the standard clickstream/training-log
+    shape: lag -> boundary flag -> running sum = session index -> group.
+
+    Scale: exactly ONE shuffle — the window partition-by-user exchange —
+    and the subsequent groupBy reuses the same (user_id) clustering, so
+    Catalyst plans it shuffle-free on top. Second diffs are computed on
+    whole-second boundaries (``unix_timestamp`` floor) to match DuckDB's
+    ``date_diff('second', ...)`` boundary-count semantics exactly.
+    """
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn("session_idx", F.sum("is_new").over(wrun).cast("int"))
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+                "duration_sec"
+            ),
+            dsum(F.col("value"), "sum_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR DATE_DIFF('second', LAG(ts) OVER w, ts) > 1800
+                THEN 1 ELSE 0 END AS is_new,
+           event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+    SELECT *,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+               AS session_idx
+    FROM flagged
+)
+SELECT user_id, session_idx,
+       MIN(ts) AS session_start,
+       COUNT(*) AS n_events,
+       CAST(DATE_DIFF('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec,
+       {oracle_dsum('value', 'sum_value')}
+FROM sessioned
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function family over tokenized documents: size, distinct,
+    sort+slice, membership, position, and a higher-order transform+max —
+    all JVM-side Catalyst higher-order functions (no Python on any row).
+    """
+    from waterbear_spark.queries.llm import _tokens
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    return docs.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("int").alias("n_distinct"),
+        F.concat_ws(
+            "-", F.slice(F.array_sort(F.array_distinct("toks")), 1, 3)
+        ).alias("first3"),
+        F.array_contains("toks", "the").alias("has_the"),
+        F.array_position("toks", "data").cast("int").alias("pos_data"),
+        F.array_max(F.transform("toks", F.length)).cast("int").alias("longest"),
+    ).orderBy("doc_id")
+
+
+def _array_functions_sql() -> str:
+    from waterbear_spark.queries.llm import TOKENS_SQL
+
+    return f"""
+WITH tok AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+       array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 3), '-')
+           AS first3,
+       list_contains(toks, 'the') AS has_the,
+       CAST(COALESCE(list_position(toks, 'data'), 0) AS INTEGER) AS pos_data,
+       CAST(list_max(list_transform(toks, t -> length(t))) AS INTEGER) AS longest
+FROM tok
+WHERE len(toks) > 0
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "sessionize_events": sessionize_events,
+    "array_functions": array_functions,
     "pivot_segment_status": pivot_segment_status,
     "unpivot_part_metrics": unpivot_part_metrics,
     "percentiles_by_status": percentiles_by_status,
@@ -370,6 +482,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sessionize_events": SESSIONIZE_SQL,
+    "array_functions": _array_functions_sql(),
     "pivot_segment_status": PIVOT_SQL,
     "unpivot_part_metrics": UNPIVOT_SQL,
     "percentiles_by_status": PERCENTILES_SQL,
