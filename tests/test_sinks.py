@@ -108,3 +108,94 @@ def test_scd2(spark, tmp_path):
     current = [r for r in versions if r["attr"] == "b2"][0]
     assert closed["_valid_to"] is not None
     assert current["_valid_to"] is None
+
+
+def _file_ranges(path, cols):
+    """Per-parquet-file (min, max) footer stats for each column."""
+    import pyarrow.parquet as pq
+
+    ranges = {c: [] for c in cols}
+    for fname in os.listdir(path):
+        if not fname.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, fname)).metadata
+        lo = {c: None for c in cols}
+        hi = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            grp = md.row_group(rg)
+            for i in range(grp.num_columns):
+                col = grp.column(i)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    st = col.statistics
+                    lo[name] = st.min if lo[name] is None else min(lo[name], st.min)
+                    hi[name] = st.max if hi[name] is None else max(hi[name], st.max)
+        for c in cols:
+            if lo[c] is not None:
+                ranges[c].append((lo[c], hi[c]))
+    return ranges
+
+
+def test_zordered_write_tightens_all_dims(spark, tmp_path):
+    """Z-order clustering must shrink per-file min/max spans on BOTH
+    clustered columns (the data-skipping property), where a linear sort
+    only helps its leading column."""
+    from waterbear_spark.sources.sinks import write_zordered
+
+    li = table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey")
+    cols = ["l_orderkey", "l_partkey"]
+    glob = li.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+
+    # 16 files = 4 z-bits = 2 bits per dimension -> ~quarter-domain spans
+    zpath = str(tmp_path / "li_z")
+    write_zordered(li, zpath, cols, num_files=16)
+    assert spark.read.parquet(zpath).count() == li.count()
+
+    lpath = str(tmp_path / "li_linear")  # linear sort: first col only
+    (
+        li.repartitionByRange(16, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(lpath)
+    )
+
+    def avg_span(path, col):
+        spans = _file_ranges(path, cols)[col]
+        width = glob[f"mx_{col}"] - glob[f"mn_{col}"]
+        return sum((hi - lo) / width for lo, hi in spans) / len(spans)
+
+    # z-order: every dimension's per-file span is a fraction of the domain
+    assert avg_span(zpath, "l_orderkey") < 0.5
+    assert avg_span(zpath, "l_partkey") < 0.5
+    # the linear sort leaves the non-leading column unclustered
+    assert avg_span(lpath, "l_partkey") > 0.8
+
+
+def test_orc_roundtrip_preserves_schema(spark, tmp_path):
+    """ORC sink/scan parity: same rows, schema, and pushdown-capable
+    format (columnar alternatives matter when interoperating with Hive
+    warehouses)."""
+    path = str(tmp_path / "orders_orc")
+    orders = table(spark, SF_SMOKE, "orders")
+    write_partitioned(orders, path, ["o_orderstatus"], fmt="orc")
+    back = spark.read.orc(path)
+    assert back.count() == orders.count()
+    assert {f.name for f in back.schema.fields} == {
+        f.name for f in orders.schema.fields
+    }
+    pruned = back.filter(F.col("o_orderstatus") == "O")
+    assert "o_orderstatus=O" in pruned._jdf.queryExecution().executedPlan().toString() or pruned.count() > 0
+
+
+def test_text_source_reads_lines(spark, tmp_path):
+    """Whole-line text scan (the raw-corpus ingest path for documents)."""
+    path = str(tmp_path / "lines")
+    docs = table(spark, SF_SMOKE, "documents").select(
+        F.regexp_replace("text", "[\\r\\n]", " ").alias("value")
+    )
+    docs.write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    assert lines.count() == docs.count()
+    assert lines.columns == ["value"]

@@ -7,7 +7,12 @@ from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
 from waterbear_spark.queries.tables import table
-from waterbear_spark.streaming import session_metrics, stream_dedup, tumbling_metrics
+from waterbear_spark.streaming import (
+    session_metrics,
+    stream_dedup,
+    stream_stream_join,
+    tumbling_metrics,
+)
 from waterbear_spark.testing import compare_frames
 
 
@@ -136,6 +141,37 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
     result = spark.read.parquet(out)
     assert result.count() == 300 + n_more  # nothing reprocessed
     assert result.select("event_id").distinct().count() == 300 + n_more
+
+
+def test_stream_stream_join_matches_batch(spark, event_stream_dir):
+    """Event-time stream-stream inner join (purchase <- preceding clicks
+    attribution) must equal the identical batch join."""
+    purchases = _stream_source(spark, event_stream_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = _stream_source(spark, event_stream_dir).filter(
+        F.col("event_type") == "click"
+    )
+    stream_result = _run_stream(
+        spark,
+        stream_stream_join(purchases, clicks, within="30 minutes", watermark="31 days"),
+        "ssjoin_test",
+        mode="append",
+    )
+    batch_events = table(spark, SF_SMOKE, "events")
+    batch_result = stream_stream_join(
+        batch_events.filter(F.col("event_type") == "purchase"),
+        batch_events.filter(F.col("event_type") == "click"),
+        within="30 minutes",
+    )
+    problems = compare_frames(
+        stream_result.columns,
+        [tuple(r) for r in stream_result.collect()],
+        batch_result.columns,
+        [tuple(r) for r in batch_result.collect()],
+    )
+    assert problems == []
+    assert stream_result.count() > 0
 
 
 def test_stream_dedup_drops_planted_duplicates(spark, tmp_path):

@@ -68,6 +68,75 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def zorder_key(cols: list, mins: list, maxs: list, bits: int = 16):
+    """Morton (Z-order) key over numeric columns: scale each to ``bits``
+    bits via driver-supplied min/max, then interleave bitplanes. Pure
+    Catalyst bit arithmetic — codegen-friendly, zero Python per row.
+    """
+    n = len(cols)
+    scaled = []
+    for c, mn, mx in zip(cols, mins, maxs):
+        span = float(mx - mn) or 1.0
+        scaled.append(
+            F.least(
+                F.lit((1 << bits) - 1),
+                ((c.cast("double") - float(mn)) * ((1 << bits) - 1) / span).cast(
+                    "long"
+                ),
+            )
+        )
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            z = z + F.shiftleft(
+                F.shiftright(s, i).bitwiseAND(F.lit(1)), i * n + j
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int = 8,
+    fmt: str | None = None,
+) -> None:
+    """Multi-dimensional clustering sink (Delta ``OPTIMIZE ZORDER BY``
+    re-expressed on core Spark): rows are range-partitioned and sorted by
+    a Morton interleave of the clustering columns, so every file's
+    min/max footer range is tight on EVERY clustered column — parquet
+    row-group/file skipping then prunes scans filtered on any of them.
+
+    A plain sort gets one column tight and leaves the others spanning the
+    full domain; the bit interleave bounds all dimensions at once. At
+    100 TB this is the difference between reading one file and reading
+    the table for a point lookup on the second column.
+
+    Column min/max come from one tiny driver-side agg (two values per
+    column); the z-key itself is row-local bit arithmetic, and the only
+    exchange is the range partition that also sizes output files.
+    """
+    fmt = fmt or ("delta" if HAS_DELTA else "parquet")
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+    z = zorder_key(
+        [F.col(c) for c in cols],
+        [stats[f"mn_{c}"] for c in cols],
+        [stats[f"mx_{c}"] for c in cols],
+    )
+    (
+        df.withColumn("_zkey", z)
+        .repartitionByRange(num_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,

@@ -1,7 +1,13 @@
 from waterbear_spark.streaming.windows import (
     session_metrics,
     stream_dedup,
+    stream_stream_join,
     tumbling_metrics,
 )
 
-__all__ = ["tumbling_metrics", "session_metrics", "stream_dedup"]
+__all__ = [
+    "tumbling_metrics",
+    "session_metrics",
+    "stream_dedup",
+    "stream_stream_join",
+]

@@ -88,6 +88,57 @@ def session_metrics(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    within: str = "10 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Event-time stream-stream inner join: pair each left event with the
+    same user's right events from the preceding ``within`` interval
+    (right.ts in (left.ts - within, left.ts]).
+
+    The attribution-join shape (click <- impression). Both sides carry
+    watermarks and the join condition bounds event-time distance — the two
+    requirements that let Spark evict buffered rows once the watermark
+    passes ``left.ts - within``; without the time bound the state store
+    grows forever. State is hash-partitioned by the join key across
+    executors, same as a batch shuffle join.
+
+    Batch/stream polymorphic like every transform here; in batch the same
+    plan is an ordinary range-bounded equi-join.
+    """
+    if left.isStreaming:
+        left = left.withWatermark(ts_col, watermark)
+        right = right.withWatermark(ts_col, watermark)
+    l = left.select(
+        F.col(key_col).alias("l_user"),
+        F.col(ts_col).alias("l_ts"),
+        F.col("event_id").alias("l_event"),
+    )
+    r = right.select(
+        F.col(key_col).alias("r_user"),
+        F.col(ts_col).alias("r_ts"),
+        F.col("event_id").alias("r_event"),
+        F.col("value").alias("r_value"),
+    )
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") > F.col("l_ts") - F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("l_user").alias("user_id"),
+        "l_event",
+        "r_event",
+        "l_ts",
+        "r_ts",
+        "r_value",
+    )
+
+
 def stream_dedup(
     events: DataFrame,
     id_cols: list[str] | None = None,
