@@ -199,3 +199,20 @@ def test_text_source_reads_lines(spark, tmp_path):
     lines = spark.read.text(path)
     assert lines.count() == docs.count()
     assert lines.columns == ["value"]
+
+
+def test_compact_files(spark, tmp_path):
+    """Compaction rewrites a fragmented table into few files, preserving
+    rows, without a shuffle (coalesce is narrow)."""
+    from waterbear_spark.sources.sinks import compact_files
+
+    path = str(tmp_path / "fragmented")
+    li = table(spark, SF_SMOKE, "lineitem")
+    li.repartition(64).write.parquet(path)  # 64 tiny files
+    n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_before == 64
+
+    n_files = compact_files(spark, path, target_file_mb=128)
+    n_after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_after == n_files < 64
+    assert spark.read.parquet(path).count() == li.count()

@@ -19,7 +19,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from waterbear_spark.queries.tables import davg, dsum, oracle_davg, oracle_dsum, table
+from waterbear_spark.queries.tables import (
+    DEC,
+    davg,
+    dsum,
+    oracle_davg,
+    oracle_dsum,
+    table,
+)
 
 N_HASHES = 8
 N_BANDS = 4  # bands of 2 hashes each
@@ -492,6 +499,145 @@ FROM (
 WHERE rn = 1
 ORDER BY vec_id
 """
+
+
+_IVF_K = 8
+_IVF_ITERS = 3  # assignments; centroid updates happen ITERS-1 times
+
+
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index construction: deterministic Lloyd k-means (K=8, three
+    assignment passes, init = vectors 0..K-1) producing each vector's
+    inverted-list cell id + cell occupancy — the real "train the
+    coarse quantizer" step behind IVF ANN search (label blocking in
+    ``embedding_knn_label`` is the search half; this builds the cells).
+
+    Spark shape per iteration: one scan scoring every vector against K
+    broadcast centroid literals (distance argmin is ``c.c - 2 v.c``, all
+    row-local folds), then a posexplode + decimal-exact per-(cell, dim)
+    mean to re-estimate centroids driver-side (K x dim tiny). Iterative
+    driver loop like :func:`dedup_clusters` — at 100 TB you'd sample for
+    training and keep full-corpus work to the final assignment pass,
+    identical operator shape.
+
+    Determinism vs the DuckDB oracle (which re-runs the same three
+    passes as chained CTEs): every dot product is a sequential left fold
+    (same IEEE order as ``list_dot_product``), centroid means are exact
+    decimal sums divided once in double, ties broken by lowest cell id —
+    so assignments are bit-identical, no rounding needed. Clusters that
+    lose all members simply disappear on both sides.
+    """
+    from functools import reduce
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        .persist()
+    )
+    init = {
+        int(r["vec_id"]): list(r["v"])
+        for r in emb.filter(F.col("vec_id") < _IVF_K).collect()
+    }
+
+    def assign(centroids: dict[int, list[float]]):
+        cids = sorted(centroids)
+        scores = []
+        for cid in cids:
+            c = centroids[cid]
+            cc = reduce(lambda a, x: a + x * x, c, 0.0)
+            dot = F.aggregate(
+                F.zip_with("v", F.array(*[F.lit(x) for x in c]), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            scores.append(F.lit(cc) - 2 * dot)
+        arr = F.array(*scores)
+        idx = F.array_position(arr, F.array_min(arr)).cast("int")  # 1-based
+        cell = F.element_at(F.array(*[F.lit(c) for c in cids]), idx)
+        return emb.withColumn("cell", cell)
+
+    centroids = init
+    assigned = None
+    for it in range(_IVF_ITERS):
+        assigned = assign(centroids)
+        if it == _IVF_ITERS - 1:
+            break
+        stats = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(
+                F.sum(F.col("val").cast(DEC)).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        centroids = {}
+        for r in stats:
+            centroids.setdefault(int(r["cell"]), {})[int(r["dim"])] = float(
+                r["s"]
+            ) / int(r["n"])
+        centroids = {
+            cid: [dims[d] for d in sorted(dims)] for cid, dims in centroids.items()
+        }
+    result = (
+        assigned.select("vec_id", F.col("cell").cast("int").alias("cell"))
+        .withColumn(
+            "cell_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cell")).cast("int"),
+        )
+        .orderBy("vec_id")
+    )
+    return result
+
+
+def _ivf_sql() -> str:
+    score = "list_dot_product(c.c, c.c) - 2 * list_dot_product(e.v, c.c)"
+
+    def assign_cte(src: str, cent: str, out: str) -> str:
+        return f"""{out} AS (
+    SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cluster AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {score}, c.cluster) AS rn
+        FROM {src} e CROSS JOIN {cent} c
+    ) WHERE rn = 1
+)"""
+
+    def update_cte(src: str, out: str) -> str:
+        return f"""{out} AS (
+    SELECT cluster, list(mean ORDER BY dim) AS c FROM (
+        SELECT cell AS cluster, dim,
+               CAST(SUM(CAST(val AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS mean
+        FROM (SELECT cell, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+              FROM {src})
+        GROUP BY cell, dim
+    ) GROUP BY cluster
+)"""
+
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < {_IVF_K})",
+    ]
+    cent = "c0"
+    for it in range(_IVF_ITERS):
+        ctes.append(assign_cte("e", cent, f"a{it}"))
+        if it < _IVF_ITERS - 1:
+            ctes.append(update_cte(f"a{it}", f"c{it + 1}"))
+            cent = f"c{it + 1}"
+    final = f"a{_IVF_ITERS - 1}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+       CAST(COUNT(*) OVER (PARTITION BY cell) AS INTEGER) AS cell_size
+FROM {final}
+ORDER BY vec_id
+"""
+
+
+ANN_IVF_SQL = _ivf_sql()
 
 
 N_PLANES = 8  # 2^8 = 256 LSH buckets
@@ -1077,6 +1223,7 @@ QUERIES = {
     "embedding_topk": embedding_topk,
     "embedding_knn_label": embedding_knn_label,
     "ann_hyperplane_buckets": ann_hyperplane_buckets,
+    "ann_ivf_kmeans": ann_ivf_kmeans,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "deterministic_split": deterministic_split,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -1092,6 +1239,7 @@ ORACLES = {
     "embedding_topk": EMBEDDING_TOPK_SQL,
     "embedding_knn_label": EMBEDDING_KNN_LABEL_SQL,
     "ann_hyperplane_buckets": ANN_HYPERPLANE_SQL,
+    "ann_ivf_kmeans": ANN_IVF_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COS_SQL,
     "deterministic_split": DETERMINISTIC_SPLIT_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,

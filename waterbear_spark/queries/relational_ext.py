@@ -464,8 +464,108 @@ ORDER BY doc_id
 """
 
 
+def explode_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (lateral unnest with ordinality): each document's
+    first five tokens as (doc_id, pos, token) rows — the Generate operator,
+    Spark's row-expansion path (flatten nested data into relational form).
+
+    Scale: Generate is pipeline-local (no shuffle); the slice bounds
+    output to 5 rows/doc before expansion, so the operator never amplifies
+    the scan by the full token count.
+    """
+    from waterbear_spark.queries.llm import _tokens
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.slice(_tokens(F.col("text")), 1, 5).alias("s"))
+        .filter(F.size("s") > 0)
+    )
+    return docs.select(
+        "doc_id", F.posexplode("s").alias("pos", "token")
+    ).withColumn("pos", F.col("pos").cast("int")).orderBy("doc_id", "pos")
+
+
+def _explode_ordinality_sql() -> str:
+    from waterbear_spark.queries.llm import TOKENS_SQL
+
+    return f"""
+WITH tok AS (
+    SELECT doc_id, list_slice({TOKENS_SQL}, 1, 5) AS s FROM documents
+)
+SELECT doc_id,
+       CAST(generate_subscripts(s, 1) - 1 AS INTEGER) AS pos,
+       unnest(s) AS token
+FROM tok
+WHERE len(s) > 0
+ORDER BY doc_id, pos
+"""
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (value-based, not row-based): per market
+    segment, how many customers sit within ±500 of each customer's
+    account balance. RANGE frames bound by *values* need no self-join —
+    one sort per partition serves every row's neighbourhood count.
+    """
+    cust = table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal"))
+        .rangeBetween(-500, 500)
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.count(F.lit(1)).over(w).alias("n_within_500"),
+    ).orderBy("c_custkey")
+
+
+WINDOW_RANGE_FRAME_SQL = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+                      RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)
+           AS n_within_500
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING()/GROUPING_ID() markers — the standard way to
+    distinguish 'subtotal row' NULLs from genuine NULL group keys."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ROLLUP_GROUPING_ID_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
 QUERIES = {
     "sessionize_events": sessionize_events,
+    "explode_ordinality": explode_ordinality,
+    "window_range_frame": window_range_frame,
+    "rollup_grouping_id": rollup_grouping_id,
     "array_functions": array_functions,
     "pivot_segment_status": pivot_segment_status,
     "unpivot_part_metrics": unpivot_part_metrics,
@@ -483,6 +583,9 @@ QUERIES = {
 
 ORACLES = {
     "sessionize_events": SESSIONIZE_SQL,
+    "explode_ordinality": _explode_ordinality_sql(),
+    "window_range_frame": WINDOW_RANGE_FRAME_SQL,
+    "rollup_grouping_id": ROLLUP_GROUPING_ID_SQL,
     "array_functions": _array_functions_sql(),
     "pivot_segment_status": PIVOT_SQL,
     "unpivot_part_metrics": UNPIVOT_SQL,

@@ -137,6 +137,45 @@ def write_zordered(
     )
 
 
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction (the OPTIMIZE half of Delta maintenance):
+    rewrite a directory of many small files into ``ceil(bytes/target)``
+    right-sized files via a staged write + directory swap. Returns the
+    new file count.
+
+    Small files are the classic death-by-metadata failure at 100 TB —
+    every file costs a driver listing entry, a task, and a footer read.
+    Compaction uses ``coalesce`` (narrow, no shuffle: tasks read several
+    input files each) rather than ``repartition``, which would shuffle
+    the full dataset just to even out sizes. AQE sizing does this for
+    new writes; this operator fixes tables already fragmented by
+    streaming/CDC appends.
+    """
+    import math
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, files in os.walk(path)
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(path)
+
+    staging = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    df.coalesce(n_files).write.mode("overwrite").format(fmt).save(staging)
+    backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return n_files
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,
