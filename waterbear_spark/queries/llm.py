@@ -325,6 +325,91 @@ ORDER BY doc_id
 """
 
 
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every training document, the
+    fraction of its distinct 3-word shingles that occur anywhere in the
+    held-out benchmark set (here docs 0..9) — the screen run before
+    training to keep eval data out of the corpus (cf. GPT-3 appendix C /
+    Dodge et al. 2021 C4 analysis; 100% n-gram recall, unlike sketches).
+
+    Scale: shingle sets are row-local arrays (no explode until the join);
+    the benchmark side collapses to DISTINCT shingles and is tiny relative
+    to the corpus -> broadcast hash join against the exploded training
+    shingles, one aggregation by doc. At 100 TB the benchmark set is still
+    MBs (eval suites), so the broadcast holds; zero-hit docs are kept by a
+    left join against the per-doc shingle counts.
+    """
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 3)
+    )
+    shingled = docs.select(
+        "doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("arr")
+    )
+    bench = (
+        shingled.filter(F.col("doc_id") < 10)
+        .select(F.explode("arr").alias("s"))
+        .distinct()
+    )
+    train = shingled.filter(F.col("doc_id") >= 10).select(
+        "doc_id", "arr", F.size("arr").alias("n_shingles")
+    )
+    hits = (
+        train.select("doc_id", F.explode("arr").alias("s"))
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    ratio = F.round(
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_shingles"), 4
+    )
+    return (
+        train.select("doc_id", "n_shingles")
+        .join(hits, ["doc_id"], "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            ratio.alias("contamination"),
+            (ratio >= 0.5).alias("is_contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+),
+sh AS (
+    SELECT doc_id, list_distinct({SHINGLES_SQL}) AS arr
+    FROM tok WHERE len(toks) >= 3
+),
+bench AS (
+    SELECT DISTINCT unnest(arr) AS s FROM sh WHERE doc_id < 10
+),
+train AS (
+    SELECT doc_id, arr, CAST(len(arr) AS INTEGER) AS n_shingles
+    FROM sh WHERE doc_id >= 10
+),
+hits AS (
+    SELECT doc_id, COUNT(*) AS n_hit
+    FROM (SELECT doc_id, unnest(arr) AS s FROM train) ex
+    JOIN bench USING (s)
+    GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_shingles,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_shingles, 4)
+           AS contamination,
+       ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_shingles, 4) >= 0.5
+           AS is_contaminated
+FROM train t LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -1220,6 +1305,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_near_minhash": dedup_near_minhash,
     "dedup_clusters": dedup_clusters,
+    "decontaminate_overlap": decontaminate_overlap,
     "embedding_topk": embedding_topk,
     "embedding_knn_label": embedding_knn_label,
     "ann_hyperplane_buckets": ann_hyperplane_buckets,
@@ -1236,6 +1322,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_near_minhash": DEDUP_NEAR_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "decontaminate_overlap": DECONTAMINATE_SQL,
     "embedding_topk": EMBEDDING_TOPK_SQL,
     "embedding_knn_label": EMBEDDING_KNN_LABEL_SQL,
     "ann_hyperplane_buckets": ANN_HYPERPLANE_SQL,

@@ -91,12 +91,95 @@ def _quarantine_oracle() -> str:
     return f"SELECT * FROM ({branches}) ORDER BY c_custkey, violated"
 
 
+# (col, kind) — kind picks the min/max string normalizer so the profile
+# is hash-comparable across engines (raw double->string formatting is not)
+_PROFILE_COLS = [
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp"),
+    ("o_orderpriority", "string"),
+]
+
+
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of ``orders``: per column non-null /
+    null / distinct counts and normalized min/max — the stats sweep behind
+    data-quality monitoring and CBO statistics collection.
+
+    Scale: ONE pass over the table computes every metric (a single
+    aggregate node; the distinct counts rewrite into Spark's expand +
+    two-level aggregate); the per-column rows are then produced by
+    exploding an in-row struct array — no second scan, no union of six
+    per-column jobs.
+    """
+    orders = table(spark, sf_dir, "orders")
+
+    def norm(kind, c):
+        if kind == "double":
+            return F.round(c, 2).cast("decimal(20,2)").cast("string")
+        if kind == "timestamp":
+            return c.cast("date").cast("string")
+        return c.cast("string")
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"n_{c}"),
+            F.countDistinct(c).alias(f"d_{c}"),
+            norm(kind, F.min(c)).alias(f"mn_{c}"),
+            norm(kind, F.max(c)).alias(f"mx_{c}"),
+        ]
+    row = orders.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"n_{c}").alias("n_nonnull"),
+                (F.col("n_rows") - F.col(f"n_{c}")).alias("n_null"),
+                F.col(f"d_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_s"),
+                F.col(f"mx_{c}").alias("max_s"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    return row.select(F.explode(entries).alias("e")).select("e.*").orderBy("col_name")
+
+
+def _profile_oracle() -> str:
+    norm = {
+        "double": "CAST(CAST(ROUND({c}, 2) AS DECIMAL(20,2)) AS VARCHAR)",
+        "timestamp": "CAST(CAST({c} AS DATE) AS VARCHAR)",
+        "bigint": "CAST({c} AS VARCHAR)",
+        "string": "CAST({c} AS VARCHAR)",
+    }
+    metrics = ["COUNT(*) AS n_rows"]
+    for c, kind in _PROFILE_COLS:
+        metrics += [
+            f"COUNT({c}) AS n_{c}",
+            f"COUNT(DISTINCT {c}) AS d_{c}",
+            norm[kind].format(c=f"MIN({c})") + f" AS mn_{c}",
+            norm[kind].format(c=f"MAX({c})") + f" AS mx_{c}",
+        ]
+    branches = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, n_{c} AS n_nonnull, n_rows - n_{c} AS n_null,"
+        f" d_{c} AS n_distinct, mn_{c} AS min_s, mx_{c} AS max_s FROM s"
+        for c, _ in _PROFILE_COLS
+    )
+    cols = ",\n       ".join(metrics)
+    return f"WITH s AS (SELECT {cols} FROM orders)\n{branches}\nORDER BY col_name"
+
+
 QUERIES = {
+    "profile_table": profile_table,
     "quality_report_customer": quality_report_customer,
     "quality_quarantine_customer": quality_quarantine_customer,
 }
 
 ORACLES = {
+    "profile_table": _profile_oracle(),
     "quality_report_customer": _report_oracle(),
     "quality_quarantine_customer": _quarantine_oracle(),
 }

@@ -299,7 +299,38 @@ ORDER BY doc_id
 """
 
 
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: the 20 most frequent tokens with counts —
+    the frequency scan behind tokenizer/vocab training and stopword
+    derivation. One explode + one count aggregation; map-side partial
+    aggregation collapses the (tiny-vocab) key space before the shuffle.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        _tokens(F.col("text")).alias("toks")
+    )
+    return (
+        docs.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(20)
+    )
+
+
+VOCAB_TOP_TERMS_SQL = f"""
+WITH tok AS (
+    SELECT {TOKENS_SQL} AS toks FROM documents
+)
+SELECT term, COUNT(*) AS n
+FROM (SELECT unnest(toks) AS term FROM tok)
+GROUP BY term
+ORDER BY n DESC, term
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "vocab_top_terms": vocab_top_terms,
     "simhash_near_dup": simhash_near_dup,
     "lang_id": lang_id,
     "token_counting": token_counting,
@@ -307,6 +338,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "vocab_top_terms": VOCAB_TOP_TERMS_SQL,
     "simhash_near_dup": SIMHASH_SQL,
     "lang_id": LANG_ID_SQL,
     "token_counting": TOKEN_COUNTING_SQL,
