@@ -216,3 +216,20 @@ def test_compact_files(spark, tmp_path):
     n_after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
     assert n_after == n_files < 64
     assert spark.read.parquet(path).count() == li.count()
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution on read: batches written with different column
+    sets merge under mergeSchema; missing columns surface as NULLs."""
+    path = str(tmp_path / "evolving")
+    orders = table(spark, SF_SMOKE, "orders")
+    orders.select("o_orderkey", "o_totalprice").write.parquet(path)
+    orders.select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"o_orderkey", "o_totalprice", "o_orderpriority"}
+    assert merged.count() == 2 * orders.count()
+    # rows from the first batch carry NULL for the new column
+    assert merged.filter(F.col("o_orderpriority").isNull()).count() == orders.count()

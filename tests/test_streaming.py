@@ -185,3 +185,28 @@ def test_stream_dedup_drops_planted_duplicates(spark, tmp_path):
         spark, stream_dedup(stream), "dedup_test", mode="append"
     )
     assert result.count() == 200
+
+
+def test_stream_static_join_matches_batch(spark, event_stream_dir):
+    """Stream-static enrichment (fact stream x broadcast dim) equals the
+    batch join; no state, dimension re-read per micro-batch."""
+    from waterbear_spark.streaming import stream_static_enrich
+
+    dim = table(spark, SF_SMOKE, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream_static_enrich(
+        _stream_source(spark, event_stream_dir), dim
+    ).groupBy("c_mktsegment").count()
+    stream_result = _run_stream(spark, enriched, "ss_enrich_test")
+    batch_result = (
+        stream_static_enrich(table(spark, SF_SMOKE, "events"), dim)
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    problems = compare_frames(
+        stream_result.columns,
+        [tuple(r) for r in stream_result.collect()],
+        batch_result.columns,
+        [tuple(r) for r in batch_result.collect()],
+    )
+    assert problems == []
+    assert stream_result.count() > 0

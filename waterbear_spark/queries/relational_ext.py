@@ -561,11 +561,98 @@ ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """
 
 
+_STRATA_RATES = {"AUTOMOBILE": 50, "BUILDING": 25, "MACHINERY": 10}  # pct
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-segment keep rates applied
+    via md5(key) mod 100 — reproducible across runs, partitionings, and
+    engines (unlike ``sampleBy``'s RNG), which is what a training
+    pipeline needs for auditable downsampling. Unlisted strata drop out.
+
+    Scale: the hash gate is row-local (filter before any shuffle — at
+    100 TB it rides the scan); only the per-stratum count aggregation
+    exchanges data.
+    """
+    cust = table(spark, sf_dir, "customer")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("strat|"), F.col("c_custkey").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    rate = F.create_map(
+        *[F.lit(x) for kv in _STRATA_RATES.items() for x in kv]
+    )[F.col("c_mktsegment")]
+    return (
+        cust.filter(bucket < rate)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def _stratified_sample_sql() -> str:
+    rates = " ".join(
+        f"WHEN '{seg}' THEN {pct}" for seg, pct in _STRATA_RATES.items()
+    )
+    return f"""
+SELECT c_mktsegment, COUNT(*) AS n_sampled,
+       MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+FROM customer
+WHERE CAST(('0x' || substr(md5('strat|' || CAST(c_custkey AS VARCHAR)), 1, 15))
+           AS UBIGINT)::BIGINT % 100
+      < (CASE c_mktsegment {rates} ELSE NULL END)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (20 bins over [0, 600000)):
+    the one-pass distribution sketch behind profiling dashboards. Bin
+    assignment is row-local arithmetic; only 20 keys shuffle."""
+    orders = table(spark, sf_dir, "orders")
+    width = 30000.0
+    bin_id = F.least(F.floor(F.col("o_totalprice") / width), F.lit(19)).cast("int")
+    return (
+        orders.groupBy(bin_id.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("lo", (F.col("bin") * width).cast("double"))
+        .withColumn("hi", ((F.col("bin") + 1) * width).cast("double"))
+        .select("bin", "lo", "hi", "n_orders")
+        .orderBy("bin")
+    )
+
+
+HISTOGRAM_SQL = """
+SELECT bin, CAST(bin * 30000.0 AS DOUBLE) AS lo,
+       CAST((bin + 1) * 30000.0 AS DOUBLE) AS hi,
+       COUNT(*) AS n_orders
+FROM (SELECT CAST(LEAST(FLOOR(o_totalprice / 30000.0), 19) AS INTEGER) AS bin
+      FROM orders)
+GROUP BY bin
+ORDER BY bin
+"""
+
+
 QUERIES = {
     "sessionize_events": sessionize_events,
     "explode_ordinality": explode_ordinality,
     "window_range_frame": window_range_frame,
     "rollup_grouping_id": rollup_grouping_id,
+    "stratified_sample": stratified_sample,
+    "histogram_totalprice": histogram_totalprice,
     "array_functions": array_functions,
     "pivot_segment_status": pivot_segment_status,
     "unpivot_part_metrics": unpivot_part_metrics,
@@ -586,6 +673,8 @@ ORACLES = {
     "explode_ordinality": _explode_ordinality_sql(),
     "window_range_frame": WINDOW_RANGE_FRAME_SQL,
     "rollup_grouping_id": ROLLUP_GROUPING_ID_SQL,
+    "stratified_sample": _stratified_sample_sql(),
+    "histogram_totalprice": HISTOGRAM_SQL,
     "array_functions": _array_functions_sql(),
     "pivot_segment_status": PIVOT_SQL,
     "unpivot_part_metrics": UNPIVOT_SQL,

@@ -1,6 +1,7 @@
 from waterbear_spark.streaming.windows import (
     session_metrics,
     stream_dedup,
+    stream_static_enrich,
     stream_stream_join,
     tumbling_metrics,
 )
@@ -9,5 +10,6 @@ __all__ = [
     "tumbling_metrics",
     "session_metrics",
     "stream_dedup",
+    "stream_static_enrich",
     "stream_stream_join",
 ]

@@ -139,6 +139,23 @@ def stream_stream_join(
     )
 
 
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on_left: str = "user_id",
+    on_right: str = "c_custkey",
+) -> DataFrame:
+    """Stream-static join: enrich a (possibly streaming) fact with a
+    static dimension — the canonical silver-layer lookup. No watermark
+    or state needed: Spark re-plans the static side per micro-batch, and
+    a small dimension broadcasts, so each batch is a scan + broadcast
+    probe with zero streaming state.
+    """
+    return events.join(
+        F.broadcast(dim), F.col(on_left) == F.col(on_right), "left"
+    )
+
+
 def stream_dedup(
     events: DataFrame,
     id_cols: list[str] | None = None,
