@@ -233,3 +233,33 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     assert merged.count() == 2 * orders.count()
     # rows from the first batch carry NULL for the new column
     assert merged.filter(F.col("o_orderpriority").isNull()).count() == orders.count()
+
+
+def test_entity_datasource_reads_partitioned_synthetic(spark):
+    """Custom Python DataSource: entity records planned as a partitioned
+    scan with the compiled schema; deterministic under a fixed seed."""
+    import os as _os
+
+    from waterbear_spark.sources.entity_source import EntityDataSource
+
+    spark.dataSource.register(EntityDataSource)
+    model_dir = _os.path.join(
+        _os.path.dirname(__file__), "fixtures", "model"
+    )
+    reader = (
+        spark.read.format("waterbear_entity")
+        .option("model_dir", model_dir)
+        .option("entity", "staff")
+        .option("n", 250)
+        .option("numPartitions", 4)
+        .option("seed", 7)
+    )
+    df = reader.load()
+    assert df.count() == 250
+    assert df.rdd.getNumPartitions() == 4
+    # schema is the compiled entity schema (nested contact struct)
+    assert "contact" in df.columns
+    # deterministic: same options -> same data
+    a = sorted(r["id"] for r in df.select("id").collect())
+    b = sorted(r["id"] for r in reader.load().select("id").collect())
+    assert a == b
