@@ -88,3 +88,28 @@ def test_frame_sampling_is_jvm_side(spark):
     assert frames.count() == 20
     plan = frames._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan  # slicing happens before any Python
+
+
+def test_png_dimensions_parsed_jvm_side(spark):
+    """Handcrafted PNG headers parse to the right dimensions with zero
+    Python in the plan; non-PNG bytes yield NULLs."""
+    import struct
+
+    from waterbear_spark.functions.multimodal import png_dimensions
+
+    def png_bytes(w, h):
+        sig = bytes.fromhex("89504E470D0A1A0A")
+        ihdr = struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+        return sig + ihdr
+
+    rows = [
+        ("a", bytearray(png_bytes(640, 480))),
+        ("b", bytearray(png_bytes(32, 1080))),
+        ("c", bytearray(b"not a png at all, just bytes")),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, data binary")
+    out = {r["media_id"]: (r["png_width"], r["png_height"])
+           for r in png_dimensions(df).collect()}
+    assert out == {"a": (640, 480), "b": (32, 1080), "c": (None, None)}
+    plan = png_dimensions(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Python" not in plan

@@ -91,6 +91,49 @@ def _quarantine_oracle() -> str:
     return f"SELECT * FROM ({branches}) ORDER BY c_custkey, violated"
 
 
+def _compiled_event():
+    return SchemaCompiler(MODELS_DIR).compile("event")
+
+
+def quality_report_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-entity expectations over REAL stream data: the `event`
+    entity declares a nested ``props`` object; the raw JSON string column
+    is parsed with ``from_json`` against the compiled nested StructType,
+    then every constraint — including the backtick-qualified nested path
+    `` `props`.`k` `` (reference semantics, utils/util.py:239-252) — is
+    evaluated natively and counted per rule.
+
+    Scale: ``from_json`` + constraint evaluation are one codegen stage
+    over the scan; the only shuffle is the per-rule count.
+    """
+    compiled = _compiled_event()
+    props_type = next(
+        f.dataType for f in compiled.schema.fields if f.name == "props"
+    )
+    df = table(spark, sf_dir, "events").withColumn(
+        "props", F.from_json("props", props_type)
+    )
+    return Expectations.for_entity(compiled).report(df).orderBy("constraint")
+
+
+def _event_report_oracle() -> str:
+    compiled = _compiled_event()
+    src = (
+        "(SELECT event_id, event_type, value, "
+        "json_transform(props, '{\"k\":\"INTEGER\"}') AS props FROM events)"
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT '{name.replace(chr(39), chr(39) * 2)}' AS \"constraint\","
+        f" COUNT(*) FILTER (WHERE NOT ({_to_duckdb(expr)})) AS violations"
+        f" FROM {src}"
+        for name, expr in compiled.constraints.items()
+    )
+    return (
+        f'SELECT "constraint", violations FROM ({branches}) '
+        'WHERE violations > 0 ORDER BY "constraint"'
+    )
+
+
 # (col, kind) — kind picks the min/max string normalizer so the profile
 # is hash-comparable across engines (raw double->string formatting is not)
 _PROFILE_COLS = [
@@ -174,12 +217,14 @@ def _profile_oracle() -> str:
 
 QUERIES = {
     "profile_table": profile_table,
+    "quality_report_event": quality_report_event,
     "quality_report_customer": quality_report_customer,
     "quality_quarantine_customer": quality_quarantine_customer,
 }
 
 ORACLES = {
     "profile_table": _profile_oracle(),
+    "quality_report_event": _event_report_oracle(),
     "quality_report_customer": _report_oracle(),
     "quality_quarantine_customer": _quarantine_oracle(),
 }
