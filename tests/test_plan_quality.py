@@ -12,6 +12,10 @@ from waterbear_spark.queries.catalog import QUERIES
 # (theta-only join conditions); everything else must hash/sort-merge join
 NESTED_LOOP_OK = {
     "embedding_topk",  # deliberate broadcast cross join against 5 query rows
+    # scalar-subquery pattern: cross join against a broadcast 1-row aggregate
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q22_idle_customers",
 }
 
 

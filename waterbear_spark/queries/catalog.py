@@ -13,12 +13,14 @@ from waterbear_spark.queries import (
     relational_ext,
     textops,
     tpch_more,
+    tpch_rest,
 )
 
 QUERIES = {
     **relational.QUERIES,
     **relational_ext.QUERIES,
     **tpch_more.QUERIES,
+    **tpch_rest.QUERIES,
     **llm.QUERIES,
     **textops.QUERIES,
     **quality_queries.QUERIES,
@@ -31,6 +33,7 @@ ORACLE_SQL = {
     **relational.ORACLES,
     **relational_ext.ORACLES,
     **tpch_more.ORACLES,
+    **tpch_rest.ORACLES,
     **llm.ORACLES,
     **textops.ORACLES,
     **quality_queries.ORACLES,
