@@ -329,12 +329,163 @@ LIMIT 20
 """
 
 
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/diversity quality filter: per document,
+    the type/token ratio and the share of the most frequent bigram, plus
+    a keep/drop verdict (min length, diversity floor, repetition cap) —
+    the fraction-of-duplicate-n-grams rule family from the Gopher paper
+    (Rae et al. 2021, §A.1.1), adapted to single-line documents.
+
+    Scale: entirely row-local higher-order array functions in codegen —
+    no shuffle, no Python. The bigram mode is O(distinct²) per row,
+    bounded by document length; the whole filter streams through the
+    scan at wire speed.
+    """
+    docs = _fan_out(spark, table(spark, sf_dir, "documents"))
+    docs = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+        ),
+    )
+    docs = docs.withColumn("bgs", bigrams)
+    n = F.size("toks")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("bgs"),
+            lambda b: F.size(F.filter(F.col("bgs"), lambda x: x == b)),
+        )
+    )
+    distinct_ratio = F.size(F.array_distinct("toks")).cast("double") / n
+    top_frac = top_cnt.cast("double") / F.size("bgs")
+    keep = (n >= 30) & (distinct_ratio > 0.4) & (top_frac < 0.05)
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(top_frac, 4).alias("top_bigram_frac"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+REPETITION_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+),
+big AS (
+    SELECT doc_id, toks,
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1]) AS bgs
+    FROM tok WHERE len(toks) >= 2
+),
+sig AS (
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+           CAST(list_max(list_transform(list_distinct(bgs),
+                    b -> len(list_filter(bgs, x -> x = b)))) AS DOUBLE)
+               / len(bgs) AS top_bigram_frac
+    FROM big
+)
+SELECT doc_id, n_tokens,
+       ROUND(distinct_ratio, 4) AS distinct_ratio,
+       ROUND(top_bigram_frac, 4) AS top_bigram_frac,
+       (n_tokens >= 30 AND distinct_ratio > 0.4 AND top_bigram_frac < 0.05)
+           AS keep
+FROM sig
+ORDER BY doc_id
+"""
+
+
+_EMAIL_PAT = "[a-z0-9]+@[a-z][a-z.]*[a-z]"
+_IP_PAT = r"\d+\.\d+\.\d+\.\d+"
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for a training corpus: scan for email / IPv4
+    patterns and redact them with typed placeholders, reporting match
+    counts and a post-redaction content signature. The corpus has no
+    real PII, so deterministic PII is first injected into a known
+    subset of rows (doc_id ≡ 0 mod 3 → email, ≡ 0 mod 5 → IP) — the
+    redactor must find exactly those.
+
+    Scale: regexp_count + regexp_replace are per-row codegen; a real
+    deployment swaps the pattern list, not the plan shape.
+    """
+    docs = _fan_out(spark, table(spark, sf_dir, "documents"))
+    with_email = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact bob"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com"),
+        ),
+    ).otherwise(F.col("text"))
+    aug = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            with_email,
+            F.lit(" from 192.168."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ),
+    ).otherwise(with_email)
+    docs = docs.withColumn("aug", aug)
+    clean = F.regexp_replace(
+        F.regexp_replace("aug", _EMAIL_PAT, "<EMAIL>"), _IP_PAT, "<IP>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("aug", F.lit(_EMAIL_PAT)).alias("n_emails"),
+        F.regexp_count("aug", F.lit(_IP_PAT)).alias("n_ips"),
+        F.length(clean).alias("clean_len"),
+        F.substring(F.md5(clean.cast("binary")), 1, 16).alias("clean_sig"),
+    ).orderBy("doc_id")
+
+
+PII_SQL = f"""
+WITH aug AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN base || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                ELSE base END AS aug
+    FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' contact bob' || CAST(doc_id AS VARCHAR)
+                         || '@mail.example.com'
+                    ELSE text END AS base
+        FROM documents
+    )
+),
+clean AS (
+    SELECT doc_id, aug,
+           regexp_replace(regexp_replace(aug, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                          '{_IP_PAT}', '<IP>', 'g') AS cleaned
+    FROM aug
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '{_EMAIL_PAT}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(aug, '{_IP_PAT}')) AS INTEGER) AS n_ips,
+       LENGTH(cleaned) AS clean_len,
+       substr(md5(cleaned), 1, 16) AS clean_sig
+FROM clean
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "vocab_top_terms": vocab_top_terms,
     "simhash_near_dup": simhash_near_dup,
     "lang_id": lang_id,
     "token_counting": token_counting,
     "doc_fingerprint": doc_fingerprint,
+    "repetition_signals": repetition_signals,
+    "pii_redaction": pii_redaction,
 }
 
 ORACLES = {
@@ -343,4 +494,6 @@ ORACLES = {
     "lang_id": LANG_ID_SQL,
     "token_counting": TOKEN_COUNTING_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "repetition_signals": REPETITION_SQL,
+    "pii_redaction": PII_SQL,
 }
