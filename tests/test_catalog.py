@@ -53,9 +53,14 @@ def test_no_python_udf_anywhere(spark):
     # embedding_knn_label is deliberately Arrow+BLAS: bucketed matmul is
     # the one family where numpy beats Catalyst (see its docstring)
     arrow_allowed = {"embedding_knn_label"}
+    # udtf_* deliberately exercises the Python UDTF (table function)
+    # surface — the one sanctioned row-wise generator
+    udtf_allowed = {"udtf_tokenize"}
     for name, fn in QUERIES.items():
         plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
-        if name.startswith("pandas_") or name in arrow_allowed:
+        if name in udtf_allowed:
+            assert "EvalPythonUDTF" in plan, f"{name} should run a UDTF"
+        elif name.startswith("pandas_") or name in arrow_allowed:
             assert "BatchEvalPython" not in plan, f"{name} is row-at-a-time"
         else:
             assert "EvalPython" not in plan, f"{name} falls back to Python"

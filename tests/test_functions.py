@@ -113,3 +113,47 @@ def test_png_dimensions_parsed_jvm_side(spark):
     assert out == {"a": (640, 480), "b": (32, 1080), "c": (None, None)}
     plan = png_dimensions(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "Python" not in plan
+
+
+def test_mapinarrow_batch_transform(spark):
+    """mapInArrow: zero-copy Arrow batches through Python — compute L2
+    norms on the embedding column and check against the JVM-side result."""
+    import pyarrow as pa
+
+    emb = table(spark, SF_SMOKE, "embeddings").limit(50)
+
+    def norms(batches):
+        for batch in batches:
+            tbl = pa.table(batch)
+            vecs = tbl.column("embedding").to_pylist()
+            out = pa.table(
+                {
+                    "vec_id": tbl.column("vec_id"),
+                    "norm": pa.array(
+                        [math.sqrt(sum(x * x for x in v)) for v in vecs],
+                        type=pa.float64(),
+                    ),
+                }
+            )
+            yield from out.to_batches()
+
+    got = {
+        r["vec_id"]: r["norm"]
+        for r in emb.mapInArrow(norms, "vec_id long, norm double").collect()
+    }
+    expected = {
+        r["vec_id"]: r["n"]
+        for r in emb.select(
+            "vec_id",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("embedding", lambda x: x.cast("double") * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ).alias("n"),
+        ).collect()
+    }
+    assert got.keys() == expected.keys() and len(got) == 50
+    for k in got:
+        assert math.isclose(got[k], expected[k], rel_tol=1e-6)

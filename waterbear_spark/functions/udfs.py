@@ -118,12 +118,75 @@ FROM documents
 ORDER BY doc_id
 """
 
+class TokenizeOffsets:
+    """Python UDTF (Spark 4 table function): expand each document into
+    (pos, token) rows — one-to-many generation with per-row Python
+    logic, the escape hatch for tokenizers that built-in generators
+    can't express (a real BPE encoder drops in here unchanged).
+
+    The tokenization mirrors the engine-wide contract (lowercase,
+    whitespace split, empties dropped) so the DuckDB lateral-unnest
+    oracle checks it exactly.
+    """
+
+    def eval(self, doc_id: int, text: str):
+        pos = 0
+        for tok in text.lower().split():
+            if tok:
+                pos += 1
+                yield doc_id, pos, tok
+
+
+def udtf_tokenize(spark, sf_dir: str) -> DataFrame:
+    """Catalog query: LATERAL UDTF expansion of documents into token
+    streams (bounded to the first 100 docs — row-wise Python is the
+    slow path; the catalog keeps its footprint small)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, LongType, StringType
+
+    from waterbear_spark.queries.tables import table
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("pos", IntegerType()),
+            StructField("token", StringType()),
+        ]
+    )
+    spark.udtf.register("tokenize_offsets", udtf(TokenizeOffsets, returnType=schema))
+    table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("udtf_docs_src")
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.pos, t.token
+        FROM udtf_docs_src, LATERAL tokenize_offsets(doc_id, text) t
+        ORDER BY t.doc_id, t.pos
+        """
+    )
+
+
+UDTF_TOKENIZE_SQL = """
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+    FROM documents WHERE doc_id < 100
+)
+SELECT doc_id, CAST(i AS INTEGER) AS pos, toks[i] AS token
+FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) gs
+ORDER BY doc_id, pos
+"""
+
+
 QUERIES = {
     "pandas_median_chars": median_chars_by_lang,
     "pandas_zscore_chars": zscore_chars,
+    # udtf_* exercises the Python UDTF surface (same carve-out as pandas_*)
+    "udtf_tokenize": udtf_tokenize,
 }
 
 ORACLES = {
     "pandas_median_chars": MEDIAN_CHARS_SQL,
     "pandas_zscore_chars": ZSCORE_CHARS_SQL,
+    "udtf_tokenize": UDTF_TOKENIZE_SQL,
 }

@@ -651,6 +651,49 @@ ORDER BY event_type
 """
 
 
+def variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via the VARIANT type (Spark 4): the raw
+    JSON payload is parsed once into Spark's binary variant encoding,
+    then fields are extracted with ``variant_get`` path expressions —
+    the modern replacement for per-access ``get_json_object`` string
+    re-parsing, and the right scan-side representation for a 100 TB
+    bronze layer of heterogeneous JSON.
+
+    ``try_variant_get`` on an absent path must yield NULL (not error),
+    which the n_missing column asserts across every row.
+    """
+    events = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        events.select(
+            k.alias("k"),
+            F.try_variant_get(v, "$.absent", "int").alias("absent"),
+        )
+        .groupBy(F.floor(F.col("k") / 10).alias("k_decade"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count("absent").alias("n_missing"),
+        )
+        .orderBy("k_decade")
+    )
+
+
+VARIANT_EVENTS_SQL = """
+SELECT CAST(FLOOR(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) / 10.0)
+            AS BIGINT) AS k_decade,
+       COUNT(*) AS n_events,
+       MIN(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)) AS max_k,
+       COUNT(CAST(JSON_EXTRACT_STRING(props, '$.absent') AS INTEGER)) AS n_missing
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows over the event stream (batch view; the same
     F.window works under readStream + watermark — see streaming module)."""
@@ -782,6 +825,7 @@ QUERIES = {
     "string_functions": string_functions,
     "date_functions": date_functions,
     "json_functions": json_functions,
+    "variant_events": variant_events,
     "events_hourly": events_hourly,
     "events_sliding": events_sliding,
     "range_join_windows": range_join_windows,
@@ -809,6 +853,7 @@ ORACLES = {
     "string_functions": STRING_FUNCS_SQL,
     "date_functions": DATE_FUNCS_SQL,
     "json_functions": JSON_FUNCS_SQL,
+    "variant_events": VARIANT_EVENTS_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_sliding": EVENTS_SLIDING_SQL,
     "range_join_windows": RANGE_JOIN_SQL,
