@@ -288,3 +288,20 @@ def test_sorted_runs_are_ordered_within_files(spark, tmp_path):
         users = set(t["user_id"])
         assert not (users & seen_users)
         seen_users |= users
+
+
+def test_xml_roundtrip_preserves_rows(spark, tmp_path):
+    """XML sink/scan round-trip (built-in since Spark 4): nation written
+    as <row> elements and read back with an explicit rowTag — the ingest
+    path for XML feeds without external packages."""
+    path = str(tmp_path / "nation_xml")
+    nation = table(spark, SF_SMOKE, "nation")
+    nation.write.format("xml").option("rowTag", "row").save(path)
+    back = spark.read.format("xml").option("rowTag", "row").load(path)
+    assert back.count() == nation.count()
+    assert {f.name for f in back.schema.fields} == {
+        f.name for f in nation.schema.fields
+    }
+    got = {r["n_nationkey"]: r["n_name"] for r in back.collect()}
+    want = {r["n_nationkey"]: r["n_name"] for r in nation.collect()}
+    assert got == want
