@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from waterbear_spark.functions import udfs
 from waterbear_spark.queries import (
+    graph,
     llm,
     quality_queries,
     relational,
@@ -21,6 +22,7 @@ QUERIES = {
     **relational_ext.QUERIES,
     **tpch_more.QUERIES,
     **tpch_rest.QUERIES,
+    **graph.QUERIES,
     **llm.QUERIES,
     **textops.QUERIES,
     **quality_queries.QUERIES,
@@ -34,6 +36,7 @@ ORACLE_SQL = {
     **relational_ext.ORACLES,
     **tpch_more.ORACLES,
     **tpch_rest.ORACLES,
+    **graph.ORACLES,
     **llm.ORACLES,
     **textops.ORACLES,
     **quality_queries.ORACLES,
