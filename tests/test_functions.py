@@ -157,3 +157,27 @@ def test_mapinarrow_batch_transform(spark):
     assert got.keys() == expected.keys() and len(got) == 50
     for k in got:
         assert math.isclose(got[k], expected[k], rel_tol=1e-6)
+
+
+def test_wav_metadata_parsed_jvm_side(spark):
+    """Handcrafted RIFF/WAVE headers parse to channels + sample rate with
+    zero Python in the plan; non-WAV bytes yield NULLs."""
+    import struct
+
+    from waterbear_spark.functions.multimodal import wav_metadata
+
+    def wav_bytes(channels, rate):
+        fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+        return b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+
+    rows = [
+        ("a", bytearray(wav_bytes(2, 44100))),
+        ("b", bytearray(wav_bytes(1, 16000))),
+        ("c", bytearray(b"RIFFxxxxNOPE definitely not wav")),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, data binary")
+    out = {r["media_id"]: (r["wav_channels"], r["wav_sample_rate"])
+           for r in wav_metadata(df).collect()}
+    assert out == {"a": (2, 44100), "b": (1, 16000), "c": (None, None)}
+    plan = wav_metadata(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan

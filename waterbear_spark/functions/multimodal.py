@@ -176,6 +176,35 @@ def png_dimensions(df: DataFrame, data_col: str = "data") -> DataFrame:
     )
 
 
+def _le_uint(data_col: str, start: int, n_bytes: int) -> "F.Column":
+    """Little-endian unsigned int from `n_bytes` bytes at 1-based `start`
+    — per-byte hex→int with positional weights, all in codegen."""
+    total = F.lit(0)
+    for i in range(n_bytes):
+        byte = F.conv(
+            F.hex(F.substring(F.col(data_col), start + i, 1)), 16, 10
+        ).cast("long")
+        total = total + byte * F.lit(256**i)
+    return total
+
+
+def wav_metadata(df: DataFrame, data_col: str = "data") -> DataFrame:
+    """REAL (not stubbed) audio metadata: channel count and sample rate
+    parsed from the RIFF/WAVE fmt chunk — the little-endian counterpart
+    to ``png_dimensions`` (PNG's IHDR is big-endian), again zero Python.
+    Non-WAV payloads get NULLs via the double signature check
+    (bytes 1-4 ``RIFF``, 9-12 ``WAVE``).
+    """
+    sig_ok = (
+        F.substring(F.col(data_col), 1, 4).cast("string") == "RIFF"
+    ) & (F.substring(F.col(data_col), 9, 4).cast("string") == "WAVE")
+    channels = _le_uint(data_col, 23, 2).cast("int")
+    sample_rate = _le_uint(data_col, 25, 4).cast("int")
+    return df.withColumn("wav_channels", F.when(sig_ok, channels)).withColumn(
+        "wav_sample_rate", F.when(sig_ok, sample_rate)
+    )
+
+
 def attach_fake_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     """Test helper: derive a deterministic binary payload from document
     text (md5 -> bytes, repeated), shaped into MEDIA_SCHEMA."""
