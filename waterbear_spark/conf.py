@@ -49,6 +49,12 @@ def recommended_conf(
         "spark.sql.autoBroadcastJoinThreshold": str(
             min(64, executor_mem_gb * 2) * 1024 * 1024
         ),
+        # runtime bloom-filter pruning: when a shuffle join's build side
+        # is selective, inject might_contain() on the probe side so the
+        # fact scan drops non-joining rows before the exchange — at
+        # 100 TB this is the difference between shuffling the whole fact
+        # table and shuffling the ~1% that joins
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         # Arrow for every pandas-UDF exchange (the only sanctioned Python)
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # deterministic timestamps for cross-engine comparison

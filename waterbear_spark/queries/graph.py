@@ -129,5 +129,113 @@ LIMIT 25
 """
 
 
-QUERIES = {"pagerank_bipartite": pagerank_bipartite}
-ORACLES = {"pagerank_bipartite": _pagerank_sql()}
+_TOP_EDGES = 100
+
+
+def triangle_count_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the nation trade graph: nodes are nations,
+    undirected edges are the top-100 supplier-nation↔customer-nation
+    pairs by revenue; per-nation triangle membership via the canonical
+    wedge-close join (e1(a,b) ⋈ e2(b,c) on b, closed by e3(a,c), with
+    a<b<c so each triangle counts once).
+
+    Scale: the edge list is an aggregate of the q7-shaped star join
+    (one fact shuffle, dims broadcast) reduced to ≤100 rows — the
+    triangle joins run on that tiny relation. On a billion-edge graph
+    the same three-way self-join partitions by the join node; the a<b<c
+    canonicalization is what keeps it from counting each triangle 6×.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supp = table(spark, sf_dir, "supplier")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(20,6)"
+    )
+    pair_rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation.withColumnRenamed("n_name", "sn")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .drop("n_nationkey")
+        .join(
+            F.broadcast(nation.withColumnRenamed("n_name", "cn")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("sn") != F.col("cn"))
+        .groupBy(
+            F.least("sn", "cn").alias("a"), F.greatest("sn", "cn").alias("b")
+        )
+        .agg(F.sum(revenue).alias("rev"))
+    )
+    from pyspark.sql import Window
+
+    ranked = pair_rev.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("rev").desc(), F.col("a"), F.col("b"))
+        ),
+    )
+    edges = ranked.filter(F.col("rk") <= _TOP_EDGES).select("a", "b")
+    e2 = edges.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tris = (
+        edges.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+            "left_semi",
+        )
+        .select(F.explode(F.array("a", "b", "c")).alias("nation"))
+        .groupBy("nation")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "nation")
+    )
+    return tris
+
+
+TRIANGLE_SQL = f"""
+WITH pair_rev AS (
+    SELECT LEAST(n1.n_name, n2.n_name) AS a,
+           GREATEST(n1.n_name, n2.n_name) AS b,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS rev
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY 1, 2
+),
+edges AS (
+    SELECT a, b FROM (
+        SELECT a, b, ROW_NUMBER() OVER (ORDER BY rev DESC, a, b) AS rk
+        FROM pair_rev
+    ) WHERE rk <= {_TOP_EDGES}
+),
+tris AS (
+    SELECT e1.a, e1.b, e2.b AS c
+    FROM edges e1
+    JOIN edges e2 ON e1.b = e2.a
+    WHERE EXISTS (SELECT 1 FROM edges e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+)
+SELECT nation, COUNT(*) AS n_triangles
+FROM (SELECT unnest([a, b, c]) AS nation FROM tris)
+GROUP BY nation
+ORDER BY n_triangles DESC, nation
+"""
+
+
+QUERIES = {
+    "pagerank_bipartite": pagerank_bipartite,
+    "triangle_count_nations": triangle_count_nations,
+}
+ORACLES = {
+    "pagerank_bipartite": _pagerank_sql(),
+    "triangle_count_nations": TRIANGLE_SQL,
+}
