@@ -16,6 +16,7 @@ NESTED_LOOP_OK = {
     "q11_important_parts",
     "q15_top_supplier",
     "q22_idle_customers",
+    "kmv_distinct_sketch",
 }
 
 

@@ -646,7 +646,114 @@ ORDER BY bin
 """
 
 
+def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate (hypertable) pattern: the daily rollup is
+    computed FROM the hourly rollup, not from raw events — the cascade
+    that makes dashboard hierarchies cheap (hourly materializes once;
+    every coarser grain re-aggregates ~24× fewer rows).
+
+    Exactness: the hourly sums stay DECIMAL until the final grain, so
+    re-aggregation is associative with no float drift — the oracle runs
+    the identical two-level cascade.
+    """
+    events = table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(20,6)")).alias("sum_value_exact"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "hour_start").cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value_exact"), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+ROLLUP_CASCADE_SQL = """
+WITH hourly AS (
+    SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(20,6))) AS sum_value_exact
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT CAST(DATE_TRUNC('day', hour_start) AS DATE) AS day, event_type,
+       SUM(n_events) AS n_events,
+       CAST(ROUND(SUM(sum_value_exact), 2) AS DOUBLE) AS sum_value
+FROM hourly
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+_KMV_K = 64
+_KMV_SCALE = float(2**60)
+
+
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch over event users: hash each
+    distinct value to [0,1), keep the K smallest hashes, estimate
+    distinct ≈ (K-1)/h_K. Unlike HLL (``approx_distinct``, rows-only
+    check), the md5-based hash makes this sketch fully deterministic, so
+    the estimate — and its error vs the exact count — is oracle-checked
+    bit-for-bit across engines.
+
+    Scale: the sketch is a TakeOrdered of K rows after a distinct — at
+    100 TB keep per-partition K-mins map-side (aggregate with a bounded
+    heap) and merge; the estimate math is unchanged.
+    """
+    events = table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    kth = (
+        events.select(F.col("user_id")).distinct()
+        .select(h.alias("h"))
+        .orderBy("h")
+        .limit(_KMV_K)
+        .agg(F.max("h").alias("h_k"), F.count(F.lit(1)).alias("k_seen"))
+    )
+    exact = events.agg(F.countDistinct("user_id").alias("n_exact"))
+    return kth.crossJoin(F.broadcast(exact)).select(
+        F.round(
+            F.lit(_KMV_K - 1) / (F.col("h_k").cast("double") / F.lit(_KMV_SCALE)),
+            2,
+        ).alias("kmv_estimate"),
+        "k_seen",
+        "n_exact",
+    )
+
+
+KMV_SQL = f"""
+WITH hashes AS (
+    SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT AS h
+    FROM (SELECT DISTINCT user_id FROM events)
+),
+kth AS (
+    SELECT MAX(h) AS h_k, COUNT(*) AS k_seen
+    FROM (SELECT h FROM hashes ORDER BY h LIMIT {_KMV_K})
+)
+SELECT ROUND({_KMV_K - 1} / (CAST(h_k AS DOUBLE) / {_KMV_SCALE!r}), 2) AS kmv_estimate,
+       k_seen,
+       (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exact
+FROM kth
+"""
+
+
 QUERIES = {
+    "rollup_cascade": rollup_cascade,
+    "kmv_distinct_sketch": kmv_distinct_sketch,
     "sessionize_events": sessionize_events,
     "explode_ordinality": explode_ordinality,
     "window_range_frame": window_range_frame,
@@ -669,6 +776,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rollup_cascade": ROLLUP_CASCADE_SQL,
+    "kmv_distinct_sketch": KMV_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "explode_ordinality": _explode_ordinality_sql(),
     "window_range_frame": WINDOW_RANGE_FRAME_SQL,
