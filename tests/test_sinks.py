@@ -305,3 +305,44 @@ def test_xml_roundtrip_preserves_rows(spark, tmp_path):
     got = {r["n_nationkey"]: r["n_name"] for r in back.collect()}
     want = {r["n_nationkey"]: r["n_name"] for r in nation.collect()}
     assert got == want
+
+
+def test_entity_datasource_streams_with_replayable_offsets(spark, tmp_path):
+    """Streaming Python DataSource (SimpleDataSourceStreamReader): the
+    synthetic entity stream delivers rows_per_batch per micro-batch with
+    batch-ordinal offsets; max_batches drains it so processAllAvailable
+    terminates; seeds are offset-derived so a second run replays the
+    exact same rows (checkpoint-recovery safety)."""
+    import os as _os
+
+    from waterbear_spark.sources.entity_source import EntityDataSource
+
+    spark.dataSource.register(EntityDataSource)
+    model_dir = _os.path.join(_os.path.dirname(__file__), "fixtures", "model")
+
+    def run(name):
+        stream = (
+            spark.readStream.format("waterbear_entity")
+            .option("model_dir", model_dir)
+            .option("entity", "staff")
+            .option("rows_per_batch", 40)
+            .option("max_batches", 3)
+            .option("seed", 11)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation", str(tmp_path / f"ckpt_{name}")
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.sql(f"SELECT id FROM {name}").collect()
+
+    first = sorted(r["id"] for r in run("entity_stream_a"))
+    assert len(first) == 120
+    second = sorted(r["id"] for r in run("entity_stream_b"))
+    assert first == second

@@ -25,11 +25,32 @@ from __future__ import annotations
 import datetime
 import json
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import ArrayType, DateType, StructType, TimestampType
 
 _DATE_FMT = "%Y-%m-%d"
 _TS_FMT = "%Y-%m-%dT%H:%M:%S"
+
+
+def _strip_metadata(dtype):
+    """Recursively drop StructField metadata (see schema() note)."""
+    from pyspark.sql.types import StructField
+
+    if isinstance(dtype, StructType):
+        return StructType(
+            [
+                StructField(f.name, _strip_metadata(f.dataType), f.nullable)
+                for f in dtype.fields
+            ]
+        )
+    if isinstance(dtype, ArrayType):
+        return ArrayType(_strip_metadata(dtype.elementType), dtype.containsNull)
+    return dtype
 
 
 def _to_row(value, dtype):
@@ -60,10 +81,17 @@ class EntityDataSource(DataSource):
         compiled = SchemaCompiler(self.options["model_dir"]).compile(
             self.options["entity"]
         )
-        return compiled.schema
+        # comment metadata must be stripped: the streaming path round-trips
+        # the schema through Arrow (which has no field metadata) and the
+        # engine asserts declared == round-tripped. Delta DDL comments come
+        # from the compiled entity directly (schema/ddl.py), not from here.
+        return _strip_metadata(compiled.schema)
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _EntityReader(self.options, schema)
+
+    def simpleStreamReader(self, schema: StructType):
+        return _EntityStreamReader(self.options, schema)
 
 
 class _EntityReader(DataSourceReader):
@@ -98,3 +126,54 @@ class _EntityReader(DataSourceReader):
             yield tuple(
                 _to_row(obj.get(f.name), f.dataType) for f in self._schema.fields
             )
+
+
+class _EntityStreamReader(SimpleDataSourceStreamReader):
+    """Streaming variant (Spark 4 SimpleDataSourceStreamReader): an
+    unbounded synthetic entity stream, ``rows_per_batch`` rows per
+    micro-batch. Offsets are batch ordinals and each batch derives its
+    generator seed from (base seed + ordinal), so ``readBetweenOffsets``
+    replays EXACTLY the same rows after a restart — the property that
+    makes a custom source safe under checkpoint recovery. ``max_batches``
+    (default unbounded) lets tests drain via ``processAllAvailable``.
+    """
+
+    def __init__(self, options, schema):
+        self._options = dict(options)
+        self._schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"batch": 0}
+
+    def _batch_rows(self, ordinal: int):
+        from waterbear_spark.generator.records import RecordGenerator
+
+        gen = RecordGenerator(
+            self._options["model_dir"],
+            nullable_rate=float(self._options.get("nullable_rate", 0.0)),
+            seed=int(self._options.get("seed", 42)) + ordinal,
+        )
+        n = int(self._options.get("rows_per_batch", 100))
+        for rec in gen.generate(self._options["entity"], n):
+            obj = json.loads(rec)
+            yield tuple(
+                _to_row(obj.get(f.name), f.dataType) for f in self._schema.fields
+            )
+
+    def read(self, start: dict):
+        b = start["batch"]
+        limit = int(self._options.get("max_batches", -1))
+        if 0 <= limit <= b:
+            # terminal no-progress answer: the wrapper probes it with
+            # next(), so it must be an (exhausted) iterator
+            return iter(()), start
+        # non-empty batches must be LISTS: the wrapper's prefetch cache
+        # copy.copy()s them per replay, which a generator can't survive
+        return list(self._batch_rows(b)), {"batch": b + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return [
+            row
+            for b in range(start["batch"], end["batch"])
+            for row in self._batch_rows(b)
+        ]
