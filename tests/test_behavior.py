@@ -1,0 +1,78 @@
+"""Behavioral-analytics operators: funnel, cohort, concurrency sweep,
+deterministic reservoir sample, label propagation. Exact oracle equality
+runs in scripts/check_oracle.py; these tests guard the semantic and
+plan-shape invariants."""
+
+from tests.conftest import SF_SMOKE
+from waterbear_spark.queries.behavior import (
+    _RESERVOIR_K,
+    cohort_retention,
+    funnel_conversion,
+    interval_peak_concurrency,
+    reservoir_sample_orders,
+)
+from waterbear_spark.queries.graph import label_propagation_communities
+
+
+def test_funnel_is_monotone(spark):
+    rows = funnel_conversion(spark, SF_SMOKE).collect()
+    counts = [r.n_users for r in sorted(rows, key=lambda r: r.stage)]
+    assert len(counts) == 3
+    assert counts == sorted(counts, reverse=True), "later stages can't gain users"
+    assert counts[0] > 0
+
+
+def test_cohort_offsets_are_nonnegative(spark):
+    rows = cohort_retention(spark, SF_SMOKE).collect()
+    assert rows, "cohort table is empty"
+    assert all(r.week_no >= 0 for r in rows), "activity can't precede the cohort"
+    # week 0 of each cohort contains every user of that cohort, so it is
+    # the cohort's max
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    for members in by_cohort.values():
+        week0 = [r.n_active for r in members if r.week_no == 0]
+        assert week0 and week0[0] == max(r.n_active for r in members)
+
+
+def test_peak_concurrency_bounds(spark):
+    rows = interval_peak_concurrency(spark, SF_SMOKE).collect()
+    assert {r.event_type for r in rows} >= {"view", "click"}
+    # a peak is at least 1 (every event overlaps itself) and at most the
+    # per-type event count
+    from waterbear_spark.queries.tables import table
+
+    totals = {
+        r.event_type: r.n
+        for r in table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for r in rows:
+        assert 1 <= r.peak_concurrency <= totals[r.event_type]
+
+
+def test_reservoir_sample_is_deterministic_topk(spark):
+    df = reservoir_sample_orders(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # bottom-k must plan as TakeOrdered (per-partition heaps, no global
+    # sort-shuffle of the full table)
+    assert "TakeOrderedAndProject" in plan
+    a = [r.o_orderkey for r in df.collect()]
+    b = [r.o_orderkey for r in reservoir_sample_orders(spark, SF_SMOKE).collect()]
+    assert a == b
+    assert len(a) == _RESERVOIR_K
+    assert len(set(a)) == _RESERVOIR_K
+
+
+def test_label_propagation_partitions_all_nodes(spark):
+    rows = label_propagation_communities(spark, SF_SMOKE).collect()
+    assert rows
+    # every node ends with exactly one label: community sizes sum to the
+    # node count of the top-edge graph (25 nations at most)
+    total = sum(r.n_members for r in rows)
+    assert 2 <= total <= 25
+    assert all(r.n_members >= 1 for r in rows)

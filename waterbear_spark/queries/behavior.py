@@ -1,0 +1,250 @@
+"""Behavioral / event-sequence analytics over the ``events`` stream table:
+funnel conversion, cohort retention, interval concurrency sweep, and a
+deterministic reservoir (bottom-k) sample.
+
+These extend the reference's capability matrix (SURVEY.md §2b — the
+reference itself is a schema/data-quality library; its engine surface is
+Spark) with the product-analytics operators every event pipeline needs.
+Everything is built from built-in Catalyst expressions — no Python UDFs —
+and every query has an exact DuckDB oracle twin.
+
+Determinism notes:
+- funnel stage boundaries use ``ts >= prev_stage_ts`` (inclusive), so ties
+  resolve identically in both engines;
+- the concurrency sweep orders by ``(t, delta)`` with ends (−1) before
+  starts (+1) at the same instant — half-open ``[start, end)`` intervals —
+  and the per-group peak is invariant to intra-tie ordering because equal
+  ``(t, delta)`` rows carry the same sign;
+- the reservoir sample orders by ``md5(key)`` (unique per row), so the
+  selected k rows are identical in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from waterbear_spark.queries.tables import table
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (view → click → purchase): users counted
+    at stage N only if the stage-N event occurs at-or-after their stage
+    N-1 entry time.
+
+    Scale: each stage is a shrinking per-user aggregate joined on
+    ``user_id`` — the first shuffle partitions by user and every later
+    stage reuses that key, so AQE coalesces the (much smaller) stage
+    frames and can broadcast them; nothing is ever collected to the
+    driver. This is the chained-min formulation, not a per-user sort —
+    state per user is one timestamp per stage, not the event list.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, n: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(n).alias("stage"), F.lit(name).alias("step"), "n_users"
+        )
+
+    return (
+        stage(s1, 1, _FUNNEL_STEPS[0])
+        .unionAll(stage(s2, 2, _FUNNEL_STEPS[1]))
+        .unionAll(stage(s3, 3, _FUNNEL_STEPS[2]))
+        .orderBy("stage")
+    )
+
+
+_FUNNEL_SQL = f"""
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts >= s1.t1
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts >= s2.t2
+    GROUP BY e.user_id
+)
+SELECT 1 AS stage, '{_FUNNEL_STEPS[0]}' AS step, COUNT(*) AS n_users FROM s1
+UNION ALL
+SELECT 2, '{_FUNNEL_STEPS[1]}', COUNT(*) FROM s2
+UNION ALL
+SELECT 3, '{_FUNNEL_STEPS[2]}', COUNT(*) FROM s3
+ORDER BY stage
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of their
+    first event; distinct active users per (cohort_week, weeks_since).
+
+    Scale: one shuffle builds the per-user first-event frame (|users|
+    rows); joining it back onto events reuses the ``user_id``
+    partitioning, and the final distinct-count shuffles on the
+    low-cardinality (cohort_week, week_no) pair. The first-event frame
+    is broadcastable when users ≪ events.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            F.date_trunc("week", F.col("first_ts")).cast("date").alias("cohort_week"),
+            F.expr(
+                "datediff(date_trunc('week', ts), date_trunc('week', first_ts)) div 7"
+            ).alias("week_no"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_no")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_no")
+    )
+
+
+_COHORT_SQL = """
+WITH first AS (
+    SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+)
+SELECT CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+       datediff('day', CAST(date_trunc('week', first_ts) AS DATE),
+                        CAST(date_trunc('week', ts) AS DATE)) // 7 AS week_no,
+       COUNT(DISTINCT e.user_id) AS n_active
+FROM events e JOIN first ON e.user_id = first.user_id
+GROUP BY 1, 2
+ORDER BY cohort_week, week_no
+"""
+
+_SPAN_MIN = 5  # minutes each event "occupies": interval [ts, ts + 5min)
+
+
+def interval_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent activity per event type via the classic sweep-line:
+    each event contributes +1 at ``ts`` and −1 at ``ts + 5min``; the peak
+    is the max of the running sum ordered by (t, delta).
+
+    Scale: one shuffle partitions the sweep points by ``event_type``; the
+    running sum is a single window pass per partition. For a type whose
+    timeline outgrows one task, split the window key by coarse time range
+    and stitch with per-range offsets (two passes) — the sweep itself
+    never materializes pairwise overlaps, which is what makes it viable
+    where an interval self-join (O(n²) per hot window) is not.
+    """
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr(f"INTERVAL {_SPAN_MIN} MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        starts.unionAll(ends)
+        .withColumn("running", F.sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(F.max("running").alias("peak_concurrency"))
+        .orderBy("event_type")
+    )
+
+
+_CONCURRENCY_SQL = f"""
+WITH sweep AS (
+    SELECT event_type, ts AS t, 1 AS delta FROM events
+    UNION ALL
+    SELECT event_type, ts + INTERVAL {_SPAN_MIN} MINUTE, -1 FROM events
+)
+SELECT event_type,
+       MAX(running) AS peak_concurrency
+FROM (
+    SELECT event_type,
+           SUM(delta) OVER (
+               PARTITION BY event_type ORDER BY t, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS running
+    FROM sweep
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+_RESERVOIR_K = 100
+
+
+def reservoir_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform k-sample of ``orders`` (k=100): bottom-k by
+    ``md5(o_orderkey)``. Equivalent in distribution to reservoir sampling
+    but stable across engines, re-runs, and input order — the property a
+    training-data pipeline needs for reproducible holdouts.
+
+    Scale: Spark plans this as TakeOrderedAndProject — each task keeps a
+    local k-heap and the driver merges per-partition heads, so no global
+    sort and no shuffle of the full table ever happens. The hash keys are
+    uniform, so the sample is unbiased at any scale factor.
+    """
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "o_orderdate",
+            F.md5(F.col("o_orderkey").cast("string")).alias("sample_key"),
+        )
+        .orderBy("sample_key")
+        .limit(_RESERVOIR_K)
+    )
+
+
+_RESERVOIR_SQL = f"""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+       md5(CAST(o_orderkey AS VARCHAR)) AS sample_key
+FROM orders
+ORDER BY sample_key
+LIMIT {_RESERVOIR_K}
+"""
+
+
+QUERIES = {
+    "funnel_conversion": funnel_conversion,
+    "cohort_retention": cohort_retention,
+    "interval_peak_concurrency": interval_peak_concurrency,
+    "reservoir_sample_orders": reservoir_sample_orders,
+}
+ORACLES = {
+    "funnel_conversion": _FUNNEL_SQL,
+    "cohort_retention": _COHORT_SQL,
+    "interval_peak_concurrency": _CONCURRENCY_SQL,
+    "reservoir_sample_orders": _RESERVOIR_SQL,
+}

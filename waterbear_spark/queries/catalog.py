@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from waterbear_spark.functions import udfs
 from waterbear_spark.queries import (
+    behavior,
     graph,
     llm,
     quality_queries,
@@ -19,6 +20,7 @@ from waterbear_spark.queries import (
 
 QUERIES = {
     **relational.QUERIES,
+    **behavior.QUERIES,
     **relational_ext.QUERIES,
     **tpch_more.QUERIES,
     **tpch_rest.QUERIES,
@@ -33,6 +35,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     **relational.ORACLES,
+    **behavior.ORACLES,
     **relational_ext.ORACLES,
     **tpch_more.ORACLES,
     **tpch_rest.ORACLES,

@@ -231,11 +231,143 @@ ORDER BY n_triangles DESC, nation
 """
 
 
+_LPA_ROUNDS = 3
+
+
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (community detection) on the same
+    top-100 nation trade graph as ``triangle_count_nations``: labels start
+    as each node's own name; each round every node adopts the most
+    frequent label among its neighbours, ties broken by lexicographic min
+    — fully deterministic, so 3 rounds are bit-identical to the DuckDB
+    chained-CTE oracle. Unlike the min-label connected components in
+    ``llm.dedup_clusters``, mode-propagation finds dense sub-communities
+    inside a single connected component.
+
+    Scale: per round, one join of the label vector (|nodes| rows,
+    broadcastable) onto the symmetrized edge list, one count aggregate on
+    (node, label), one row_number argmax — state stays linear in nodes,
+    shuffles linear in edges, the Pregel loop discipline.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supp = table(spark, sf_dir, "supplier")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(20,6)"
+    )
+    pair_rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation.withColumnRenamed("n_name", "sn")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .drop("n_nationkey")
+        .join(
+            F.broadcast(nation.withColumnRenamed("n_name", "cn")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("sn") != F.col("cn"))
+        .groupBy(
+            F.least("sn", "cn").alias("a"), F.greatest("sn", "cn").alias("b")
+        )
+        .agg(F.sum(revenue).alias("rev"))
+    )
+    from pyspark.sql import Window
+
+    ranked = pair_rev.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("rev").desc(), F.col("a"), F.col("b"))
+        ),
+    )
+    edges = ranked.filter(F.col("rk") <= _TOP_EDGES).select("a", "b")
+    und = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    und = und.persist()
+    labels = und.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    pick = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("label"))
+    for _ in range(_LPA_ROUNDS):
+        labels = (
+            und.join(F.broadcast(labels), F.col("dst") == F.col("node"))
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rk", F.row_number().over(pick))
+            .filter(F.col("rk") == 1)
+            .select(F.col("src").alias("node"), "label")
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.col("n_members").desc(), "community")
+    )
+
+
+def _lpa_sql() -> str:
+    ctes = []
+    prev = "l0"
+    for i in range(1, _LPA_ROUNDS + 1):
+        ctes.append(
+            f"""l{i} AS (
+    SELECT src AS node, label FROM (
+        SELECT u.src, {prev}.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY u.src
+                   ORDER BY COUNT(*) DESC, {prev}.label
+               ) AS rk
+        FROM und u JOIN {prev} ON u.dst = {prev}.node
+        GROUP BY u.src, {prev}.label
+    ) WHERE rk = 1
+)"""
+        )
+        prev = f"l{i}"
+    return f"""
+WITH pair_rev AS (
+    SELECT LEAST(n1.n_name, n2.n_name) AS a,
+           GREATEST(n1.n_name, n2.n_name) AS b,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS rev
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY 1, 2
+),
+edges AS (
+    SELECT a, b FROM (
+        SELECT a, b, ROW_NUMBER() OVER (ORDER BY rev DESC, a, b) AS rk
+        FROM pair_rev
+    ) WHERE rk <= {_TOP_EDGES}
+),
+und AS (
+    SELECT a AS src, b AS dst FROM edges
+    UNION ALL
+    SELECT b AS src, a AS dst FROM edges
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+{",".join(ctes)}
+SELECT label AS community, COUNT(*) AS n_members
+FROM {prev}
+GROUP BY label
+ORDER BY n_members DESC, community
+"""
+
+
 QUERIES = {
     "pagerank_bipartite": pagerank_bipartite,
     "triangle_count_nations": triangle_count_nations,
+    "label_propagation_communities": label_propagation_communities,
 }
 ORACLES = {
     "pagerank_bipartite": _pagerank_sql(),
     "triangle_count_nations": TRIANGLE_SQL,
+    "label_propagation_communities": _lpa_sql(),
 }
