@@ -76,3 +76,47 @@ def test_label_propagation_partitions_all_nodes(spark):
     total = sum(r.n_members for r in rows)
     assert 2 <= total <= 25
     assert all(r.n_members >= 1 for r in rows)
+
+
+def test_transition_probabilities_sum_to_one(spark):
+    from waterbear_spark.queries.behavior import event_transition_matrix
+
+    rows = event_transition_matrix(spark, SF_SMOKE).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.event_type, 0.0)
+        by_src[r.event_type] += r.p
+    for src, total in by_src.items():
+        assert abs(total - 1.0) < 1e-4, f"{src} probabilities sum to {total}"
+
+
+def test_anomalous_days_are_per_type_extremes(spark):
+    from waterbear_spark.queries.behavior import anomalous_days
+
+    rows = anomalous_days(spark, SF_SMOKE).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for members in by_type.values():
+        assert len(members) == 3
+        assert all(r.z is not None for r in members)
+
+
+def test_fuzzy_join_pairs_are_canonical(spark):
+    from waterbear_spark.queries.textops import _FUZZY_MAX_DIST, fuzzy_join_parts
+
+    rows = fuzzy_join_parts(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.name_a < r.name_b
+        assert 1 <= r.dist <= _FUZZY_MAX_DIST
+
+
+def test_ols_fit_is_sane(spark):
+    from waterbear_spark.queries.relational_ext import ols_quantity_price
+
+    (row,) = ols_quantity_price(spark, SF_SMOKE).collect()
+    assert row.n > 0
+    assert -1.0 <= row.r <= 1.0
+    # slope and correlation share a sign (both are cov/var-scaled)
+    assert (row.slope > 0) == (row.r > 0)

@@ -236,15 +236,149 @@ LIMIT {_RESERVOIR_K}
 """
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behaviour: for each
+    (event_type → next event_type) pair, the observed count and
+    probability. Next-event lookup is a ``lead`` window ordered by
+    ``(ts, event_id)`` — the unique event_id tiebreak makes same-instant
+    sequences deterministic across engines.
+
+    Scale: one shuffle partitions events by user for the window pass;
+    the pair count then aggregates to |types|² rows. Probabilities are a
+    broadcast-sized second aggregate joined back — exact integer counts,
+    one deterministic double division at the end.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    return (
+        pairs.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "next_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("p"),
+        )
+        .orderBy("event_type", "next_type")
+    )
+
+
+_TRANSITION_SQL = """
+WITH seq AS (
+    SELECT event_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS next_type
+    FROM events
+),
+pairs AS (
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+),
+totals AS (SELECT event_type, SUM(n) AS tot FROM pairs GROUP BY event_type)
+SELECT p.event_type, p.next_type, p.n,
+       ROUND(CAST(p.n AS DOUBLE) / tot, 6) AS p
+FROM pairs p JOIN totals t ON p.event_type = t.event_type
+ORDER BY p.event_type, p.next_type
+"""
+
+_Z_TOP = 3
+
+
+def anomalous_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: per event type, the 3 days whose event
+    count deviates most (|z-score|) from that type's daily mean. Mean and
+    sample variance come from exact BIGINT sums (Σn, Σn²) so the final
+    doubles are bit-identical across engines; z is rounded to 3 places.
+
+    Scale: daily counts are one shuffle on (type, day); the per-type
+    moment aggregate is |types| rows, broadcast back onto the daily
+    frame. Nothing holds more than the daily-count relation — the
+    classic two-pass z-score without a window over raw events.
+    """
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    z = (F.col("n") - F.col("mean")) / F.col("sd")
+    scored = (
+        daily.join(F.broadcast(stats.filter(F.col("d") >= 2)), "event_type")
+        .withColumn("mean", F.col("s1").cast("double") / F.col("d"))
+        .withColumn(
+            "sd",
+            F.sqrt(
+                (F.col("d") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+                / (F.col("d") * (F.col("d") - 1))
+            ),
+        )
+        .withColumn("z", F.round(z, 3))
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("z")).desc(), F.col("day")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") <= _Z_TOP)
+        .select("event_type", "day", "n", "z")
+        .orderBy("event_type", "day")
+    )
+
+
+_ANOMALY_SQL = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type, COUNT(*) AS d, SUM(n) AS s1, SUM(n * n) AS s2
+    FROM daily GROUP BY event_type
+),
+scored AS (
+    SELECT daily.event_type, day, n,
+           ROUND((n - CAST(s1 AS DOUBLE) / d)
+                 / SQRT(CAST(d * s2 - s1 * s1 AS DOUBLE) / (d * (d - 1))),
+                 3) AS z
+    FROM daily JOIN stats ON daily.event_type = stats.event_type
+    WHERE d >= 2
+)
+SELECT event_type, day, n, z
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY ABS(z) DESC, day
+    ) AS rk
+    FROM scored
+)
+WHERE rk <= {_Z_TOP}
+ORDER BY event_type, day
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
     "interval_peak_concurrency": interval_peak_concurrency,
     "reservoir_sample_orders": reservoir_sample_orders,
+    "event_transition_matrix": event_transition_matrix,
+    "anomalous_days": anomalous_days,
 }
 ORACLES = {
     "funnel_conversion": _FUNNEL_SQL,
     "cohort_retention": _COHORT_SQL,
     "interval_peak_concurrency": _CONCURRENCY_SQL,
     "reservoir_sample_orders": _RESERVOIR_SQL,
+    "event_transition_matrix": _TRANSITION_SQL,
+    "anomalous_days": _ANOMALY_SQL,
 }

@@ -751,7 +751,71 @@ FROM kth
 """
 
 
+_D2 = "decimal(12,2)"
+
+
+def ols_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass OLS regression + Pearson correlation of
+    ``l_extendedprice`` on ``l_quantity``, computed from exact decimal
+    moment sums (Σx, Σy, Σxy, Σx², Σy²) so the one final double formula
+    is bit-identical across engines — the deterministic alternative to
+    ``F.corr``/``regr_slope``, whose float accumulation is
+    partition-order-dependent.
+
+    Scale: one map-side-combinable aggregate over the fact table — five
+    sums and a count, no shuffle wider than a single row. This is the
+    moments pattern every sufficient-statistics ML fit (linear/ridge
+    regression, ANOVA) reduces to on Spark.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(_D2)
+    y = F.col("l_extendedprice").cast(_D2)
+    sums = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov_n = n * F.col("sxy") - sx * sy
+    var_x = n * F.col("sxx") - sx * sx
+    var_y = n * F.col("syy") - sy * sy
+    slope = cov_n / var_x
+    return sums.select(
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("r"),
+    )
+
+
+OLS_SQL = """
+WITH sums AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+    FROM lineitem
+)
+SELECT n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+           AS intercept,
+       ROUND((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r
+FROM sums
+"""
+
+
 QUERIES = {
+    "ols_quantity_price": ols_quantity_price,
     "rollup_cascade": rollup_cascade,
     "kmv_distinct_sketch": kmv_distinct_sketch,
     "sessionize_events": sessionize_events,
@@ -776,6 +840,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ols_quantity_price": OLS_SQL,
     "rollup_cascade": ROLLUP_CASCADE_SQL,
     "kmv_distinct_sketch": KMV_SQL,
     "sessionize_events": SESSIONIZE_SQL,

@@ -478,7 +478,56 @@ ORDER BY doc_id
 """
 
 
+_FUZZY_MAX_DIST = 2
+
+
+def fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join on distinct part names: candidate pairs
+    share a blocking key (the last word of the name), then an exact
+    ``levenshtein`` filter keeps pairs within edit distance 2. Returns
+    every near-match pair (a < b) with its distance.
+
+    Scale: the blocking key turns an O(n²) cartesian into a per-block
+    equi-join — the standard similarity-join trick (same family as the
+    MinHash banding in ``dedup_near_minhash``, here for edit distance).
+    Skewed blocks (a very common last word) are what AQE skew-join or a
+    secondary length-band key would split; the edit-distance verify only
+    ever runs inside a block.
+    """
+    names = (
+        table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("blk", F.element_at(F.split("name", " "), -1))
+    )
+    left = names.select(F.col("name").alias("name_a"), "blk")
+    right = names.select(F.col("name").alias("name_b"), "blk")
+    return (
+        left.join(right, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= _FUZZY_MAX_DIST)
+        .select("name_a", "name_b", "dist")
+        .orderBy("name_a", "name_b")
+    )
+
+
+FUZZY_JOIN_SQL = f"""
+WITH names AS (
+    SELECT DISTINCT p_name AS name,
+           string_split(p_name, ' ')[-1] AS blk
+    FROM part
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       levenshtein(a.name, b.name) AS dist
+FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= {_FUZZY_MAX_DIST}
+ORDER BY name_a, name_b
+"""
+
+
 QUERIES = {
+    "fuzzy_join_parts": fuzzy_join_parts,
     "vocab_top_terms": vocab_top_terms,
     "simhash_near_dup": simhash_near_dup,
     "lang_id": lang_id,
@@ -489,6 +538,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fuzzy_join_parts": FUZZY_JOIN_SQL,
     "vocab_top_terms": VOCAB_TOP_TERMS_SQL,
     "simhash_near_dup": SIMHASH_SQL,
     "lang_id": LANG_ID_SQL,
