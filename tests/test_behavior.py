@@ -120,3 +120,36 @@ def test_ols_fit_is_sane(spark):
     assert -1.0 <= row.r <= 1.0
     # slope and correlation share a sign (both are cov/var-scaled)
     assert (row.slope > 0) == (row.r > 0)
+
+
+def test_skyline_has_no_dominated_points(spark):
+    from waterbear_spark.queries.behavior import skyline_orders
+
+    rows = skyline_orders(spark, SF_SMOKE).collect()
+    assert rows
+    pts = [(r.day, r.o_totalprice) for r in rows]
+    for d1, p1 in pts:
+        assert not any(
+            d2 < d1 and p2 > p1 for d2, p2 in pts
+        ), f"({d1},{p1}) is dominated"
+
+
+def test_twap_lies_within_value_range(spark):
+    from waterbear_spark.queries.behavior import time_weighted_avg
+    from waterbear_spark.queries.tables import table
+
+    import pyspark.sql.functions as F
+
+    rows = time_weighted_avg(spark, SF_SMOKE).collect()
+    bounds = {
+        r.event_type: (r.lo, r.hi)
+        for r in table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        lo, hi = bounds[r.event_type]
+        assert lo - 1e-9 <= r.twap <= hi + 1e-9
+        assert r.n_intervals > 0

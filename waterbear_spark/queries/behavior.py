@@ -366,7 +366,119 @@ ORDER BY event_type, day
 """
 
 
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per event type (TWAP): each
+    observation is held until the next one, so its weight is the exact
+    microsecond gap to the next event. Weighted sums are exact
+    decimal×BIGINT products; the single closing division is the only
+    float op, making the result bit-identical to the oracle.
+
+    Scale: one shuffle partitions by event type for the lead window,
+    then a map-side-combinable aggregate — the standard hypertable/
+    financial-rollup pattern with state linear in groups, not rows.
+    """
+    ev = table(spark, sf_dir, "events").select("event_type", "event_id", "ts", "value")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("us", F.unix_micros("ts"))
+        .withColumn("delta_us", F.lead("us").over(w) - F.col("us"))
+        .filter(F.col("delta_us").isNotNull())
+    )
+    weighted = F.col("value").cast("decimal(20,6)") * F.col("delta_us")
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(weighted).cast("double") / F.sum("delta_us").cast("double"), 6
+            ).alias("twap"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_TWAP_SQL = """
+WITH gaps AS (
+    SELECT event_type,
+           value,
+           LEAD(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+           ) - epoch_us(ts) AS delta_us
+    FROM events
+)
+SELECT event_type,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6)) * delta_us) AS DOUBLE)
+             / CAST(SUM(delta_us) AS DOUBLE), 6) AS twap,
+       COUNT(*) AS n_intervals
+FROM gaps
+WHERE delta_us IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of orders: keep every order whose
+    ``o_totalprice`` strictly beats the best price of any earlier order
+    date — the 2-D dominance query (earlier AND cheaper loses).
+
+    Scale: the fact table is reduced first (per-date max price — one
+    shuffle to |dates| rows); the running-max frontier scan then runs on
+    that tiny date relation, and survivors broadcast-join back onto
+    orders. The full table never passes through a global window — the
+    skyline's monotone structure is what lets partial per-range maxima
+    compose.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("day"), "o_totalprice"
+    )
+    daily = orders.groupBy("day").agg(F.max("o_totalprice").alias("best"))
+    prev = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        daily.withColumn("prev_best", F.max("best").over(prev))
+        .filter(F.col("prev_best").isNull() | (F.col("best") > F.col("prev_best")))
+        .select(F.col("day").alias("f_day"), F.col("best").alias("f_best"))
+    )
+    return (
+        orders.join(
+            F.broadcast(frontier),
+            (F.col("day") == F.col("f_day"))
+            & (F.col("o_totalprice") == F.col("f_best")),
+        )
+        .select("o_orderkey", "day", "o_totalprice")
+        .orderBy("day", "o_orderkey")
+    )
+
+
+_SKYLINE_SQL = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day, MAX(o_totalprice) AS best
+    FROM orders GROUP BY 1
+),
+frontier AS (
+    SELECT day, best FROM (
+        SELECT day, best,
+               MAX(best) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_best
+        FROM daily
+    )
+    WHERE prev_best IS NULL OR best > prev_best
+)
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day, o_totalprice
+FROM orders JOIN frontier
+  ON CAST(o_orderdate AS DATE) = frontier.day AND o_totalprice = frontier.best
+ORDER BY day, o_orderkey
+"""
+
+
 QUERIES = {
+    "time_weighted_avg": time_weighted_avg,
+    "skyline_orders": skyline_orders,
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
     "interval_peak_concurrency": interval_peak_concurrency,
@@ -375,6 +487,8 @@ QUERIES = {
     "anomalous_days": anomalous_days,
 }
 ORACLES = {
+    "time_weighted_avg": _TWAP_SQL,
+    "skyline_orders": _SKYLINE_SQL,
     "funnel_conversion": _FUNNEL_SQL,
     "cohort_retention": _COHORT_SQL,
     "interval_peak_concurrency": _CONCURRENCY_SQL,
