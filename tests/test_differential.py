@@ -1,0 +1,113 @@
+"""Differential fuzzing: hypothesis-generated filter/aggregate SQL runs
+verbatim on both Spark and DuckDB over the same parquet ``orders`` table;
+results must hash-match. This closes the gap the hand-written oracle
+catalog can't: arbitrary predicate combinations, including the ANSI-mode
+edge cases (modulo, NOT, nested boolean structure) nobody thought to
+write down.
+
+Determinism: aggregates follow the catalog's decimal-sum rule (exact
+DECIMAL(20,6) accumulation, one final ROUND + CAST to DOUBLE), and the
+whole query text is engine-portable ANSI, so any mismatch is a real
+semantics divergence, not float noise.
+"""
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import SF_SMOKE
+from waterbear_spark.testing import compare_frames
+
+_STATUSES = ["O", "F", "P"]
+_PRIORITIES = [
+    "1-URGENT",
+    "2-HIGH",
+    "3-MEDIUM",
+    "4-NOT SPECIFIED",
+    "5-LOW",
+]
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    spark.read.parquet(f"{SF_SMOKE}/orders.parquet").createOrReplaceTempView(
+        "orders_diff"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders_diff AS SELECT * FROM '{SF_SMOKE}/orders.parquet'"
+    )
+    yield spark, con
+    con.close()
+    spark.catalog.dropTempView("orders_diff")
+
+
+_comparisons = st.one_of(
+    st.tuples(
+        st.just("o_totalprice"),
+        st.sampled_from([">", "<", ">=", "<="]),
+        st.integers(min_value=1_000, max_value=400_000),
+    ).map(lambda t: f"{t[0]} {t[1]} {t[2]}"),
+    st.tuples(
+        st.just("o_custkey"),
+        st.integers(min_value=2, max_value=13),
+        st.integers(min_value=0, max_value=12),
+    ).map(lambda t: f"{t[0]} % {t[1]} = {t[2] % t[1]}"),
+    st.lists(
+        st.sampled_from(_STATUSES), min_size=1, max_size=3, unique=True
+    ).map(lambda xs: "o_orderstatus IN (%s)" % ", ".join(f"'{x}'" for x in xs)),
+    st.lists(
+        st.sampled_from(_PRIORITIES), min_size=1, max_size=4, unique=True
+    ).map(
+        lambda xs: "o_orderpriority IN (%s)" % ", ".join(f"'{x}'" for x in xs)
+    ),
+    st.tuples(
+        st.sampled_from([">=", "<"]),
+        st.integers(min_value=1992, max_value=1998),
+        st.integers(min_value=1, max_value=12),
+    ).map(
+        lambda t: f"o_orderdate {t[0]} TIMESTAMP '{t[1]}-{t[2]:02d}-01 00:00:00'"
+    ),
+)
+
+
+@st.composite
+def _predicates(draw) -> str:
+    n = draw(st.integers(min_value=1, max_value=3))
+    parts = [draw(_comparisons) for _ in range(n)]
+    out = parts[0]
+    for p in parts[1:]:
+        op = draw(st.sampled_from(["AND", "OR", "AND NOT"]))
+        out = f"({out}) {op} ({p})"
+    return out
+
+
+_QUERY = """
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(20,6))), 2) AS DOUBLE)
+           AS total
+FROM orders_diff
+WHERE {where}
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(where=_predicates())
+def test_spark_and_duckdb_agree_on_generated_predicates(engines, where):
+    spark, con = engines
+    sql = _QUERY.format(where=where)
+    sdf = spark.sql(sql)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(sql)
+    d_cols = [d[0] for d in res.description]
+    assert (
+        compare_frames(sdf.columns, s_rows, d_cols, res.fetchall()) == []
+    ), f"divergence on: {where}"
