@@ -153,3 +153,38 @@ def test_twap_lies_within_value_range(spark):
         lo, hi = bounds[r.event_type]
         assert lo - 1e-9 <= r.twap <= hi + 1e-9
         assert r.n_intervals > 0
+
+
+def test_weighted_median_is_within_price_range(spark):
+    import pyspark.sql.functions as F
+
+    from waterbear_spark.queries.relational_ext import weighted_median_price
+    from waterbear_spark.queries.tables import table
+
+    rows = weighted_median_price(spark, SF_SMOKE).collect()
+    bounds = {
+        r.l_returnflag: (r.lo, r.hi)
+        for r in table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi"))
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        lo, hi = bounds[r.l_returnflag]
+        assert lo <= r.weighted_median <= hi
+        assert r.total_weight > 0
+
+
+def test_equidepth_buckets_are_balanced_and_ordered(spark):
+    from waterbear_spark.queries.relational_ext import (
+        _NTILE_BUCKETS,
+        equidepth_histogram,
+    )
+
+    rows = sorted(equidepth_histogram(spark, SF_SMOKE).collect(), key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == list(range(1, _NTILE_BUCKETS + 1))
+    counts = [r.n for r in rows]
+    assert max(counts) - min(counts) <= 1, "equi-depth buckets must balance"
+    for prev, nxt in zip(rows, rows[1:]):
+        assert prev.hi <= nxt.lo

@@ -814,7 +814,114 @@ FROM sums
 """
 
 
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median of ``l_extendedprice`` per return
+    flag: the first price whose cumulative weight reaches half the
+    group's total. Weights accumulate as exact decimals and the crossing
+    test (``2·cum ≥ total``) is decimal arithmetic, so the picked price
+    is engine-exact; it is also invariant to row order among equal
+    prices, since a price group's closing cumulative weight is fixed.
+
+    Scale: one shuffle partitions by group for the cumulative window,
+    then a filter + min — the weighted-quantile pattern that avoids
+    collecting per-group value lists.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(20,6)")
+    cum = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy("l_returnflag")
+    return (
+        li.select(
+            "l_returnflag",
+            "l_extendedprice",
+            "l_orderkey",
+            "l_linenumber",
+            qty.alias("w"),
+        )
+        .withColumn("cum", F.sum("w").over(cum))
+        .withColumn("tot", F.sum("w").over(tot))
+        .filter(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median"),
+            F.round(F.max("tot"), 2).cast("double").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH cumw AS (
+    SELECT l_returnflag, l_extendedprice,
+           SUM(CAST(l_quantity AS DECIMAL(20,6))) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum,
+           SUM(CAST(l_quantity AS DECIMAL(20,6))) OVER (
+               PARTITION BY l_returnflag
+           ) AS tot
+    FROM lineitem
+)
+SELECT l_returnflag,
+       MIN(l_extendedprice) AS weighted_median,
+       CAST(ROUND(MAX(tot), 2) AS DOUBLE) AS total_weight
+FROM cumw
+WHERE cum * 2 >= tot
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+_NTILE_BUCKETS = 8
+
+
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of order totals: NTILE
+    over the unique total order (price, orderkey tiebreak) yields 8
+    buckets of near-equal row count with their [lo, hi] bounds — the
+    statistic optimizers keep for selectivity estimation.
+
+    Scale: NTILE needs a global order; on a cluster the same statistic
+    comes from rangepartitioning + per-partition counts (or the sketch
+    route via approx quantiles). The catalog keeps the exact window form
+    because its output is engine-portable and the table is one column
+    wide by the time it sorts.
+    """
+    orders = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", "o_orderkey")
+        .withColumn("bucket", F.ntile(_NTILE_BUCKETS).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("bucket")
+    )
+
+
+EQUIDEPTH_SQL = f"""
+SELECT bucket, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+       COUNT(*) AS n
+FROM (
+    SELECT o_totalprice,
+           NTILE({_NTILE_BUCKETS}) OVER (
+               ORDER BY o_totalprice, o_orderkey
+           ) AS bucket
+    FROM orders
+)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 QUERIES = {
+    "weighted_median_price": weighted_median_price,
+    "equidepth_histogram": equidepth_histogram,
     "ols_quantity_price": ols_quantity_price,
     "rollup_cascade": rollup_cascade,
     "kmv_distinct_sketch": kmv_distinct_sketch,
@@ -840,6 +947,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "weighted_median_price": WEIGHTED_MEDIAN_SQL,
+    "equidepth_histogram": EQUIDEPTH_SQL,
     "ols_quantity_price": OLS_SQL,
     "rollup_cascade": ROLLUP_CASCADE_SQL,
     "kmv_distinct_sketch": KMV_SQL,
