@@ -188,3 +188,26 @@ def test_equidepth_buckets_are_balanced_and_ordered(spark):
     assert max(counts) - min(counts) <= 1, "equi-depth buckets must balance"
     for prev, nxt in zip(rows, rows[1:]):
         assert prev.hi <= nxt.lo
+
+
+def test_gapfill_spine_is_complete_and_locf_monotone(spark):
+    from waterbear_spark.queries.behavior import gapfill_locf_daily
+
+    rows = gapfill_locf_daily(spark, SF_SMOKE).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    sizes = {len(v) for v in by_type.values()}
+    assert len(sizes) == 1, "every type must cover the same full date spine"
+    for members in by_type.values():
+        members.sort(key=lambda r: r.day)
+        # consecutive days, no holes
+        for prev, nxt in zip(members, members[1:]):
+            assert (nxt.day - prev.day).days == 1
+        # once a value appears it never becomes NULL again (LOCF)
+        seen = False
+        for r in members:
+            if r.value_locf is not None:
+                seen = True
+            assert not (seen and r.value_locf is None)
+        assert any(r.n_events > 0 for r in members)

@@ -17,6 +17,9 @@ NESTED_LOOP_OK = {
     "q15_top_supplier",
     "q22_idle_customers",
     "kmv_distinct_sketch",
+    # date-spine × event-type grid: a deliberate broadcast cross join of
+    # two generated micro-relations (|types| × |days|)
+    "gapfill_locf_daily",
 }
 
 

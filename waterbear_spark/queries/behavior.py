@@ -476,7 +476,85 @@ ORDER BY day, o_orderkey
 """
 
 
+def gapfill_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-fill: a complete (event_type × day) spine
+    over the observed date range, daily event counts zero-filled, and the
+    daily mean ``value`` carried forward over missing days (LOCF). Days
+    before a type's first observation stay NULL.
+
+    Scale: the spine is |types| × |days| — generated rows, never a
+    shuffle of the fact table; the fact side reduces to daily aggregates
+    first, so the left join and the LOCF window both run on the tiny
+    rollup relation. Means follow the exact-decimal-sum rule, so the
+    carried values are bit-identical across engines.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+            / F.count("value"),
+            6,
+        ).alias("avg_value"),
+    )
+    bounds = ev.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("day")
+    )
+    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(spine))
+    locf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("avg_value", ignorenulls=True).over(locf).alias("value_locf"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_GAPFILL_SQL = """
+WITH ev AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, value FROM events
+),
+daily AS (
+    SELECT event_type, day, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                 / COUNT(value), 6) AS avg_value
+    FROM ev GROUP BY event_type, day
+),
+b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM ev),
+spine AS (
+    SELECT CAST(mn + i * INTERVAL 1 DAY AS DATE) AS day
+    FROM b, range(0, 100000) t(i)
+    WHERE i <= datediff('day', mn, mx)
+),
+grid AS (
+    SELECT event_type, day
+    FROM (SELECT DISTINCT event_type FROM ev), spine
+)
+SELECT g.event_type, g.day,
+       COALESCE(d.n_events, 0) AS n_events,
+       LAST_VALUE(d.avg_value IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_locf
+FROM grid g LEFT JOIN daily d
+  ON g.event_type = d.event_type AND g.day = d.day
+ORDER BY g.event_type, g.day
+"""
+
+
 QUERIES = {
+    "gapfill_locf_daily": gapfill_locf_daily,
     "time_weighted_avg": time_weighted_avg,
     "skyline_orders": skyline_orders,
     "funnel_conversion": funnel_conversion,
@@ -487,6 +565,7 @@ QUERIES = {
     "anomalous_days": anomalous_days,
 }
 ORACLES = {
+    "gapfill_locf_daily": _GAPFILL_SQL,
     "time_weighted_avg": _TWAP_SQL,
     "skyline_orders": _SKYLINE_SQL,
     "funnel_conversion": _FUNNEL_SQL,
