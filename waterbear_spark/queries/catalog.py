@@ -11,6 +11,7 @@ from waterbear_spark.queries import (
     graph,
     llm,
     quality_queries,
+    reconcile,
     relational,
     relational_ext,
     textops,
@@ -28,6 +29,7 @@ QUERIES = {
     **llm.QUERIES,
     **textops.QUERIES,
     **quality_queries.QUERIES,
+    **reconcile.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -43,6 +45,7 @@ ORACLE_SQL = {
     **llm.ORACLES,
     **textops.ORACLES,
     **quality_queries.ORACLES,
+    **reconcile.ORACLES,
     **udfs.ORACLES,
 }
 
