@@ -211,3 +211,16 @@ def test_gapfill_spine_is_complete_and_locf_monotone(spark):
                 seen = True
             assert not (seen and r.value_locf is None)
         assert any(r.n_events > 0 for r in members)
+
+
+def test_bfs_distances_are_triangle_consistent(spark):
+    from waterbear_spark.queries.graph import bfs_shortest_paths
+
+    rows = bfs_shortest_paths(spark, SF_SMOKE).collect()
+    assert rows
+    dists = [r.d for r in rows]
+    assert dists.count(0) == 1, "exactly one source"
+    # BFS levels are contiguous: if level k is populated, so is k-1
+    for k in range(1, max(dists) + 1):
+        if k in dists:
+            assert (k - 1) in dists

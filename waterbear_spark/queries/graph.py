@@ -361,13 +361,136 @@ ORDER BY n_members DESC, community
 """
 
 
+_BFS_ROUNDS = 4
+
+_EDGES_CTE = f"""
+pair_rev AS (
+    SELECT LEAST(n1.n_name, n2.n_name) AS a,
+           GREATEST(n1.n_name, n2.n_name) AS b,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS rev
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY 1, 2
+),
+edges AS (
+    SELECT a, b FROM (
+        SELECT a, b, ROW_NUMBER() OVER (ORDER BY rev DESC, a, b) AS rk
+        FROM pair_rev
+    ) WHERE rk <= {_TOP_EDGES}
+),
+und AS (
+    SELECT a AS src, b AS dst FROM edges
+    UNION ALL
+    SELECT b AS src, a AS dst FROM edges
+)"""
+
+
+def _und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized top-100 nation trade edge list (src, dst) — the shared
+    graph behind triangle counting, label propagation, and BFS."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supp = table(spark, sf_dir, "supplier")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(20,6)"
+    )
+    pair_rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation.withColumnRenamed("n_name", "sn")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .drop("n_nationkey")
+        .join(
+            F.broadcast(nation.withColumnRenamed("n_name", "cn")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("sn") != F.col("cn"))
+        .groupBy(
+            F.least("sn", "cn").alias("a"), F.greatest("sn", "cn").alias("b")
+        )
+        .agg(F.sum(revenue).alias("rev"))
+    )
+    from pyspark.sql import Window
+
+    ranked = pair_rev.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("rev").desc(), F.col("a"), F.col("b"))
+        ),
+    )
+    edges = ranked.filter(F.col("rk") <= _TOP_EDGES).select("a", "b")
+    return edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+
+
+def bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted single-source shortest paths (BFS) on the nation trade
+    graph, source = lexicographically smallest node; 4 synchronous
+    relaxation rounds of the (min, +1) semiring. Deterministic, so the
+    distance table is bit-identical to the chained-CTE oracle.
+
+    Scale: the same Pregel loop discipline as PageRank/LPA — per round
+    one broadcast of the frontier-distance vector (|nodes| rows) onto
+    the edge list, one min-aggregate on dst; state linear in nodes.
+    Four rounds bound the radius walked, exactly like an iterative
+    ``GraphFrames.bfs`` with maxPathLength=4.
+    """
+    und = _und_edges(spark, sf_dir).persist()
+    dist = (
+        und.agg(F.min("src").alias("node")).withColumn("d", F.lit(0))
+    )
+    for _ in range(_BFS_ROUNDS):
+        prop = (
+            und.join(F.broadcast(dist), F.col("src") == F.col("node"))
+            .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        dist = dist.unionAll(prop).groupBy("node").agg(F.min("d").alias("d"))
+    return dist.orderBy("d", "node")
+
+
+def _bfs_sql() -> str:
+    ctes = []
+    prev = "d0"
+    for i in range(1, _BFS_ROUNDS + 1):
+        ctes.append(
+            f"""d{i} AS (
+    SELECT node, MIN(d) AS d FROM (
+        SELECT node, d FROM {prev}
+        UNION ALL
+        SELECT u.dst AS node, {prev}.d + 1 AS d
+        FROM und u JOIN {prev} ON u.src = {prev}.node
+    ) GROUP BY node
+)"""
+        )
+        prev = f"d{i}"
+    return f"""
+WITH {_EDGES_CTE},
+d0 AS (SELECT (SELECT MIN(src) FROM und) AS node, 0 AS d),
+{",".join(ctes)}
+SELECT node, d FROM {prev} ORDER BY d, node
+"""
+
+
 QUERIES = {
     "pagerank_bipartite": pagerank_bipartite,
     "triangle_count_nations": triangle_count_nations,
     "label_propagation_communities": label_propagation_communities,
+    "bfs_shortest_paths": bfs_shortest_paths,
 }
 ORACLES = {
     "pagerank_bipartite": _pagerank_sql(),
     "triangle_count_nations": TRIANGLE_SQL,
     "label_propagation_communities": _lpa_sql(),
+    "bfs_shortest_paths": _bfs_sql(),
 }
