@@ -224,3 +224,14 @@ def test_bfs_distances_are_triangle_consistent(spark):
     for k in range(1, max(dists) + 1):
         if k in dists:
             assert (k - 1) in dists
+
+
+def test_key_islands_are_disjoint_and_maximal(spark):
+    from waterbear_spark.queries.relational_ext import key_islands
+
+    rows = sorted(key_islands(spark, SF_SMOKE).collect(), key=lambda r: r.island_start)
+    assert rows
+    for r in rows:
+        assert r.island_end - r.island_start + 1 == r.n_keys, "island must be contiguous"
+    for prev, nxt in zip(rows, rows[1:]):
+        assert prev.island_end + 1 < nxt.island_start, "islands must be separated by gaps"

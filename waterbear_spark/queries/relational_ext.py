@@ -919,7 +919,63 @@ ORDER BY bucket
 """
 
 
+_ISLAND_TOP = 10
+
+
+def key_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over the fulfilled-order (``status F``) key
+    space: contiguous key
+    runs found with the classic ``key − row_number()`` grouping trick
+    (consecutive keys share the difference), returning the 10 longest
+    islands. The detector for "which ranges of a sequence actually
+    exist" — retention ranges, missing-id audits, compaction planning.
+
+    Scale: one global-order window over a single bigint column, then a
+    tiny aggregate; at cluster scale the same trick runs per range
+    partition with boundary stitching, because islands can only merge
+    at partition edges.
+    """
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+        .distinct()
+    )
+    w = Window.orderBy("o_orderkey")
+    return (
+        orders.withColumn("grp", F.col("o_orderkey") - F.row_number().over(w))
+        .groupBy("grp")
+        .agg(
+            F.min("o_orderkey").alias("island_start"),
+            F.max("o_orderkey").alias("island_end"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+        .orderBy(F.col("n_keys").desc(), "island_start")
+        .limit(_ISLAND_TOP)
+        .select("island_start", "island_end", "n_keys")
+    )
+
+
+KEY_ISLANDS_SQL = f"""
+SELECT island_start, island_end, n_keys
+FROM (
+    SELECT MIN(o_orderkey) AS island_start,
+           MAX(o_orderkey) AS island_end,
+           COUNT(*) AS n_keys
+    FROM (
+        SELECT o_orderkey,
+               o_orderkey - ROW_NUMBER() OVER (ORDER BY o_orderkey) AS grp
+        FROM (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+    )
+    GROUP BY grp
+)
+ORDER BY n_keys DESC, island_start
+LIMIT {_ISLAND_TOP}
+"""
+
+
 QUERIES = {
+    "key_islands": key_islands,
     "weighted_median_price": weighted_median_price,
     "equidepth_histogram": equidepth_histogram,
     "ols_quantity_price": ols_quantity_price,
@@ -947,6 +1003,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "key_islands": KEY_ISLANDS_SQL,
     "weighted_median_price": WEIGHTED_MEDIAN_SQL,
     "equidepth_histogram": EQUIDEPTH_SQL,
     "ols_quantity_price": OLS_SQL,
