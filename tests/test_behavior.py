@@ -235,3 +235,17 @@ def test_key_islands_are_disjoint_and_maximal(spark):
         assert r.island_end - r.island_start + 1 == r.n_keys, "island must be contiguous"
     for prev, nxt in zip(rows, rows[1:]):
         assert prev.island_end + 1 < nxt.island_start, "islands must be separated by gaps"
+
+
+def test_time_to_convert_is_consistent_with_funnel(spark):
+    from waterbear_spark.queries.behavior import (
+        funnel_conversion,
+        funnel_time_to_convert,
+    )
+
+    (row,) = funnel_time_to_convert(spark, SF_SMOKE).collect()
+    stage3 = {
+        r.stage: r.n_users for r in funnel_conversion(spark, SF_SMOKE).collect()
+    }[3]
+    assert row.n_converted == stage3, "latency population == stage-3 users"
+    assert 0 <= row.p50_seconds <= row.p90_seconds

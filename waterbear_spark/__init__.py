@@ -13,6 +13,11 @@ Public API:
 from waterbear_spark.schema.compiler import CompiledEntity, SchemaCompiler
 from waterbear_spark.quality.expectations import Expectations
 from waterbear_spark.generator.records import RecordGenerator
+from waterbear_spark.operators.asof import asof_join
+from waterbear_spark.operators.diff import table_diff
+from waterbear_spark.operators.rangejoin import range_join
+from waterbear_spark.operators.skew import salted_agg, salted_join
+from waterbear_spark.operators.topk import top_k_per_group
 
 __version__ = "0.1.0"
 
@@ -21,5 +26,11 @@ __all__ = [
     "CompiledEntity",
     "Expectations",
     "RecordGenerator",
+    "asof_join",
+    "range_join",
+    "table_diff",
+    "salted_join",
+    "salted_agg",
+    "top_k_per_group",
     "__version__",
 ]

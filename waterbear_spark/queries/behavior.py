@@ -553,7 +553,73 @@ ORDER BY g.event_type, g.day
 """
 
 
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency distribution: exact p50/p90 of the time from a
+    user's first view to their first qualifying purchase (same chained
+    stage semantics as ``funnel_conversion``). Gaps are exact BIGINT
+    microsecond differences; the interpolated percentile is the single
+    float step (Spark ``percentile`` == DuckDB ``quantile_cont``,
+    rounded).
+
+    Scale: the stage chain shuffles on ``user_id`` once and shrinks; the
+    percentile aggregates one small converted-users frame into one row.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t1").alias("t1"))
+    )
+    secs = (F.unix_micros("t3") - F.unix_micros("t1")) / F.lit(1000000.0)
+    return s3.select(secs.alias("s")).agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(s, 0.5)"), 4).alias("p50_seconds"),
+        F.round(F.expr("percentile(s, 0.9)"), 4).alias("p90_seconds"),
+    )
+
+
+_TIME_TO_CONVERT_SQL = f"""
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t1
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts >= s1.t1
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3, MIN(s2.t1) AS t1
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts >= s2.t2
+    GROUP BY e.user_id
+)
+SELECT COUNT(*) AS n_converted,
+       ROUND(QUANTILE_CONT((epoch_us(t3) - epoch_us(t1)) / 1000000.0, 0.5), 4)
+           AS p50_seconds,
+       ROUND(QUANTILE_CONT((epoch_us(t3) - epoch_us(t1)) / 1000000.0, 0.9), 4)
+           AS p90_seconds
+FROM s3
+"""
+
+
 QUERIES = {
+    "funnel_time_to_convert": funnel_time_to_convert,
     "gapfill_locf_daily": gapfill_locf_daily,
     "time_weighted_avg": time_weighted_avg,
     "skyline_orders": skyline_orders,
@@ -565,6 +631,7 @@ QUERIES = {
     "anomalous_days": anomalous_days,
 }
 ORACLES = {
+    "funnel_time_to_convert": _TIME_TO_CONVERT_SQL,
     "gapfill_locf_daily": _GAPFILL_SQL,
     "time_weighted_avg": _TWAP_SQL,
     "skyline_orders": _SKYLINE_SQL,
