@@ -111,3 +111,73 @@ def test_spark_and_duckdb_agree_on_generated_predicates(engines, where):
     assert (
         compare_frames(sdf.columns, s_rows, d_cols, res.fetchall()) == []
     ), f"divergence on: {where}"
+
+
+@pytest.fixture(scope="module")
+def join_engines(spark):
+    for t in ("orders", "customer"):
+        spark.read.parquet(f"{SF_SMOKE}/{t}.parquet").createOrReplaceTempView(
+            f"{t}_jd"
+        )
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {t}_jd AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
+    yield spark, con
+    con.close()
+    for t in ("orders", "customer"):
+        spark.catalog.dropTempView(f"{t}_jd")
+
+
+_JOIN_QUERY = """
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(20,6))), 2) AS DOUBLE)
+           AS total
+FROM orders_jd JOIN customer_jd ON o_custkey = c_custkey
+WHERE {where}
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+_join_comparisons = st.one_of(
+    _comparisons,
+    st.lists(st.sampled_from(_SEGMENTS), min_size=1, max_size=3, unique=True).map(
+        lambda xs: "c_mktsegment IN (%s)" % ", ".join(f"'{x}'" for x in xs)
+    ),
+    st.tuples(
+        st.just("c_acctbal"),
+        st.sampled_from([">", "<="]),
+        st.integers(min_value=-900, max_value=9000),
+    ).map(lambda t: f"{t[0]} {t[1]} {t[2]}"),
+)
+
+
+@st.composite
+def _join_predicates(draw) -> str:
+    n = draw(st.integers(min_value=1, max_value=3))
+    parts = [draw(_join_comparisons) for _ in range(n)]
+    out = parts[0]
+    for p in parts[1:]:
+        op = draw(st.sampled_from(["AND", "OR", "AND NOT"]))
+        out = f"({out}) {op} ({p})"
+    return out
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(where=_join_predicates())
+def test_spark_and_duckdb_agree_on_join_predicates(join_engines, where):
+    spark, con = join_engines
+    sql = _JOIN_QUERY.format(where=where)
+    sdf = spark.sql(sql)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(sql)
+    d_cols = [d[0] for d in res.description]
+    assert (
+        compare_frames(sdf.columns, s_rows, d_cols, res.fetchall()) == []
+    ), f"divergence on: {where}"
