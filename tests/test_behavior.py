@@ -249,3 +249,33 @@ def test_time_to_convert_is_consistent_with_funnel(spark):
     }[3]
     assert row.n_converted == stage3, "latency population == stage-3 users"
     assert 0 <= row.p50_seconds <= row.p90_seconds
+
+
+def test_band_join_has_no_nested_loop(spark):
+    from waterbear_spark.queries.relational_ext import band_join_orders
+
+    df = band_join_orders(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows and all(r.n_pairs > 0 for r in rows)
+
+
+def test_winsorized_mean_is_between_bounds(spark):
+    import pyspark.sql.functions as F
+
+    from waterbear_spark.queries.relational_ext import winsorized_mean_price
+    from waterbear_spark.queries.tables import table
+
+    rows = winsorized_mean_price(spark, SF_SMOKE).collect()
+    bounds = {
+        r.o_orderstatus: (r.lo, r.hi)
+        for r in table(spark, SF_SMOKE, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        lo, hi = bounds[r.o_orderstatus]
+        assert lo <= r.winsorized_mean <= hi

@@ -974,7 +974,129 @@ LIMIT {_ISLAND_TOP}
 """
 
 
+_BAND = 1.0  # price distance threshold
+
+
+def band_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity band join: pairs of same-status orders whose total
+    prices differ by ≤ 1.0, counted per status — WITHOUT a nested-loop
+    inequality join. Prices bucketize to unit-width bins; each left row
+    probes its own and both neighbour bins (a 3-way explode), the join is
+    a plain equi-join on (status, bin), and the exact |Δprice| filter
+    runs join-local. ``a < b`` on the key canonicalizes pairs.
+
+    Scale: the explode triples one side, then everything is hash
+    partitioned by (status, bin) — candidate pairs are only ever
+    bin-local, the same bucketization trick as ``operators/rangejoin.py``
+    applied to value distance instead of intervals.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    left = orders.select(
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_totalprice").alias("p1"),
+        F.explode(
+            F.array(
+                F.floor("o_totalprice") - 1,
+                F.floor("o_totalprice"),
+                F.floor("o_totalprice") + 1,
+            )
+        ).alias("bin"),
+    )
+    right = orders.select(
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_totalprice").alias("p2"),
+        F.floor("o_totalprice").alias("bin"),
+    )
+    return (
+        left.join(right, ["st", "bin"])
+        .filter(
+            (F.col("k1") < F.col("k2"))
+            & (F.abs(F.col("p1") - F.col("p2")) <= _BAND)
+        )
+        .groupBy(F.col("st").alias("o_orderstatus"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("o_orderstatus")
+    )
+
+
+BAND_JOIN_SQL = f"""
+WITH left_side AS (
+    SELECT o_orderstatus AS st, o_orderkey AS k1, o_totalprice AS p1,
+           UNNEST([FLOOR(o_totalprice) - 1,
+                   FLOOR(o_totalprice),
+                   FLOOR(o_totalprice) + 1]) AS bin
+    FROM orders
+),
+right_side AS (
+    SELECT o_orderstatus AS st, o_orderkey AS k2, o_totalprice AS p2,
+           FLOOR(o_totalprice) AS bin
+    FROM orders
+)
+SELECT l.st AS o_orderstatus, COUNT(*) AS n_pairs
+FROM left_side l JOIN right_side r ON l.st = r.st AND l.bin = r.bin
+WHERE l.k1 < r.k2 AND ABS(l.p1 - r.p2) <= {_BAND}
+GROUP BY l.st
+ORDER BY o_orderstatus
+"""
+
+
+def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (winsorized) mean: order totals clipped to the exact
+    interpolated [p05, p95] band per status, then averaged with the exact
+    decimal-sum rule. The percentile thresholds are the only interpolated
+    floats, computed by the identical formula in both engines; clipping
+    and the final division are deterministic.
+
+    Scale: two passes over one shuffle key — a percentile aggregate
+    (|groups| rows, broadcast back) and a map-side-combinable mean.
+    """
+    orders = table(spark, sf_dir, "orders")
+    bounds = orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return (
+        orders.join(F.broadcast(bounds), "o_orderstatus")
+        .select("o_orderstatus", clipped.alias("c"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(
+                F.sum(F.col("c").cast("decimal(20,6)")).cast("double")
+                / F.count("c"),
+                4,
+            ).alias("winsorized_mean"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+WINSORIZED_SQL = """
+WITH bounds AS (
+    SELECT o_orderstatus,
+           QUANTILE_CONT(o_totalprice, 0.05) AS lo,
+           QUANTILE_CONT(o_totalprice, 0.95) AS hi
+    FROM orders GROUP BY o_orderstatus
+)
+SELECT o.o_orderstatus,
+       ROUND(CAST(SUM(CAST(LEAST(GREATEST(o_totalprice, lo), hi)
+                           AS DECIMAL(20,6))) AS DOUBLE)
+             / COUNT(*), 4) AS winsorized_mean,
+       COUNT(*) AS n
+FROM orders o JOIN bounds b ON o.o_orderstatus = b.o_orderstatus
+GROUP BY o.o_orderstatus
+ORDER BY o.o_orderstatus
+"""
+
+
 QUERIES = {
+    "band_join_orders": band_join_orders,
+    "winsorized_mean_price": winsorized_mean_price,
     "key_islands": key_islands,
     "weighted_median_price": weighted_median_price,
     "equidepth_histogram": equidepth_histogram,
@@ -1003,6 +1125,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "band_join_orders": BAND_JOIN_SQL,
+    "winsorized_mean_price": WINSORIZED_SQL,
     "key_islands": KEY_ISLANDS_SQL,
     "weighted_median_price": WEIGHTED_MEDIAN_SQL,
     "equidepth_histogram": EQUIDEPTH_SQL,
