@@ -279,3 +279,16 @@ def test_winsorized_mean_is_between_bounds(spark):
     for r in rows:
         lo, hi = bounds[r.o_orderstatus]
         assert lo <= r.winsorized_mean <= hi
+
+
+def test_correlation_matrix_values_are_valid(spark):
+    from waterbear_spark.queries.relational_ext import correlation_matrix
+
+    rows = correlation_matrix(spark, SF_SMOKE).collect()
+    assert len(rows) == 3
+    assert {(r.col_a, r.col_b) for r in rows} == {
+        ("qty", "price"),
+        ("qty", "disc"),
+        ("price", "disc"),
+    }
+    assert all(-1.0 <= r.r <= 1.0 for r in rows)

@@ -1094,7 +1094,99 @@ ORDER BY o.o_orderstatus
 """
 
 
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of (quantity, price, discount)
+    in ONE pass: every moment sum (Σx, Σxy, Σx², …) accumulates exactly
+    as decimals in a single aggregate, then each of the three
+    correlations is one deterministic double formula — the sufficient-
+    statistics pattern of ``ols_quantity_price`` generalized to a matrix.
+
+    Scale: one map-side-combinable aggregate over the fact table, 9 sums
+    + a count, single-row shuffle; the matrix unpivots driver-free from
+    that one row.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    cols = {
+        "qty": F.col("l_quantity").cast(_D2),
+        "price": F.col("l_extendedprice").cast(_D2),
+        "disc": F.col("l_discount").cast("decimal(12,4)"),
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    names = list(cols)
+    for a in names:
+        aggs.append(F.sum(cols[a]).cast("double").alias(f"s_{a}"))
+        aggs.append(F.sum(cols[a] * cols[a]).cast("double").alias(f"s_{a}{a}"))
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            aggs.append(F.sum(cols[a] * cols[b]).cast("double").alias(f"s_{a}{b}"))
+    sums = li.agg(*aggs)
+
+    def corr(a: str, b: str):
+        n = F.col("n")
+        num = n * F.col(f"s_{a}{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        den = F.sqrt(
+            (n * F.col(f"s_{a}{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+            * (n * F.col(f"s_{b}{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        )
+        return F.round(num / den, 6)
+
+    pairs = [
+        sums.select(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+            corr(a, b).alias("r"),
+        )
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+    ]
+    out = pairs[0]
+    for p in pairs[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("col_a", "col_b")
+
+
+CORRELATION_SQL = """
+WITH sums AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s_qtyqty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s_priceprice,
+           CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS s_disc,
+           CAST(SUM(CAST(l_discount AS DECIMAL(12,4))
+                    * CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS s_discdisc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s_qtyprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS s_qtydisc,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS s_pricedisc
+    FROM lineitem
+)
+SELECT 'qty' AS col_a, 'price' AS col_b,
+       ROUND((n * s_qtyprice - s_qty * s_price)
+             / SQRT((n * s_qtyqty - s_qty * s_qty)
+                    * (n * s_priceprice - s_price * s_price)), 6) AS r
+FROM sums
+UNION ALL
+SELECT 'qty', 'disc',
+       ROUND((n * s_qtydisc - s_qty * s_disc)
+             / SQRT((n * s_qtyqty - s_qty * s_qty)
+                    * (n * s_discdisc - s_disc * s_disc)), 6)
+FROM sums
+UNION ALL
+SELECT 'price', 'disc',
+       ROUND((n * s_pricedisc - s_price * s_disc)
+             / SQRT((n * s_priceprice - s_price * s_price)
+                    * (n * s_discdisc - s_disc * s_disc)), 6)
+FROM sums
+ORDER BY col_a, col_b
+"""
+
+
 QUERIES = {
+    "correlation_matrix": correlation_matrix,
     "band_join_orders": band_join_orders,
     "winsorized_mean_price": winsorized_mean_price,
     "key_islands": key_islands,
@@ -1125,6 +1217,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "correlation_matrix": CORRELATION_SQL,
     "band_join_orders": BAND_JOIN_SQL,
     "winsorized_mean_price": WINSORIZED_SQL,
     "key_islands": KEY_ISLANDS_SQL,
