@@ -292,3 +292,16 @@ def test_correlation_matrix_values_are_valid(spark):
         ("price", "disc"),
     }
     assert all(-1.0 <= r.r <= 1.0 for r in rows)
+
+
+def test_top_event_paths_are_deterministic_and_bounded(spark):
+    from waterbear_spark.queries.behavior import _PATH_TOP, top_event_paths
+
+    a = [(r.path, r.n) for r in top_event_paths(spark, SF_SMOKE).collect()]
+    b = [(r.path, r.n) for r in top_event_paths(spark, SF_SMOKE).collect()]
+    assert a == b, "path mining must be deterministic despite collect_list"
+    assert 0 < len(a) <= _PATH_TOP
+    counts = [n for _, n in a]
+    assert counts == sorted(counts, reverse=True)
+    assert all(set(p.split(">")) <= {"view", "click", "purchase", "signup", "error"}
+               for p, _ in a)

@@ -618,7 +618,63 @@ FROM s3
 """
 
 
+_PATH_TOP = 10
+
+
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the 10 most common within-day event sequences. Each
+    (user, day) becomes a '>'-joined path of its event types in exact
+    time order (ties broken by the unique event_id), then paths are
+    counted globally. ``collect_list`` order is nondeterministic, so the
+    list is gathered as (ts, event_id, type) structs and ``array_sort``
+    imposes the total order row-locally — the same discipline as the
+    catalog's window tiebreaks, applied to array aggregation.
+
+    Scale: one shuffle on (user, day); path strings are bounded by the
+    per-day event count and the final count aggregate sees only distinct
+    paths. For unbounded sessions, cap the list with ``slice`` before
+    joining — never collect raw event lists wider than the session
+    definition allows.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "ts", "event_id", "event_type"
+    )
+    path = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda x: x["event_type"],
+        ),
+        ">",
+    )
+    return (
+        ev.groupBy("user_id", "day")
+        .agg(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(_PATH_TOP)
+    )
+
+
+_PATHS_SQL = f"""
+WITH paths AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM events
+    GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT path, COUNT(*) AS n
+FROM paths
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT {_PATH_TOP}
+"""
+
+
 QUERIES = {
+    "top_event_paths": top_event_paths,
     "funnel_time_to_convert": funnel_time_to_convert,
     "gapfill_locf_daily": gapfill_locf_daily,
     "time_weighted_avg": time_weighted_avg,
@@ -631,6 +687,7 @@ QUERIES = {
     "anomalous_days": anomalous_days,
 }
 ORACLES = {
+    "top_event_paths": _PATHS_SQL,
     "funnel_time_to_convert": _TIME_TO_CONVERT_SQL,
     "gapfill_locf_daily": _GAPFILL_SQL,
     "time_weighted_avg": _TWAP_SQL,
