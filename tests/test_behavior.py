@@ -305,3 +305,13 @@ def test_top_event_paths_are_deterministic_and_bounded(spark):
     assert counts == sorted(counts, reverse=True)
     assert all(set(p.split(">")) <= {"view", "click", "purchase", "signup", "error"}
                for p, _ in a)
+
+
+def test_null_safe_join_matches_null_bucket(spark):
+    from waterbear_spark.queries.behavior import null_safe_join_buckets
+
+    rows = null_safe_join_buckets(spark, SF_SMOKE).collect()
+    buckets = [r.bucket for r in rows]
+    assert None in buckets, "the NULL bucket must survive the null-safe join"
+    for r in rows:
+        assert 0 < r.n_view <= r.n_all

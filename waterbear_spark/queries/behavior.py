@@ -673,7 +673,55 @@ LIMIT {_PATH_TOP}
 """
 
 
+def null_safe_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): events
+    bucketed by a *nullable* derived key (``k % 5`` with 0 mapped to
+    NULL) joined against the view-only bucket counts so the NULL bucket
+    matches itself — the semantics a plain ``=`` join silently drops.
+
+    Scale: both sides are tiny aggregates of one shuffle each; the
+    null-safe condition still hash-partitions (NULL hashes to a single
+    key), unlike an OR-of-IS-NULL rewrite which would nested-loop.
+    """
+    k = F.nullif(
+        F.get_json_object("props", "$.k").cast("int") % 5, F.lit(0)
+    )
+    ev = table(spark, sf_dir, "events").select(
+        k.alias("bucket"), "event_type"
+    )
+    all_n = ev.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_all"))
+    view_n = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.col("bucket").alias("v_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_view"))
+    )
+    return (
+        all_n.join(view_n, F.col("bucket").eqNullSafe(F.col("v_bucket")))
+        .select("bucket", "n_all", "n_view")
+        .orderBy(F.col("bucket").asc_nulls_first())
+    )
+
+
+_NULL_SAFE_SQL = """
+WITH ev AS (
+    SELECT NULLIF(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) % 5, 0)
+               AS bucket,
+           event_type
+    FROM events
+),
+all_n AS (SELECT bucket, COUNT(*) AS n_all FROM ev GROUP BY bucket),
+view_n AS (
+    SELECT bucket AS v_bucket, COUNT(*) AS n_view
+    FROM ev WHERE event_type = 'view' GROUP BY bucket
+)
+SELECT bucket, n_all, n_view
+FROM all_n JOIN view_n ON bucket IS NOT DISTINCT FROM v_bucket
+ORDER BY bucket NULLS FIRST
+"""
+
+
 QUERIES = {
+    "null_safe_join_buckets": null_safe_join_buckets,
     "top_event_paths": top_event_paths,
     "funnel_time_to_convert": funnel_time_to_convert,
     "gapfill_locf_daily": gapfill_locf_daily,
@@ -687,6 +735,7 @@ QUERIES = {
     "anomalous_days": anomalous_days,
 }
 ORACLES = {
+    "null_safe_join_buckets": _NULL_SAFE_SQL,
     "top_event_paths": _PATHS_SQL,
     "funnel_time_to_convert": _TIME_TO_CONVERT_SQL,
     "gapfill_locf_daily": _GAPFILL_SQL,
