@@ -59,6 +59,4 @@ def recommended_conf(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # deterministic timestamps for cross-engine comparison
         "spark.sql.session.timeZone": "UTC",
-        # events.parquet carries TIMESTAMP(NANOS) (see queries/tables.py)
-        "spark.sql.legacy.parquet.nanosAsLong": "true",
     }
