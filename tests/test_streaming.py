@@ -27,6 +27,7 @@ def event_stream_dir(spark, tmp_path_factory):
         .coalesce(4)
         .write.mode("overwrite")
         .option("timestampFormat", TS_FMT)
+        .option("timestampNTZFormat", TS_FMT)
         .json(path)
     )
     return path
@@ -53,6 +54,7 @@ def _stream_source(spark, path):
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 2)
         .option("timestampFormat", TS_FMT)
+        .option("timestampNTZFormat", TS_FMT)
         .json(path)
     )
 
@@ -111,12 +113,19 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
 
     first = events.filter(F.col("event_id") < 300)
-    first.coalesce(3).write.mode("overwrite").option("timestampFormat", TS_FMT).json(src)
+    (
+        first.coalesce(3)
+        .write.mode("overwrite")
+        .option("timestampFormat", TS_FMT)
+        .option("timestampNTZFormat", TS_FMT)
+        .json(src)
+    )
 
     def run_once():
         stream = (
             spark.readStream.schema(events.schema)
             .option("timestampFormat", TS_FMT)
+        .option("timestampNTZFormat", TS_FMT)
             .json(src)
         )
         query = (
@@ -135,7 +144,13 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
     # a new file lands; the resumed stream must pick up ONLY that file
     more = events.filter(F.col("event_id") >= 880)
     n_more = more.count()
-    more.coalesce(1).write.mode("append").option("timestampFormat", TS_FMT).json(src)
+    (
+        more.coalesce(1)
+        .write.mode("append")
+        .option("timestampFormat", TS_FMT)
+        .option("timestampNTZFormat", TS_FMT)
+        .json(src)
+    )
     run_once()
 
     result = spark.read.parquet(out)

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from waterbear_spark.queries.tables import table
+from waterbear_spark.queries.tables import epoch_us, table
 
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
@@ -186,7 +186,7 @@ WITH sweep AS (
     SELECT event_type, ts + INTERVAL {_SPAN_MIN} MINUTE, -1 FROM events
 )
 SELECT event_type,
-       MAX(running) AS peak_concurrency
+       CAST(MAX(running) AS BIGINT) AS peak_concurrency
 FROM (
     SELECT event_type,
            SUM(delta) OVER (
@@ -380,7 +380,7 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("event_type", "event_id", "ts", "value")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     gaps = (
-        ev.withColumn("us", F.unix_micros("ts"))
+        ev.withColumn("us", epoch_us("ts"))
         .withColumn("delta_us", F.lead("us").over(w) - F.col("us"))
         .filter(F.col("delta_us").isNotNull())
     )
@@ -584,7 +584,7 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"), F.min("t1").alias("t1"))
     )
-    secs = (F.unix_micros("t3") - F.unix_micros("t1")) / F.lit(1000000.0)
+    secs = (epoch_us("t3") - epoch_us("t1")) / F.lit(1000000.0)
     return s3.select(secs.alias("s")).agg(
         F.count(F.lit(1)).alias("n_converted"),
         F.round(F.expr("percentile(s, 0.5)"), 4).alias("p50_seconds"),

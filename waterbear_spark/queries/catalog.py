@@ -52,3 +52,44 @@ ORACLE_SQL = {
 # every oracle key must have a query twin (the reverse may lag for
 # non-SQL-expressible ops, which get rows-only checks)
 assert set(ORACLE_SQL) <= set(QUERIES), "oracle without query"
+
+# The driver's correctness harness validates the catalog in dict order
+# with a bounded window, so ordering decides which operators get
+# cross-engine evidence each round. Front-load (1) queries whose round-1
+# check failed and was since fixed, then (2) queries not yet covered by
+# any recorded round, leaving the already-validated tail last.
+_PRIORITY = [
+    # round-1 failures, fixed (NTZ-safe epoch math; BIGINT-clean oracles)
+    "funnel_time_to_convert",
+    "time_weighted_avg",
+    "interval_peak_concurrency",
+    "rollup_cascade",
+]
+_ROUND1_VALIDATED = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "filter_project", "join_semi", "join_anti", "join_theta",
+    "asof_last_order", "agg_stats", "agg_distinct", "rollup_orders",
+    "cube_lineitem", "window_topk_parts", "window_running_totals",
+    "top_n_orders", "set_intersect_nations", "set_except_nations",
+    "union_priority_classes", "string_functions", "date_functions",
+    "json_functions", "variant_events", "events_hourly", "events_sliding",
+    "range_join_windows", "null_safe_join_buckets", "top_event_paths",
+    "gapfill_locf_daily", "skyline_orders", "funnel_conversion",
+    "cohort_retention", "reservoir_sample_orders",
+    "event_transition_matrix", "anomalous_days", "correlation_matrix",
+    "band_join_orders", "winsorized_mean_price", "key_islands",
+    "weighted_median_price", "equidepth_histogram", "ols_quantity_price",
+    "kmv_distinct_sketch", "sessionize_events", "explode_ordinality",
+    "window_range_frame", "rollup_grouping_id",
+]
+
+
+def _reorder(mapping: dict) -> dict:
+    head = [k for k in _PRIORITY if k in mapping]
+    tail = [k for k in _ROUND1_VALIDATED if k in mapping]
+    mid = [k for k in mapping if k not in set(head) | set(tail)]
+    return {k: mapping[k] for k in head + mid + tail}
+
+
+QUERIES = _reorder(QUERIES)
+ORACLE_SQL = _reorder(ORACLE_SQL)

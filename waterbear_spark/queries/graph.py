@@ -121,7 +121,7 @@ nodes AS (SELECT DISTINCT src AS node FROM edges),
 n AS (SELECT COUNT(*) AS c FROM nodes),
 r0 AS (SELECT node, {_SCALE} // (SELECT c FROM n) AS r FROM nodes),
 {",".join(iter_ctes)}
-SELECT node - {_SUPP_OFF} AS supp_id, r AS rank_fp
+SELECT node - {_SUPP_OFF} AS supp_id, CAST(r AS BIGINT) AS rank_fp
 FROM {prev}
 WHERE node >= {_SUPP_OFF}
 ORDER BY rank_fp DESC, supp_id

@@ -107,20 +107,23 @@ def checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus"),
     )
     h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("decimal(38,0)")
+    # surfaced as a string: DECIMAL(38,0) collects as Decimal/float128
+    # inconsistently across client paths, while the digit string is exact
+    # and identical in both engines
     return orders.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(h).cast("decimal(38,0)").alias("checksum"),
+        F.sum(h).cast("decimal(38,0)").cast("string").alias("checksum"),
     )
 
 
 CHECKSUM_SQL = """
 SELECT COUNT(*) AS n_rows,
-       CAST(SUM(CAST(CAST(CAST('0x' || substr(md5(
+       CAST(CAST(SUM(CAST(CAST(CAST('0x' || substr(md5(
            o_orderkey || '|' || o_custkey || '|'
            || CAST(o_totalprice AS DECIMAL(20,2)) || '|'
            || CAST(o_orderdate AS DATE) || '|' || o_orderstatus
        ), 1, 15) AS UBIGINT) AS BIGINT) AS DECIMAL(38,0)))
-           AS DECIMAL(38,0)) AS checksum
+           AS DECIMAL(38,0)) AS VARCHAR) AS checksum
 FROM orders
 """
 

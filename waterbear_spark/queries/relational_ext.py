@@ -207,9 +207,9 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAP_FUNCS_SQL = """
 WITH counts AS (
     SELECT o_custkey,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_n,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_n,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_n
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_n
     FROM orders GROUP BY o_custkey
 ),
 mapped AS (
@@ -258,9 +258,9 @@ def pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIVOT_SQL = """
 SELECT c_mktsegment,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
-       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
@@ -687,7 +687,7 @@ WITH hourly AS (
     GROUP BY 1, 2
 )
 SELECT CAST(DATE_TRUNC('day', hour_start) AS DATE) AS day, event_type,
-       SUM(n_events) AS n_events,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
        CAST(ROUND(SUM(sum_value_exact), 2) AS DOUBLE) AS sum_value
 FROM hourly
 GROUP BY 1, 2

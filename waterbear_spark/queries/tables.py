@@ -25,6 +25,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def epoch_us(col: Column | str) -> Column:
+    """Microseconds since epoch as BIGINT, tolerant of both TIMESTAMP and
+    TIMESTAMP_NTZ inputs (parquet timestamps surface as NTZ when
+    ``spark.sql.parquet.inferTimestampNTZ.enabled`` is on, and
+    ``unix_micros`` rejects NTZ). Computed as wall-clock NTZ arithmetic so
+    the value is independent of the session timezone — bit-identical to
+    DuckDB's ``epoch_us`` on naive parquet timestamps.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        c.cast("timestamp_ntz"),
+    )
+
+
 def dsum(col: Column, alias: str, scale: int = 2) -> Column:
     """Exact decimal SUM, rounded, surfaced as double."""
     return F.round(F.sum(col.cast(DEC)), scale).cast("double").alias(alias)

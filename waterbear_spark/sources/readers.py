@@ -18,6 +18,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+# Text sources parse fractional seconds through format patterns whose
+# defaults keep only millis — and TIMESTAMP_NTZ columns read the separate
+# ``timestampNTZFormat`` option, a trap when an entity schema types a
+# column as NTZ. Pass ``**MICROS_TS_OPTIONS`` to a reader (and its writer
+# twin) when event times carry microseconds; not the default because the
+# strict pattern rejects inputs without exactly six fractional digits.
+MICROS_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+MICROS_TS_OPTIONS = {
+    "timestampFormat": MICROS_TS_FMT,
+    "timestampNTZFormat": MICROS_TS_FMT,
+}
+
 
 def read_entity(
     spark: SparkSession,

@@ -24,6 +24,19 @@ from pyspark.sql import functions as F
 from waterbear_spark.queries.tables import DEC
 
 
+def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Streaming event time must be TIMESTAMP: parquet/json sources surface
+    naive timestamps as TIMESTAMP_NTZ (rejected by ``withWatermark``), so
+    cast it up front. Applied to batch inputs too, so batch backfill and
+    incremental runs of the same transform agree on output types. Run
+    sessions at UTC (``conf.recommended_conf``) and the cast is a no-op on
+    the underlying micros.
+    """
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def tumbling_metrics(
     events: DataFrame,
     window: str = "1 hour",
@@ -37,6 +50,7 @@ def tumbling_metrics(
     Works identically on batch and streaming inputs; on a stream the
     watermark lets Spark finalize windows and evict their state.
     """
+    events = ensure_event_time(events, ts_col)
     win = (
         F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     )
@@ -69,6 +83,7 @@ def session_metrics(
     """Session windows: activity bursts per key separated by ``gap`` of
     silence. State is one open session per key, merged as events arrive.
     """
+    events = ensure_event_time(events, ts_col)
     stream = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return (
         stream.groupBy(F.session_window(ts_col, gap).alias("sess"), key_col)
@@ -110,6 +125,8 @@ def stream_stream_join(
     Batch/stream polymorphic like every transform here; in batch the same
     plan is an ordinary range-bounded equi-join.
     """
+    left = ensure_event_time(left, ts_col)
+    right = ensure_event_time(right, ts_col)
     if left.isStreaming:
         left = left.withWatermark(ts_col, watermark)
         right = right.withWatermark(ts_col, watermark)
@@ -169,6 +186,7 @@ def stream_dedup(
     watermark are evicted instead of accumulating forever.
     """
     id_cols = id_cols or ["event_id"]
+    events = ensure_event_time(events, ts_col)
     if events.isStreaming:
         return events.withWatermark(ts_col, watermark).dropDuplicates(
             id_cols + [ts_col]
