@@ -10,10 +10,12 @@ from waterbear_spark.queries import (
     behavior,
     graph,
     llm,
+    multimodal_queries,
     quality_queries,
     reconcile,
     relational,
     relational_ext,
+    streaming_queries,
     textops,
     tpch_more,
     tpch_rest,
@@ -30,6 +32,8 @@ QUERIES = {
     **textops.QUERIES,
     **quality_queries.QUERIES,
     **reconcile.QUERIES,
+    **multimodal_queries.QUERIES,
+    **streaming_queries.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -46,6 +50,8 @@ ORACLE_SQL = {
     **textops.ORACLES,
     **quality_queries.ORACLES,
     **reconcile.ORACLES,
+    **multimodal_queries.ORACLES,
+    **streaming_queries.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -64,6 +70,11 @@ _PRIORITY = [
     "time_weighted_avg",
     "interval_peak_concurrency",
     "rollup_cascade",
+    # new this round: multimodal + streaming-twin operators
+    "multimodal_decode_stats",
+    "multimodal_frame_sample",
+    "multimodal_header_triage",
+    "attribution_join",
 ]
 _ROUND1_VALIDATED = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",

@@ -1,0 +1,191 @@
+"""Multimodal catalog queries: binary media columns exercised end-to-end
+against the DuckDB oracle.
+
+The payloads are deterministic fakes derived from document text
+(``functions/multimodal.py attach_fake_media``: md5 -> 128 bytes), so
+every byte is reproducible in SQL and the oracle can recompute the same
+features — which is the point: the *plumbing* (binary columns, JVM-side
+slicing, Arrow-batched decode, typed metadata structs) is what these
+queries certify, while the real codec stays stubbed per the environment
+contract (see ``decode_media``).
+
+Scale posture: everything except ``fake_decode_features``'s explicit
+mapInPandas stays in whole-stage codegen (binary substr/hex/conv), so
+multimodal triage — filter by magic number, bucket by dimensions, sample
+frames — never pays a Python hop at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from waterbear_spark.functions.multimodal import (
+    attach_fake_media,
+    fake_decode_features,
+    sample_frames,
+)
+from waterbear_spark.queries.tables import table
+
+_DOC_LIMIT = 500  # decode is per-row Python (Arrow-batched); bound the fan-in
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < _DOC_LIMIT)
+    )
+    return attach_fake_media(docs)
+
+
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode (stub features: n_bytes, mean_byte, head_hex)
+    rolled up per media kind. The mapInPandas stage is the genuine decode
+    contract — same schema/batch shape a real codec UDF would use.
+    """
+    feats = fake_decode_features(_media(spark, sf_dir))
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("mean_byte"), 4).alias("avg_mean_byte"),
+            F.count_distinct("head_hex").alias("distinct_heads"),
+        )
+        .orderBy("kind")
+    )
+
+
+# mean_byte of md5(text) repeated 8x == floor(mean of the 16 md5 bytes);
+# the oracle expands the same 16 hex pairs arithmetically.
+_MD5_BYTE_SUM = " + ".join(
+    f"CAST(('0x' || substr(md5(text), {2 * i + 1}, 2)) AS INTEGER)" for i in range(16)
+)
+
+_DECODE_STATS_SQL = f"""
+WITH feats AS (
+    SELECT 'image' AS kind,
+           128 AS n_bytes,
+           CAST(FLOOR(({_MD5_BYTE_SUM}) / 16.0) AS INTEGER) AS mean_byte,
+           substr(md5(text), 1, 8) AS head_hex
+    FROM documents WHERE doc_id < {_DOC_LIMIT}
+)
+SELECT kind,
+       COUNT(*) AS n_media,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       ROUND(AVG(mean_byte), 4) AS avg_mean_byte,
+       CAST(COUNT(DISTINCT head_hex) AS BIGINT) AS distinct_heads
+FROM feats
+GROUP BY kind
+ORDER BY kind
+"""
+
+
+_FRAME_BYTES = 32
+_EVERY_K = 2
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over fixed-frame "video" payloads — JVM-side binary
+    slicing (substr before any Python), one row per sampled frame with a
+    frame fingerprint. 128-byte payloads at 32 bytes/frame sample frames
+    0 and 2.
+    """
+    frames = sample_frames(
+        _media(spark, sf_dir), frame_bytes=_FRAME_BYTES, every_k=_EVERY_K
+    )
+    return frames.select(
+        "media_id",
+        "frame_no",
+        F.lower(F.hex(F.substring("frame", 1, 4))).alias("frame_head"),
+    ).orderBy("media_id", "frame_no")
+
+
+_FRAME_SQL = f"""
+WITH media AS (
+    SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+           repeat(md5(text), 8) AS payload_hex
+    FROM documents WHERE doc_id < {_DOC_LIMIT}
+),
+frames AS (
+    SELECT media_id, 0 AS frame_no,
+           substr(payload_hex, 1, 8) AS frame_head
+    FROM media
+    UNION ALL
+    SELECT media_id, 2 AS frame_no,
+           substr(payload_hex, {2 * _FRAME_BYTES * 2} + 1, 8) AS frame_head
+    FROM media
+)
+SELECT media_id, frame_no, frame_head
+FROM frames
+ORDER BY media_id, frame_no
+"""
+
+
+def multimodal_header_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codegen-only header parsing: build PNG payloads (real IHDR layout,
+    big-endian dims derived from doc_id), mix in non-PNG payloads, and
+    triage by magic number + parsed dimensions — the cheap pre-decode
+    filter pattern. Zero Python anywhere in this plan.
+    """
+    from waterbear_spark.functions.multimodal import png_dimensions
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < _DOC_LIMIT)
+    )
+    w = (F.col("doc_id") % 64 + 1).cast("int")
+    h = (F.col("doc_id") % 48 + 1).cast("int")
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),          # signature
+        F.unhex(F.lit("0000000D49484452")),          # IHDR len + tag
+        F.unhex(F.lpad(F.hex(w), 8, "0")),           # width  (BE u32)
+        F.unhex(F.lpad(F.hex(h), 8, "0")),           # height (BE u32)
+    )
+    raw = F.unhex(F.md5("text"))                     # non-PNG payload
+    media = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, png).otherwise(raw).alias("data"),
+    )
+    parsed = png_dimensions(media)
+    return (
+        parsed.groupBy(F.col("png_width").isNotNull().alias("is_png"))
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("png_width").alias("sum_width"),
+            F.sum("png_height").alias("sum_height"),
+        )
+        .orderBy("is_png")
+    )
+
+
+_HEADER_SQL = f"""
+WITH media AS (
+    SELECT doc_id,
+           doc_id % 3 = 0 AS is_png,
+           CASE WHEN doc_id % 3 = 0 THEN doc_id % 64 + 1 END AS w,
+           CASE WHEN doc_id % 3 = 0 THEN doc_id % 48 + 1 END AS h
+    FROM documents WHERE doc_id < {_DOC_LIMIT}
+)
+SELECT is_png,
+       COUNT(*) AS n_media,
+       CAST(SUM(w) AS BIGINT) AS sum_width,
+       CAST(SUM(h) AS BIGINT) AS sum_height
+FROM media
+GROUP BY is_png
+ORDER BY is_png
+"""
+
+
+QUERIES = {
+    "multimodal_decode_stats": multimodal_decode_stats,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_header_triage": multimodal_header_triage,
+}
+ORACLES = {
+    "multimodal_decode_stats": _DECODE_STATS_SQL,
+    "multimodal_frame_sample": _FRAME_SQL,
+    "multimodal_header_triage": _HEADER_SQL,
+}
