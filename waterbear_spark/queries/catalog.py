@@ -15,6 +15,7 @@ from waterbear_spark.queries import (
     reconcile,
     relational,
     relational_ext,
+    skew_queries,
     streaming_queries,
     textops,
     tpch_more,
@@ -34,6 +35,7 @@ QUERIES = {
     **reconcile.QUERIES,
     **multimodal_queries.QUERIES,
     **streaming_queries.QUERIES,
+    **skew_queries.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -52,6 +54,7 @@ ORACLE_SQL = {
     **reconcile.ORACLES,
     **multimodal_queries.ORACLES,
     **streaming_queries.ORACLES,
+    **skew_queries.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -75,6 +78,8 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "multimodal_header_triage",
     "attribution_join",
+    "skew_salted_agg",
+    "skew_salted_join",
 ]
 _ROUND1_VALIDATED = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
