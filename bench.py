@@ -48,31 +48,42 @@ def main():
     # throughput — first pass pays one-off codegen + file-listing costs)
     iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     runs: list[dict[str, float]] = []
+    errors: dict[str, str] = {}
     for _ in range(iterations):
         # drop any cached intermediates so every iteration pays full compute
         spark.catalog.clearCache()
         timings: dict[str, float] = {}
         for name, fn in sorted(QUERIES.items()):
+            if name in errors:
+                continue
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            # one broken query must never zero out the whole bench: record
+            # the failure and keep timing the rest of the catalog
+            try:
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            except Exception as err:  # noqa: BLE001
+                errors[name] = f"{type(err).__name__}: {err}"[:300]
+                timings.pop(name, None)
+                continue
             timings[name] = round(time.perf_counter() - t0, 3)
         runs.append(timings)
 
-    best = {name: min(r[name] for r in runs) for name in runs[0]}
+    ok_names = [n for n in runs[0] if all(n in r for r in runs)]
+    best = {name: min(r[name] for r in runs) for name in ok_names}
     total = round(sum(best.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": best,
-                "sf": sf,
-                "iterations": iterations,
-                "cold_total": round(sum(runs[0].values()), 3),
-            }
-        )
-    )
+    out = {
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": best,
+        "sf": sf,
+        "iterations": iterations,
+        "cold_total": round(sum(runs[0].get(n, 0.0) for n in ok_names), 3),
+        "n_queries": len(best),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 
