@@ -3,11 +3,17 @@
 query on Spark and its oracle SQL on DuckDB over the same parquet tables,
 compare row count, column names, and an order-insensitive value hash.
 
+On a full run (no query filter) the per-query results are also written to
+``CORRECTNESS_LOCAL.json`` at the repo root — the committed evidence that
+the ENTIRE catalog hash-matches, beyond whatever window the driver's
+per-round file covers.
+
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -43,6 +49,7 @@ def main():
         )
 
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in sorted(QUERIES.items()):
         if only and name not in only:
             continue
@@ -53,10 +60,12 @@ def main():
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as err:
             failures.append(name)
+            results[name] = {"status": "spark_error", "err": str(err)[:300]}
             print(f"FAIL  {name}: spark error: {err}")
             continue
         sql = ORACLE_SQL.get(name)
         if sql is None:
+            results[name] = {"status": "rows_only", "rows": len(s_rows)}
             print(f"rows-only  {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
@@ -99,9 +108,31 @@ def main():
                     print("   duck-only :", line[:200])
         if problems:
             failures.append(name)
+            results[name] = {"status": "mismatch", "problems": problems}
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
+            results[name] = {"status": "hash_match", "rows": len(s_rows)}
             print(f"ok    {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+
+    if not only:
+        artifact = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CORRECTNESS_LOCAL.json",
+        )
+        with open(artifact, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(results),
+                    "n_hash_match": sum(
+                        1 for r in results.values() if r["status"] == "hash_match"
+                    ),
+                    "results": results,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {artifact}")
 
     print()
     if failures:

@@ -80,6 +80,7 @@ _PRIORITY = [
     "attribution_join",
     "skew_salted_agg",
     "skew_salted_join",
+    "drift_kl_daily",
 ]
 _ROUND1_VALIDATED = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",

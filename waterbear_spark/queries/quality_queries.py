@@ -215,11 +215,91 @@ def _profile_oracle() -> str:
     return f"WITH s AS (SELECT {cols} FROM orders)\n{branches}\nORDER BY col_name"
 
 
+def drift_kl_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per day, the KL divergence of that
+    day's event-type distribution from the whole-corpus distribution —
+    the alarm a training pipeline raises when an upstream producer
+    changes mix. Counts are exact integers; the only float work is one
+    log-term per (day, type) folded in sorted type order (``aggregate``
+    over a sorted array), so the sum order — and the hash — is identical
+    across engines.
+
+    Scale: two count aggregates (day x type, then type), a broadcast of
+    the |types|-row global distribution, and a per-day fold over <=
+    |types| elements — nothing scales with row count after the first
+    map-side-combinable count.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    daily = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    day_tot = daily.groupBy("day").agg(F.sum("n").alias("day_n"))
+    overall = daily.groupBy("event_type").agg(F.sum("n").alias("g_n"))
+    g_tot = overall.agg(F.sum("g_n").alias("g_tot"))
+    terms = (
+        daily.join(day_tot, "day")
+        .join(F.broadcast(overall), "event_type")
+        .crossJoin(F.broadcast(g_tot))
+        .select(
+            "day",
+            "event_type",
+            (
+                (F.col("n") / F.col("day_n"))
+                * F.log(
+                    (F.col("n") / F.col("day_n"))
+                    / (F.col("g_n") / F.col("g_tot"))
+                )
+            ).alias("term"),
+        )
+    )
+    folded = terms.groupBy("day").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("event_type", "term"))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("kl")
+    )
+    return folded.select(
+        "day", F.round("kl", 8).alias("kl_divergence")
+    ).orderBy("day")
+
+
+_DRIFT_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+day_tot AS (SELECT day, SUM(n) AS day_n FROM daily GROUP BY day),
+overall AS (SELECT event_type, SUM(n) AS g_n FROM daily GROUP BY event_type),
+g_tot AS (SELECT SUM(g_n) AS g_tot FROM overall),
+terms AS (
+    SELECT d.day, d.event_type,
+           (CAST(d.n AS DOUBLE) / day_tot.day_n)
+           * LN((CAST(d.n AS DOUBLE) / day_tot.day_n)
+                / (CAST(o.g_n AS DOUBLE) / (SELECT g_tot FROM g_tot))) AS term
+    FROM daily d
+    JOIN day_tot USING (day)
+    JOIN overall o USING (event_type)
+)
+SELECT day,
+       ROUND(list_aggregate(list(term ORDER BY event_type), 'sum'), 8)
+           AS kl_divergence
+FROM terms
+GROUP BY day
+ORDER BY day
+"""
+
+
 QUERIES = {
     "profile_table": profile_table,
     "quality_report_event": quality_report_event,
     "quality_report_customer": quality_report_customer,
     "quality_quarantine_customer": quality_quarantine_customer,
+    "drift_kl_daily": drift_kl_daily,
 }
 
 ORACLES = {
@@ -227,4 +307,5 @@ ORACLES = {
     "quality_report_event": _event_report_oracle(),
     "quality_report_customer": _report_oracle(),
     "quality_quarantine_customer": _quarantine_oracle(),
+    "drift_kl_daily": _DRIFT_SQL,
 }

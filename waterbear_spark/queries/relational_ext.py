@@ -814,34 +814,82 @@ FROM sums
 """
 
 
+_WMED_BUCKET = 1000.0  # price-bucket width for the two-pass quantile
+
+
 def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantity-weighted median of ``l_extendedprice`` per return
-    flag: the first price whose cumulative weight reaches half the
-    group's total. Weights accumulate as exact decimals and the crossing
-    test (``2·cum ≥ total``) is decimal arithmetic, so the picked price
-    is engine-exact; it is also invariant to row order among equal
-    prices, since a price group's closing cumulative weight is fixed.
+    flag, via the scale-correct TWO-PASS bucketed quantile. A naive
+    per-group cumulative window puts each whole group in ONE task (3
+    return flags -> parallelism 3 forever, the classic low-cardinality
+    window trap); instead:
 
-    Scale: one shuffle partitions by group for the cumulative window,
-    then a filter + min — the weighted-quantile pattern that avoids
-    collecting per-group value lists.
+    1. rows reduce to per-(flag, price-bucket) weight sums — a map-side-
+       combinable aggregate over ~|flags|x100 cells;
+    2. a cumulative window over that TINY bucket relation locates the
+       crossing bucket (first whose running weight reaches half the
+       total) and its preceding offset;
+    3. only rows of the crossing bucket (a ~1/100 slice, broadcast-
+       pruned) pay the exact in-bucket cumulative sort, seeded with the
+       bucket offset.
+
+    Weights accumulate as exact decimals end-to-end, so the picked price
+    is identical to the one-window oracle formulation — the hash-match
+    proves the rewrite. Same discipline at 100 TB: only step 3 sorts
+    rows, and it touches one bucket per group.
     """
     li = table(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(20,6)")
-    cum = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tot = Window.partitionBy("l_returnflag")
-    return (
-        li.select(
-            "l_returnflag",
-            "l_extendedprice",
-            "l_orderkey",
-            "l_linenumber",
-            qty.alias("w"),
+    rows = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        qty.alias("w"),
+        F.floor(F.col("l_extendedprice") / _WMED_BUCKET).alias("bkt"),
+    )
+
+    # pass 1: per-bucket weight, cumulative across buckets, group totals
+    per_bucket = rows.groupBy("l_returnflag", "bkt").agg(
+        F.sum("w").alias("bw")
+    )
+    bcum_w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("l_returnflag")
+    buckets = per_bucket.withColumn(
+        "bcum", F.sum("bw").over(bcum_w)
+    ).withColumn("tot", F.sum("bw").over(tot_w))
+    crossing = (
+        buckets.filter(F.col("bcum") * 2 >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min_by(F.struct("bkt", "bcum", "bw", "tot"), "bkt").alias("c")
         )
-        .withColumn("cum", F.sum("w").over(cum))
-        .withColumn("tot", F.sum("w").over(tot))
+        .select(
+            "l_returnflag",
+            F.col("c.bkt").alias("c_bkt"),
+            (F.col("c.bcum") - F.col("c.bw")).alias("offset"),
+            F.col("c.tot").alias("tot"),
+        )
+    )
+
+    # pass 2: exact cumulative only inside the crossing bucket
+    cum_in = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rows.join(
+            F.broadcast(crossing),
+            (rows.l_returnflag == crossing.l_returnflag)
+            & (rows.bkt == crossing.c_bkt),
+        )
+        .drop(crossing.l_returnflag)
+        .withColumn("cum", F.col("offset") + F.sum("w").over(cum_in))
         .filter(F.col("cum") * 2 >= F.col("tot"))
         .groupBy("l_returnflag")
         .agg(
