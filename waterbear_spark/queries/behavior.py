@@ -149,12 +149,16 @@ def interval_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     each event contributes +1 at ``ts`` and −1 at ``ts + 5min``; the peak
     is the max of the running sum ordered by (t, delta).
 
-    Scale: one shuffle partitions the sweep points by ``event_type``; the
-    running sum is a single window pass per partition. For a type whose
-    timeline outgrows one task, split the window key by coarse time range
-    and stitch with per-range offsets (two passes) — the sweep itself
-    never materializes pairwise overlaps, which is what makes it viable
-    where an interval self-join (O(n²) per hot window) is not.
+    Scale: a per-type window would cap parallelism at |types| (the
+    low-cardinality window trap), so the sweep is SPLIT BY DAY and
+    stitched: the intra-day running sum partitions by (type, day) —
+    parallelism |types|x|days| — and each day's opening level is the
+    cumulative sum of per-day NET deltas, a window over the tiny
+    (type, day) relation. peak = max(opening + intra-day running).
+    Associativity of the running max over segments is what makes the
+    stitch exact; the sweep itself never materializes pairwise overlaps,
+    which is what makes it viable where an interval self-join (O(n²) per
+    hot window) is not.
     """
     ev = table(spark, sf_dir, "events").select("event_type", "ts")
     starts = ev.select(
@@ -165,16 +169,36 @@ def interval_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.expr(f"INTERVAL {_SPAN_MIN} MINUTES")).alias("t"),
         F.lit(-1).alias("delta"),
     )
-    w = (
-        Window.partitionBy("event_type")
+    sweep = starts.unionAll(ends).withColumn("day", F.to_date("t"))
+
+    intra = (
+        Window.partitionBy("event_type", "day")
         .orderBy("t", "delta")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    per_day = (
+        sweep.withColumn("running", F.sum("delta").over(intra))
+        .groupBy("event_type", "day")
+        .agg(
+            F.max("running").alias("day_peak"),
+            F.sum("delta").alias("day_net"),
+        )
+    )
+    opening = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     return (
-        starts.unionAll(ends)
-        .withColumn("running", F.sum("delta").over(w))
+        per_day.withColumn(
+            "open_level", F.coalesce(F.sum("day_net").over(opening), F.lit(0))
+        )
         .groupBy("event_type")
-        .agg(F.max("running").alias("peak_concurrency"))
+        .agg(
+            F.max(F.col("open_level") + F.col("day_peak")).alias(
+                "peak_concurrency"
+            )
+        )
         .orderBy("event_type")
     )
 
@@ -373,15 +397,32 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal×BIGINT products; the single closing division is the only
     float op, making the result bit-identical to the oracle.
 
-    Scale: one shuffle partitions by event type for the lead window,
-    then a map-side-combinable aggregate — the standard hypertable/
-    financial-rollup pattern with state linear in groups, not rows.
+    Scale: a per-type lead window would sort every row in |types| tasks
+    (low-cardinality window trap), so the lead is computed within
+    (type, day) — parallelism |types|x|days| — and each day's LAST
+    observation takes its gap from the next active day's first timestamp,
+    a lead over the tiny per-day firsts relation broadcast back onto the
+    boundary rows. Gap multiset identical to the global lead; then a
+    map-side-combinable aggregate — the standard hypertable/financial-
+    rollup pattern with state linear in groups, not rows.
     """
     ev = table(spark, sf_dir, "events").select("event_type", "event_id", "ts", "value")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ev = ev.withColumn("us", epoch_us("ts")).withColumn("day", F.to_date("ts"))
+    w_day = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+    firsts = ev.groupBy("event_type", "day").agg(F.min("us").alias("first_us"))
+    nxt = Window.partitionBy("event_type").orderBy("day")
+    next_first = firsts.select(
+        "event_type",
+        "day",
+        F.lead("first_us").over(nxt).alias("next_day_us"),
+    )
     gaps = (
-        ev.withColumn("us", epoch_us("ts"))
-        .withColumn("delta_us", F.lead("us").over(w) - F.col("us"))
+        ev.withColumn("lead_us", F.lead("us").over(w_day))
+        .join(F.broadcast(next_first), ["event_type", "day"])
+        .withColumn(
+            "delta_us",
+            F.coalesce(F.col("lead_us"), F.col("next_day_us")) - F.col("us"),
+        )
         .filter(F.col("delta_us").isNotNull())
     )
     weighted = F.col("value").cast("decimal(20,6)") * F.col("delta_us")

@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 import waterbear_spark
@@ -236,12 +236,16 @@ def drift_kl_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     day_tot = daily.groupBy("day").agg(F.sum("n").alias("day_n"))
-    overall = daily.groupBy("event_type").agg(F.sum("n").alias("g_n"))
-    g_tot = overall.agg(F.sum("g_n").alias("g_tot"))
+    # grand total rides the |types|-row relation as an empty-frame window
+    # (no scalar cross join in the plan)
+    overall = (
+        daily.groupBy("event_type")
+        .agg(F.sum("n").alias("g_n"))
+        .withColumn("g_tot", F.sum("g_n").over(Window.partitionBy()))
+    )
     terms = (
         daily.join(day_tot, "day")
         .join(F.broadcast(overall), "event_type")
-        .crossJoin(F.broadcast(g_tot))
         .select(
             "day",
             "event_type",
