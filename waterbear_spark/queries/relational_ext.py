@@ -925,29 +925,98 @@ ORDER BY l_returnflag
 _NTILE_BUCKETS = 8
 
 
-def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (equal-frequency) histogram of order totals: NTILE
-    over the unique total order (price, orderkey tiebreak) yields 8
-    buckets of near-equal row count with their [lo, hi] bounds — the
-    statistic optimizers keep for selectivity estimation.
+_EQD_WIDTH = 30000.0  # price-bucket width for the two-pass order statistics
 
-    Scale: NTILE needs a global order; on a cluster the same statistic
-    comes from rangepartitioning + per-partition counts (or the sketch
-    route via approx quantiles). The catalog keeps the exact window form
-    because its output is engine-portable and the table is one column
-    wide by the time it sorts.
+
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of order totals, computed
+    WITHOUT a global sort. NTILE's answer is fully determined by 16
+    order statistics (each tile's first/last rank, sizes are arithmetic
+    on N), so:
+
+    1. per price-bucket counts + a cumulative window over that ~20-row
+       relation locate which bucket holds each boundary rank;
+    2. the 16 boundary ranks are generated *on* the bucket rows (pure
+       rank arithmetic from N — no scalar join) and kept where they land;
+    3. only the hit buckets sort, partitioned by bucket id, and the rows
+       matching a local rank are picked by equi-join.
+
+    Exactly the NTILE output — the oracle still runs the plain window —
+    but the biggest sort is one price-bucket instead of the whole table,
+    and it parallelizes per bucket. (The sketch route via approx
+    quantiles is the alternative when exactness can be traded.)
     """
+    k = _NTILE_BUCKETS
     orders = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return (
-        orders.select("o_totalprice", "o_orderkey")
-        .withColumn("bucket", F.ntile(_NTILE_BUCKETS).over(w))
-        .groupBy("bucket")
-        .agg(
-            F.min("o_totalprice").alias("lo"),
-            F.max("o_totalprice").alias("hi"),
-            F.count(F.lit(1)).alias("n"),
+    rows = orders.select(
+        F.col("o_totalprice").alias("v"),
+        F.col("o_orderkey").alias("key"),
+        F.floor(F.col("o_totalprice") / _EQD_WIDTH).alias("pb"),
+    )
+
+    cum_w = (
+        Window.orderBy("pb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pbc = (
+        rows.groupBy("pb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("cum", F.sum("cnt").over(cum_w))
+        .withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+        .withColumn("n_total", F.sum("cnt").over(Window.partitionBy()))
+    )
+
+    # per tile i: start = (i-1)q + least(i-1, r) + 1, end = iq + least(i, r)
+    boundary = F.expr(
+        f"""
+        filter(
+          flatten(transform(sequence(1, {k}), i -> array(
+            named_struct(
+              'tile', i, 'which', 'lo',
+              'rk', (i-1) * (n_total div {k}) + least(i-1, n_total % {k}) + 1,
+              'sz', (i * (n_total div {k}) + least(i, n_total % {k}))
+                    - ((i-1) * (n_total div {k}) + least(i-1, n_total % {k}))),
+            named_struct(
+              'tile', i, 'which', 'hi',
+              'rk', i * (n_total div {k}) + least(i, n_total % {k}),
+              'sz', (i * (n_total div {k}) + least(i, n_total % {k}))
+                    - ((i-1) * (n_total div {k}) + least(i-1, n_total % {k})))
+          ))),
+          s -> s.rk > cum_prev AND s.rk <= cum)
+        """
+    )
+    targets = (
+        pbc.select("pb", "cum_prev", F.explode(boundary).alias("t"))
+        .select(
+            "pb",
+            F.col("t.tile").alias("tile"),
+            F.col("t.which").alias("which"),
+            (F.col("t.rk") - F.col("cum_prev")).alias("local_rk"),
+            F.col("t.sz").alias("sz"),
         )
+    )
+
+    rn_w = Window.partitionBy("pb").orderBy("v", "key")
+    ranked = (
+        rows.join(F.broadcast(targets.select("pb").distinct()), "pb")
+        .withColumn("rn", F.row_number().over(rn_w))
+        .withColumnRenamed("pb", "r_pb")
+    )
+    picked = ranked.join(
+        F.broadcast(targets),
+        on=[
+            ranked.r_pb == targets.pb,
+            ranked.rn == targets.local_rk,
+        ],
+    ).select("tile", "which", "v", "sz")
+    return (
+        picked.groupBy("tile")
+        .agg(
+            F.max(F.when(F.col("which") == "lo", F.col("v"))).alias("lo"),
+            F.max(F.when(F.col("which") == "hi", F.col("v"))).alias("hi"),
+            F.max("sz").alias("n"),
+        )
+        .select(F.col("tile").alias("bucket"), "lo", "hi", "n")
         .orderBy("bucket")
     )
 
