@@ -1039,37 +1039,84 @@ ORDER BY bucket
 _ISLAND_TOP = 10
 
 
+_ISLAND_BLOCK = 8192  # key-range block width for partitioned detection
+
+
 def key_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands over the fulfilled-order (``status F``) key
-    space: contiguous key
-    runs found with the classic ``key − row_number()`` grouping trick
-    (consecutive keys share the difference), returning the 10 longest
-    islands. The detector for "which ranges of a sequence actually
-    exist" — retention ranges, missing-id audits, compaction planning.
+    space: contiguous key runs found with the classic
+    ``key − row_number()`` grouping trick (consecutive keys share the
+    difference), returning the 10 longest islands. The detector for
+    "which ranges of a sequence actually exist" — retention ranges,
+    missing-id audits, compaction planning.
 
-    Scale: one global-order window over a single bigint column, then a
-    tiny aggregate; at cluster scale the same trick runs per range
-    partition with boundary stitching, because islands can only merge
-    at partition edges.
+    Scale: the run detection is PARTITIONED by key-range block (the
+    window trick runs per block, parallel), and since islands can only
+    merge at block edges, a second gaps-and-islands pass over just the
+    edge-touching islands (≤2 per block — tiny) stitches cross-block
+    chains. Interior islands pass through untouched. Same answer as the
+    one-window oracle, no global sort of the key space.
     """
-    orders = (
+    b = _ISLAND_BLOCK
+    keys = (
         table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey")
         .distinct()
+        .withColumn("blk", F.expr(f"o_orderkey div {b}"))
     )
-    w = Window.orderBy("o_orderkey")
-    return (
-        orders.withColumn("grp", F.col("o_orderkey") - F.row_number().over(w))
-        .groupBy("grp")
+    w_blk = Window.partitionBy("blk").orderBy("o_orderkey")
+    islands0 = (
+        keys.withColumn("grp", F.col("o_orderkey") - F.row_number().over(w_blk))
+        .groupBy("blk", "grp")
         .agg(
             F.min("o_orderkey").alias("island_start"),
             F.max("o_orderkey").alias("island_end"),
             F.count(F.lit(1)).alias("n_keys"),
         )
+        .withColumn(
+            "touches_edge",
+            (F.col("island_start") == F.col("blk") * b)
+            | (F.col("island_end") == F.col("blk") * b + (b - 1)),
+        )
+    )
+    interior = islands0.filter(~F.col("touches_edge")).select(
+        "island_start", "island_end", "n_keys"
+    )
+
+    # stitch pass: ≤2 islands per block, so this global window is over a
+    # relation ~|keys|/BLOCK — the whole point of the split
+    w_edge = Window.orderBy("island_start")
+    chained = (
+        islands0.filter(F.col("touches_edge"))
+        .withColumn(
+            "new_chain",
+            F.when(
+                F.col("island_start")
+                > F.lag("island_end").over(w_edge) + 1,
+                1,
+            )
+            .when(F.lag("island_end").over(w_edge).isNull(), 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "chain",
+            F.sum("new_chain").over(
+                w_edge.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("chain")
+        .agg(
+            F.min("island_start").alias("island_start"),
+            F.max("island_end").alias("island_end"),
+            F.sum("n_keys").alias("n_keys"),
+        )
+        .select("island_start", "island_end", "n_keys")
+    )
+    return (
+        interior.unionAll(chained)
         .orderBy(F.col("n_keys").desc(), "island_start")
         .limit(_ISLAND_TOP)
-        .select("island_start", "island_end", "n_keys")
     )
 
 
