@@ -102,3 +102,38 @@ def test_top_k_per_group(spark):
     )
     got = {(r["grp"], r["rank"]): r["id"] for r in out.collect()}
     assert got == {("a", 1): 2, ("a", 2): 3, ("b", 1): 4}
+
+
+class TestFindIslands:
+    """Stitched gaps-and-islands: crafted runs crossing 1, 2, and 3+
+    block edges must merge exactly; interior runs pass through."""
+
+    def test_runs_spanning_blocks_merge(self, spark):
+        from waterbear_spark.operators.islands import find_islands
+
+        b = 100
+        runs = [
+            (5, 9),          # interior
+            (95, 104),       # crosses one edge (block 0 -> 1)
+            (180, 461),      # spans blocks 1..4 (3 edges, full blocks 2-3)
+            (600, 600),      # singleton interior
+            (699, 700),      # exactly at an edge (end of 6, start of 7)
+        ]
+        keys = [k for lo, hi in runs for k in range(lo, hi + 1)]
+        df = spark.createDataFrame([(k,) for k in keys], ["key"])
+        got = sorted(
+            tuple(r)
+            for r in find_islands(df, "key", block=b).collect()
+        )
+        want = sorted((lo, hi, hi - lo + 1) for lo, hi in runs)
+        assert got == want
+
+    def test_adjacent_blocks_without_adjacency_stay_split(self, spark):
+        from waterbear_spark.operators.islands import find_islands
+
+        b = 100
+        # 98..99 touches the upper edge, 101..102 starts past the lower
+        # edge: a gap at 100 must keep them separate islands
+        df = spark.createDataFrame([(98,), (99,), (101,), (102,)], ["key"])
+        got = sorted(tuple(r) for r in find_islands(df, "key", block=b).collect())
+        assert got == [(98, 99, 2), (101, 102, 2)]

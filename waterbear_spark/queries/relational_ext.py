@@ -1057,64 +1057,16 @@ def key_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     chains. Interior islands pass through untouched. Same answer as the
     one-window oracle, no global sort of the key space.
     """
-    b = _ISLAND_BLOCK
+    from waterbear_spark.operators.islands import find_islands
+
     keys = (
         table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey")
         .distinct()
-        .withColumn("blk", F.expr(f"o_orderkey div {b}"))
-    )
-    w_blk = Window.partitionBy("blk").orderBy("o_orderkey")
-    islands0 = (
-        keys.withColumn("grp", F.col("o_orderkey") - F.row_number().over(w_blk))
-        .groupBy("blk", "grp")
-        .agg(
-            F.min("o_orderkey").alias("island_start"),
-            F.max("o_orderkey").alias("island_end"),
-            F.count(F.lit(1)).alias("n_keys"),
-        )
-        .withColumn(
-            "touches_edge",
-            (F.col("island_start") == F.col("blk") * b)
-            | (F.col("island_end") == F.col("blk") * b + (b - 1)),
-        )
-    )
-    interior = islands0.filter(~F.col("touches_edge")).select(
-        "island_start", "island_end", "n_keys"
-    )
-
-    # stitch pass: ≤2 islands per block, so this global window is over a
-    # relation ~|keys|/BLOCK — the whole point of the split
-    w_edge = Window.orderBy("island_start")
-    chained = (
-        islands0.filter(F.col("touches_edge"))
-        .withColumn(
-            "new_chain",
-            F.when(
-                F.col("island_start")
-                > F.lag("island_end").over(w_edge) + 1,
-                1,
-            )
-            .when(F.lag("island_end").over(w_edge).isNull(), 1)
-            .otherwise(0),
-        )
-        .withColumn(
-            "chain",
-            F.sum("new_chain").over(
-                w_edge.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        .groupBy("chain")
-        .agg(
-            F.min("island_start").alias("island_start"),
-            F.max("island_end").alias("island_end"),
-            F.sum("n_keys").alias("n_keys"),
-        )
-        .select("island_start", "island_end", "n_keys")
     )
     return (
-        interior.unionAll(chained)
+        find_islands(keys, "o_orderkey", block=_ISLAND_BLOCK)
         .orderBy(F.col("n_keys").desc(), "island_start")
         .limit(_ISLAND_TOP)
     )
