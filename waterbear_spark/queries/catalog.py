@@ -81,6 +81,7 @@ _PRIORITY = [
     "skew_salted_agg",
     "skew_salted_join",
     "drift_kl_daily",
+    "weighted_sample_docs",
 ]
 _ROUND1_VALIDATED = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",

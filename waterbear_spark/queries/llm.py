@@ -927,6 +927,85 @@ ORDER BY split
 """
 
 
+_WS_K = 100  # weighted sample size
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sample (Efraimidis-Spirakis A-RES):
+    each doc draws u = md5-uniform in (0,1) and ranks by key = u^(1/w);
+    the top-k keys are a sample where inclusion probability scales with
+    weight w. Longer documents here get weight 4/2/1 (the "sample
+    training docs proportional to quality" primitive).
+
+    Cross-engine exactness: weights are POWERS OF TWO, so u^(1/w) is
+    iterated ``sqrt`` — the one transcendental-free power, correctly
+    rounded per IEEE-754 in both engines — and the ranking (rounded key,
+    doc_id) is bit-identical; no libm pow/ln in sight.
+
+    Scale: key assignment is row-local; top-k plans as
+    TakeOrderedAndProject (per-task heaps, no global sort) — the same
+    shape as the unweighted reservoir.
+    """
+    docs = table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ws|"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**60))
+    )
+    tier = (
+        F.when(F.col("n_chars") >= 400, 2)
+        .when(F.col("n_chars") >= 150, 1)
+        .otherwise(0)
+    )
+    key = (
+        F.when(tier == 2, F.sqrt(F.sqrt(u)))  # w=4
+        .when(tier == 1, F.sqrt(u))           # w=2
+        .otherwise(u)                          # w=1
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.when(tier == 2, 4)
+            .when(tier == 1, 2)
+            .otherwise(1)
+            .cast("bigint")
+            .alias("weight"),
+            F.round(key, 12).alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(_WS_K)
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id, lang, n_chars,
+           CASE WHEN n_chars >= 400 THEN 2
+                WHEN n_chars >= 150 THEN 1 ELSE 0 END AS tier,
+           CAST(CAST(('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                AS UBIGINT) AS DOUBLE) / {float(2**60)} AS u
+    FROM documents
+)
+SELECT doc_id, lang, n_chars,
+       CAST(CASE tier WHEN 2 THEN 4 WHEN 1 THEN 2 ELSE 1 END AS BIGINT)
+           AS weight,
+       ROUND(CASE tier WHEN 2 THEN sqrt(sqrt(u))
+                       WHEN 1 THEN sqrt(u) ELSE u END, 12) AS sample_key
+FROM keyed
+ORDER BY sample_key DESC, doc_id
+LIMIT {_WS_K}
+"""
+
+
 NEAR_COS_TAU = 0.4  # synthetic embeddings are near-orthogonal; max pair ~0.51
 _N_BANDS = 2  # 2 bands x 4 planes: OR-banding candidate generation
 
@@ -1316,6 +1395,7 @@ QUERIES = {
     "ann_ivf_kmeans": ann_ivf_kmeans,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "deterministic_split": deterministic_split,
+    "weighted_sample_docs": weighted_sample_docs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "doc_chunking": doc_chunking,
     "text_stats": text_stats,
@@ -1333,6 +1413,7 @@ ORACLES = {
     "ann_ivf_kmeans": ANN_IVF_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COS_SQL,
     "deterministic_split": DETERMINISTIC_SPLIT_SQL,
+    "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "doc_chunking": DOC_CHUNKING_SQL,
     "text_stats": TEXT_STATS_SQL,
