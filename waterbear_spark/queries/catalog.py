@@ -82,6 +82,7 @@ _PRIORITY = [
     "skew_salted_join",
     "drift_kl_daily",
     "weighted_sample_docs",
+    "ivm_incremental_agg",
 ]
 _ROUND1_VALIDATED = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",

@@ -128,11 +128,90 @@ FROM orders
 """
 
 
+def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-status (COUNT, SUM(price))
+    aggregate is NOT recomputed after a change batch — the old aggregate
+    absorbs signed delta contributions (delete -> (-price, -1), update ->
+    (-old, +new), insert -> (+price, +1)), the algebra every
+    materialized-view maintainer runs. The oracle recomputes the
+    aggregate from the perturbed table directly, so the hash-match is a
+    proof that maintained == recomputed.
+
+    Scale: the delta is proportional to the CHANGE batch, not the table —
+    at 100 TB the recompute touches everything while this touches the
+    old aggregate (|groups| rows) plus the day's CDC; sums stay DECIMAL
+    so absorption is exact regardless of delta order.
+    """
+    orders = table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(20,6)")
+    base = orders.groupBy("o_orderstatus").agg(
+        F.sum(price).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+
+    deleted = orders.filter(F.col("o_orderkey") % _DEL_MOD == 0).select(
+        "o_orderstatus", (-price).alias("ds"), F.lit(-1).alias("dn")
+    )
+    # updates only apply to rows that survive the delete
+    updated = orders.filter(
+        (F.col("o_orderkey") % _UPD_MOD == 0)
+        & (F.col("o_orderkey") % _DEL_MOD != 0)
+    ).select(
+        "o_orderstatus",
+        F.lit(10.0).cast("decimal(20,6)").alias("ds"),
+        F.lit(0).alias("dn"),
+    )
+    inserted = orders.filter(F.col("o_orderkey") % _INS_MOD == 0).select(
+        "o_orderstatus", price.alias("ds"), F.lit(1).alias("dn")
+    )
+    delta = (
+        deleted.unionByName(updated)
+        .unionByName(inserted)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("ds").alias("ds"), F.sum("dn").alias("dn"))
+    )
+    return (
+        base.join(delta, "o_orderstatus", "left")
+        .select(
+            "o_orderstatus",
+            F.round(
+                F.col("s") + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(20,6)")), 2
+            )
+            .cast("double")
+            .alias("sum_price"),
+            (F.col("n") + F.coalesce(F.col("dn"), F.lit(0))).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+IVM_SQL = f"""
+WITH new_version AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % {_UPD_MOD} = 0
+                THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % {_DEL_MOD} <> 0
+    UNION ALL
+    SELECT o_orderkey + {_KEY_SHIFT}, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % {_INS_MOD} = 0
+)
+SELECT o_orderstatus,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(20,6))), 2) AS DOUBLE)
+           AS sum_price,
+       COUNT(*) AS n_orders
+FROM new_version
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "table_diff_orders": table_diff_orders,
     "checksum_orders": checksum_orders,
+    "ivm_incremental_agg": ivm_incremental_agg,
 }
 ORACLES = {
     "table_diff_orders": TABLE_DIFF_SQL,
     "checksum_orders": CHECKSUM_SQL,
+    "ivm_incremental_agg": IVM_SQL,
 }
