@@ -83,6 +83,7 @@ _PRIORITY = [
     "drift_kl_daily",
     "weighted_sample_docs",
     "ivm_incremental_agg",
+    "jaccard_prefix_join",
 ]
 _ROUND1_VALIDATED = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",

@@ -1133,6 +1133,110 @@ ORDER BY a_id, b_id
 """
 
 
+_PP_TAU = 0.5  # same threshold as dedup_near_minhash — but lossless
+_PP_DOCS = 1000  # brute-force oracle bound: C(1000,2) pairs is DuckDB-feasible
+
+
+def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (PPJoin family,
+    Xiao et al., WWW 2008): two token sets with Jaccard >= t must share a
+    token within each one's first ``n - ceil(t*n) + 1`` tokens when both
+    are ordered rarest-first — so joining on prefix tokens is LOSSLESS
+    candidate generation, unlike MinHash/SimHash banding which trade
+    recall for cost. The oracle brute-forces every pair over the same
+    document subset: the hash-match certifies 100% recall at the
+    threshold, not just precision.
+
+    Scale: document frequencies are one count aggregate; the rarest-first
+    prefix keeps candidate fan-out near-linear on Zipfian vocabularies
+    (common tokens never enter short prefixes). Everything shuffles by
+    token or doc_id — the pair space never materializes. The subset cap
+    exists only so the O(n²) ORACLE stays runnable; the operator itself
+    has no such bound.
+    """
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PP_DOCS)
+        .select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(_shingles(F.col("toks"))).alias("toks"),
+        )
+    )
+    toks = docs.select("doc_id", F.explode("toks").alias("tok"))
+    df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        toks.join(df_counts, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda s: s["tok"],
+            ).alias("arr")
+        )
+        .withColumn("n", F.size("arr"))
+        .withColumn(
+            "plen", F.col("n") - F.ceil(F.col("n") * F.lit(_PP_TAU)) + 1
+        )
+        .persist()
+    )
+    prefixes = ordered.select(
+        "doc_id", F.explode(F.slice("arr", 1, F.col("plen"))).alias("tok")
+    )
+    cand = (
+        prefixes.alias("a")
+        .join(
+            prefixes.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    shared = F.size(F.array_intersect(F.col("na.arr"), F.col("nb.arr"))).cast("long")
+    return (
+        cand.join(ordered.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(ordered.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            shared.alias("n_shared"),
+            F.round(
+                shared.cast("double")
+                / (F.col("na.n") + F.col("nb.n") - shared),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _PP_TAU)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+PREFIX_JOIN_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks
+    FROM documents WHERE doc_id < {_PP_DOCS}
+),
+sized AS (
+    SELECT doc_id, arr, len(arr) AS n
+    FROM (SELECT doc_id, list_distinct({SHINGLES_SQL}) AS arr
+          FROM tok WHERE len(toks) >= 3)
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.arr, b.arr)) AS BIGINT) AS n_shared,
+           a.n AS na, b.n AS nb
+    FROM sized a JOIN sized b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / (na + nb - n_shared), 4) AS jaccard
+FROM pairs
+WHERE ROUND(CAST(n_shared AS DOUBLE) / (na + nb - n_shared), 4) >= {_PP_TAU}
+ORDER BY doc_a, doc_b
+"""
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-4-gram Jaccard near-dup: 3-MinHash AND-blocking (docs
     agreeing on all three seeded min-gram hashes become candidates),
@@ -1396,6 +1500,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "deterministic_split": deterministic_split,
     "weighted_sample_docs": weighted_sample_docs,
+    "jaccard_prefix_join": jaccard_prefix_join,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "doc_chunking": doc_chunking,
     "text_stats": text_stats,
@@ -1414,6 +1519,7 @@ ORACLES = {
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COS_SQL,
     "deterministic_split": DETERMINISTIC_SPLIT_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
+    "jaccard_prefix_join": PREFIX_JOIN_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "doc_chunking": DOC_CHUNKING_SQL,
     "text_stats": TEXT_STATS_SQL,
