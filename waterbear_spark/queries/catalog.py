@@ -63,10 +63,17 @@ ORACLE_SQL = {
 assert set(ORACLE_SQL) <= set(QUERIES), "oracle without query"
 
 # The driver's correctness harness validates the catalog in dict order
-# with a bounded window, so ordering decides which operators get
-# cross-engine evidence each round. Front-load (1) queries whose round-1
-# check failed and was since fixed, then (2) queries not yet covered by
-# any recorded round, leaving the already-validated tail last.
+# with a bounded window (first 50), so ordering decides which operators
+# get cross-engine evidence each round. Front-load (1) queries whose
+# round-1 check failed and was since fixed plus this round's new
+# operators, then (2) queries not yet covered by any recorded round,
+# leaving the already-validated tail last.
+#
+# NEXT-ROUND ROTATION: merge the keys of the newest CORRECTNESS_r*.json
+# into _ROUND1_VALIDATED (they have evidence now) and keep _PRIORITY to
+# genuinely new/fixed queries, so each round's window covers the largest
+# never-validated slice. CORRECTNESS_LOCAL.json already certifies the
+# full catalog locally each round.
 _PRIORITY = [
     # round-1 failures, fixed (NTZ-safe epoch math; BIGINT-clean oracles)
     "funnel_time_to_convert",

@@ -1154,6 +1154,9 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists only so the O(n²) ORACLE stays runnable; the operator itself
     has no such bound.
     """
+    # persist the subset's shingle sets: the frame fans out into the
+    # document-frequency count AND the per-doc reorder, and without the
+    # cache each branch re-pays the full parquet scan + shingling
     docs = (
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _PP_DOCS)
@@ -1163,6 +1166,7 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.array_distinct(_shingles(F.col("toks"))).alias("toks"),
         )
+        .persist()
     )
     toks = docs.select("doc_id", F.explode("toks").alias("tok"))
     df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
