@@ -761,7 +761,79 @@ ORDER BY bucket NULLS FIRST
 """
 
 
+_DS_MINUTES = 360  # downsample bucket: 6-hour frames
+
+
+def downsample_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max time-series decimation: per (event type, 6-hour frame),
+    the earliest-reaching min and max observation with their timestamps —
+    the hypertable downsampling that preserves extremes (what a charting
+    rollup needs; averages flatten spikes). Ties on value resolve to the
+    earliest (ts, event_id), so the picked points are engine-exact.
+
+    Scale: one shuffle on (type, frame); ``min_by``/``max_by`` over a
+    deterministic struct key is a map-side-combinable aggregate — no
+    window, no sort, state is one candidate pair per frame.
+    """
+    frame_secs = (epoch_us("ts") / F.lit(1_000_000)).cast("long")
+    frame_secs = (frame_secs - frame_secs % (_DS_MINUTES * 60)).cast("int")
+    ntz_epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.col("value").cast("decimal(20,6)").alias("v"),
+        # frame start built as wall-clock NTZ arithmetic — no session-
+        # timezone dependence on either engine
+        F.timestamp_add("SECOND", frame_secs, ntz_epoch).alias("frame"),
+    )
+    # pick = ordered struct: (value, ts, event_id) — min_by/max_by on it
+    # resolves value ties to the earliest observation in both engines
+    pick = F.struct("v", "ts", "event_id")
+    return (
+        ev.groupBy("event_type", "frame")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min_by(F.struct("ts", F.col("v")), pick).alias("lo"),
+            F.max_by(F.struct("ts", F.col("v")), pick).alias("hi"),
+        )
+        .select(
+            "event_type",
+            "frame",
+            "n_points",
+            F.col("lo.v").cast("double").alias("min_value"),
+            F.col("lo.ts").alias("min_ts"),
+            F.col("hi.v").cast("double").alias("max_value"),
+            F.col("hi.ts").alias("max_ts"),
+        )
+        .orderBy("event_type", "frame")
+    )
+
+
+_DOWNSAMPLE_SQL = f"""
+WITH ev AS (
+    SELECT event_type, ts, event_id,
+           CAST(value AS DECIMAL(20,6)) AS v,
+           TIMESTAMP '1970-01-01 00:00:00'
+               + INTERVAL 1 SECOND
+                 * ((epoch_us(ts) // 1000000)
+                    - (epoch_us(ts) // 1000000) % {_DS_MINUTES * 60})
+               AS frame
+    FROM events
+)
+SELECT event_type, frame, COUNT(*) AS n_points,
+       CAST(MIN(v) AS DOUBLE) AS min_value,
+       (array_agg(ts ORDER BY v, ts, event_id))[1] AS min_ts,
+       CAST(MAX(v) AS DOUBLE) AS max_value,
+       (array_agg(ts ORDER BY v DESC, ts, event_id))[1] AS max_ts
+FROM ev
+GROUP BY event_type, frame
+ORDER BY event_type, frame
+"""
+
+
 QUERIES = {
+    "downsample_minmax": downsample_minmax,
     "null_safe_join_buckets": null_safe_join_buckets,
     "top_event_paths": top_event_paths,
     "funnel_time_to_convert": funnel_time_to_convert,
@@ -776,6 +848,7 @@ QUERIES = {
     "anomalous_days": anomalous_days,
 }
 ORACLES = {
+    "downsample_minmax": _DOWNSAMPLE_SQL,
     "null_safe_join_buckets": _NULL_SAFE_SQL,
     "top_event_paths": _PATHS_SQL,
     "funnel_time_to_convert": _TIME_TO_CONVERT_SQL,

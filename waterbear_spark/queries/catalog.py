@@ -91,6 +91,7 @@ _PRIORITY = [
     "weighted_sample_docs",
     "ivm_incremental_agg",
     "jaccard_prefix_join",
+    "downsample_minmax",
 ]
 _ROUND1_VALIDATED = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
