@@ -92,6 +92,7 @@ _PRIORITY = [
     "ivm_incremental_agg",
     "jaccard_prefix_join",
     "downsample_minmax",
+    "source_entropy",
 ]
 _ROUND1_VALIDATED = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",

@@ -298,12 +298,74 @@ ORDER BY day
 """
 
 
+def source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diversity monitor: Shannon entropy (nats) of each source's
+    language mix, plus its language count — low entropy flags a source
+    that collapsed to one language (the upstream-health complement of
+    [[drift_kl_daily]]'s day-over-day test). Counts are exact; the only
+    float work is one p·ln(p) term per (source, lang) folded in sorted
+    language order, so the sum is bit-identical across engines.
+
+    Scale: one count aggregate to |sources|x|langs| cells, then a fold
+    over <= |langs| elements per source — nothing scales with rows after
+    the map-side-combinable count.
+    """
+    docs = table(spark, sf_dir, "documents").select("source", "lang")
+    cells = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.groupBy("source").agg(F.sum("n").alias("src_n"))
+    terms = cells.join(tot, "source").select(
+        "source",
+        "lang",
+        (
+            -(F.col("n") / F.col("src_n"))
+            * F.log(F.col("n") / F.col("src_n"))
+        ).alias("term"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("lang", "term"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["term"],
+                ),
+                8,
+            ).alias("lang_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
+_SOURCE_ENTROPY_SQL = """
+WITH cells AS (
+    SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
+),
+tot AS (SELECT source, SUM(n) AS src_n FROM cells GROUP BY source),
+terms AS (
+    SELECT c.source, c.lang,
+           -(CAST(c.n AS DOUBLE) / t.src_n)
+           * LN(CAST(c.n AS DOUBLE) / t.src_n) AS term
+    FROM cells c JOIN tot t USING (source)
+)
+SELECT source,
+       COUNT(*) AS n_langs,
+       ROUND(list_aggregate(list(term ORDER BY lang), 'sum'), 8)
+           AS lang_entropy
+FROM terms
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "profile_table": profile_table,
     "quality_report_event": quality_report_event,
     "quality_report_customer": quality_report_customer,
     "quality_quarantine_customer": quality_quarantine_customer,
     "drift_kl_daily": drift_kl_daily,
+    "source_entropy": source_entropy,
 }
 
 ORACLES = {
@@ -312,4 +374,5 @@ ORACLES = {
     "quality_report_customer": _report_oracle(),
     "quality_quarantine_customer": _quarantine_oracle(),
     "drift_kl_daily": _DRIFT_SQL,
+    "source_entropy": _SOURCE_ENTROPY_SQL,
 }
