@@ -87,3 +87,23 @@ def test_q5_broadcasts_dimensions(spark):
     assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_priority_window_integrity():
+    """The driver validates the first 50 catalog entries in dict order;
+    the rotation machinery must keep that window well-formed: every
+    priority/tail name exists, no duplicates anywhere, and every
+    first-window query has an oracle except deliberate rows-only ops."""
+    from waterbear_spark.queries import catalog
+
+    names = list(catalog.QUERIES)
+    assert len(names) == len(set(names))
+    for k in catalog._PRIORITY:
+        assert k in catalog.QUERIES, f"priority entry {k} missing"
+    for k in catalog._ROUND1_VALIDATED:
+        assert k in catalog.QUERIES, f"validated-tail entry {k} missing"
+    window = names[:50]
+    rows_only = [k for k in window if k not in catalog.ORACLE_SQL]
+    assert rows_only in ([], ["approx_distinct"]), rows_only
+    # priority entries lead the window verbatim
+    assert window[: len(catalog._PRIORITY)] == catalog._PRIORITY
