@@ -181,3 +181,97 @@ def test_spark_and_duckdb_agree_on_join_predicates(join_engines, where):
     assert (
         compare_frames(sdf.columns, s_rows, d_cols, res.fetchall()) == []
     ), f"divergence on: {where}"
+
+
+_WINDOW_FNS = ["ROW_NUMBER", "RANK", "DENSE_RANK"]
+_PART_KEYS = ["o_orderstatus", "o_orderpriority"]
+_ORDER_KEYS = ["o_totalprice", "o_orderdate", "o_custkey"]
+
+_WINDOW_QUERY = """
+SELECT {pk} AS pk, o_orderkey, rk
+FROM (
+    SELECT {pk}, o_orderkey,
+           {fn}() OVER (
+               PARTITION BY {pk} ORDER BY {ok} {dir}{tie}
+           ) AS rk
+    FROM orders_diff
+    WHERE {where}
+)
+WHERE rk <= {top}
+ORDER BY pk, rk, o_orderkey
+"""
+
+_RUNNING_QUERY = """
+SELECT {pk} AS pk, o_orderkey,
+       CAST(ROUND(run, 2) AS DOUBLE) AS running_total
+FROM (
+    SELECT {pk}, o_orderkey,
+           SUM(CAST(o_totalprice AS DECIMAL(20,6))) OVER (
+               PARTITION BY {pk} ORDER BY {ok} {dir}, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS run,
+           ROW_NUMBER() OVER (
+               PARTITION BY {pk} ORDER BY {ok} {dir}, o_orderkey
+           ) AS rn
+    FROM orders_diff
+    WHERE {where}
+)
+WHERE rn <= {top}
+ORDER BY pk, o_orderkey
+"""
+
+
+@st.composite
+def _window_cases(draw):
+    fn = draw(st.sampled_from(_WINDOW_FNS))
+    pk = draw(st.sampled_from(_PART_KEYS))
+    ok = draw(st.sampled_from(_ORDER_KEYS))
+    direction = draw(st.sampled_from(["ASC", "DESC"]))
+    # ROW_NUMBER needs a total order; RANK/DENSE_RANK are value-determined
+    # and exercise tie handling when left without the unique tiebreak
+    tie = ", o_orderkey" if fn == "ROW_NUMBER" else ""
+    top = draw(st.integers(min_value=1, max_value=8))
+    where = draw(_predicates())
+    return fn, pk, ok, direction, tie, top, where
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=_window_cases())
+def test_spark_and_duckdb_agree_on_window_functions(engines, case):
+    fn, pk, ok, direction, tie, top, where = case
+    spark, con = engines
+    sql = _WINDOW_QUERY.format(
+        fn=fn, pk=pk, ok=ok, dir=direction, tie=tie, top=top, where=where
+    )
+    sdf = spark.sql(sql)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(sql)
+    d_cols = [d[0] for d in res.description]
+    assert (
+        compare_frames(sdf.columns, s_rows, d_cols, res.fetchall()) == []
+    ), f"divergence on: {sql}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=_window_cases())
+def test_spark_and_duckdb_agree_on_running_sums(engines, case):
+    _fn, pk, ok, direction, _tie, top, where = case
+    spark, con = engines
+    sql = _RUNNING_QUERY.format(
+        pk=pk, ok=ok, dir=direction, top=top, where=where
+    )
+    sdf = spark.sql(sql)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(sql)
+    d_cols = [d[0] for d in res.description]
+    assert (
+        compare_frames(sdf.columns, s_rows, d_cols, res.fetchall()) == []
+    ), f"divergence on: {sql}"
