@@ -832,8 +832,67 @@ ORDER BY event_type, frame
 """
 
 
+_SEQ_PATTERN = ">view>click>purchase>"  # contiguous, no intervening events
+
+
+def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence detection: per day, the users whose
+    within-day event stream contains a CONTIGUOUS view→click→purchase run
+    (no intervening event — stricter than [[funnel_conversion]]'s
+    gap-tolerant stages). The day's path is built once in exact
+    (ts, event_id) order and the pattern is a plain substring test on the
+    delimited path — the row-local reduction that turns sequence
+    patterns into string ops.
+
+    Scale: one shuffle on (user, day); the pattern test is codegen over
+    bounded path strings. Richer patterns (Kleene stars, alternation)
+    swap the LIKE for an RLIKE on the same path column — the shape holds.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "ts", "event_id", "event_type"
+    )
+    path = F.concat(
+        F.lit(">"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ),
+        F.lit(">"),
+    )
+    return (
+        ev.groupBy("user_id", "day")
+        .agg(path.alias("path"))
+        .filter(F.col("path").contains(_SEQ_PATTERN))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_matched_users"))
+        .orderBy("day")
+    )
+
+
+_SEQ_MATCH_SQL = f"""
+WITH paths AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           '>' || string_agg(event_type, '>' ORDER BY ts, event_id) || '>'
+               AS path
+    FROM events
+    GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT day, COUNT(*) AS n_matched_users
+FROM paths
+WHERE position('{_SEQ_PATTERN}' IN path) > 0
+GROUP BY day
+ORDER BY day
+"""
+
+
 QUERIES = {
     "downsample_minmax": downsample_minmax,
+    "sequence_pattern_match": sequence_pattern_match,
     "null_safe_join_buckets": null_safe_join_buckets,
     "top_event_paths": top_event_paths,
     "funnel_time_to_convert": funnel_time_to_convert,
@@ -849,6 +908,7 @@ QUERIES = {
 }
 ORACLES = {
     "downsample_minmax": _DOWNSAMPLE_SQL,
+    "sequence_pattern_match": _SEQ_MATCH_SQL,
     "null_safe_join_buckets": _NULL_SAFE_SQL,
     "top_event_paths": _PATHS_SQL,
     "funnel_time_to_convert": _TIME_TO_CONVERT_SQL,

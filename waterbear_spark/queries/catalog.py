@@ -93,6 +93,7 @@ _PRIORITY = [
     "jaccard_prefix_join",
     "downsample_minmax",
     "source_entropy",
+    "sequence_pattern_match",
 ]
 _ROUND1_VALIDATED = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
