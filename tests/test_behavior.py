@@ -237,6 +237,54 @@ def test_key_islands_are_disjoint_and_maximal(spark):
         assert prev.island_end + 1 < nxt.island_start, "islands must be separated by gaps"
 
 
+def test_downsample_minmax_ties_pick_earliest(spark, tmp_path):
+    """Crafted value ties inside one frame: BOTH extremes must resolve to
+    the earliest (ts, event_id) — the max side diverged from the oracle
+    before (max_by on (v, ts, id) picks the LATEST tie). Verified against
+    the committed DuckDB SQL, not just a hand-computed expectation."""
+    import datetime as dt
+
+    import duckdb
+
+    from waterbear_spark.queries import behavior
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, 0, minute)
+
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props) — one 6h frame:
+        # max value 9.0 duplicated at 00:10 and 00:40; min 1.0 at 00:20/00:05
+        (1, t(10), 1, "view", 9.0, "{}"),
+        (2, t(40), 1, "view", 9.0, "{}"),
+        (3, t(20), 1, "view", 1.0, "{}"),
+        (4, t(5), 1, "view", 1.0, "{}"),
+        (5, t(30), 1, "view", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    got = {
+        (r.event_type,): (r.min_ts, r.max_ts, r.min_value, r.max_value)
+        for r in behavior.downsample_minmax(spark, sf).collect()
+    }
+    assert got[("view",)][0] == t(5), "min tie must pick earliest ts"
+    assert got[("view",)][1] == t(10), "max tie must pick earliest ts"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'"
+    )
+    oracle = con.execute(behavior._DOWNSAMPLE_SQL).fetchall()
+    con.close()
+    assert [(r[4], r[6], r[3], r[5]) for r in oracle] == [
+        got[("view",)]
+    ], "spark and oracle must agree on tie-broken extremes"
+
+
 def test_time_to_convert_is_consistent_with_funnel(spark):
     from waterbear_spark.queries.behavior import (
         funnel_conversion,

@@ -45,6 +45,31 @@ def test_query_matches_oracle(spark, oracle, name):
     assert compare_frames(sdf.columns, s_rows, d_cols, d_rows) == []
 
 
+def test_equidepth_histogram_tiny_input(spark, tmp_path):
+    """n_total < bucket count: NTILE emits fewer buckets; the rank
+    arithmetic must drop its zero-size tiles instead of letting their
+    degenerate boundary ranks land inside other tiles."""
+    from waterbear_spark.queries import relational_ext
+
+    rows = [(1, 100.0), (2, 50.0), (3, 300.0), (4, 200.0), (5, 250.0)]
+    df = spark.createDataFrame(rows, ["o_orderkey", "o_totalprice"])
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/orders.parquet")
+
+    sdf = relational_ext.equidepth_histogram(spark, sf)
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet/*.parquet'"
+    )
+    res = con.execute(relational_ext.EQUIDEPTH_SQL)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    con.close()
+    assert compare_frames(sdf.columns, s_rows, d_cols, d_rows) == []
+
+
 def test_no_python_udf_anywhere(spark):
     """Every catalog query stays JVM-side — except the pandas_* entries,
     which exist precisely to exercise the Arrow-batched UDF surface (and

@@ -137,3 +137,17 @@ class TestFindIslands:
         df = spark.createDataFrame([(98,), (99,), (101,), (102,)], ["key"])
         got = sorted(tuple(r) for r in find_islands(df, "key", block=b).collect())
         assert got == [(98, 99, 2), (101, 102, 2)]
+
+    def test_negative_keys_use_floor_blocks(self, spark):
+        from waterbear_spark.operators.islands import find_islands
+
+        b = 100
+        # runs straddling zero and negative block edges: truncating `div`
+        # would put -100..-1 in block 0 alongside 0..99 yet misalign the
+        # edge tests, splitting these runs permanently
+        runs = [(-205, -196), (-101, -98), (-2, 3), (-450, -449)]
+        keys = [k for lo, hi in runs for k in range(lo, hi + 1)]
+        df = spark.createDataFrame([(k,) for k in keys], ["key"])
+        got = sorted(tuple(r) for r in find_islands(df, "key", block=b).collect())
+        want = sorted((lo, hi, hi - lo + 1) for lo, hi in runs)
+        assert got == want

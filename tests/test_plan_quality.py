@@ -59,6 +59,26 @@ def test_no_rowwise_python(plans):
     assert offenders == []
 
 
+def test_no_rdd_api_in_source():
+    """The DataFrame API is the contract: touching ``df.rdd`` (even just
+    ``getNumPartitions``) forces an RDD conversion / analysis pass on the
+    driver and drops out of Catalyst. Nothing in the engine may use it."""
+    import pathlib
+    import re
+
+    import waterbear_spark
+
+    root = pathlib.Path(waterbear_spark.__file__).parent
+    pat = re.compile(r"\.rdd\b")
+    offenders = [
+        f"{p.relative_to(root)}:{i}"
+        for p in root.rglob("*.py")
+        for i, line in enumerate(p.read_text().splitlines(), 1)
+        if pat.search(line)
+    ]
+    assert offenders == []
+
+
 def test_scans_prune_columns(plans):
     # lineitem has 11 columns; no query needs more than 8 of them
     for name, plan in plans.items():

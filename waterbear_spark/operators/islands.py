@@ -27,8 +27,13 @@ def find_islands(
     relation ~|keys|/block.
     """
     b = block
+    # floor division, not `div` (which truncates toward zero): negative
+    # keys must land in correctly-aligned blocks or the edge conditions
+    # below misidentify edge-touching islands (e.g. -8192 and -8191 would
+    # split across truncated blocks and never stitch). (k - pmod(k, b))
+    # is the exact floor multiple for any sign, with no float round-trip.
     keyed = keys.select(F.col(key_col).alias("k")).withColumn(
-        "blk", F.expr(f"k div {b}")
+        "blk", F.expr(f"(k - pmod(k, {b})) div {b}")
     )
     w_blk = Window.partitionBy("blk").orderBy("k")
     islands0 = (

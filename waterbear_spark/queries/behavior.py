@@ -787,15 +787,19 @@ def downsample_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         # timezone dependence on either engine
         F.timestamp_add("SECOND", frame_secs, ntz_epoch).alias("frame"),
     )
-    # pick = ordered struct: (value, ts, event_id) — min_by/max_by on it
-    # resolves value ties to the earliest observation in both engines
-    pick = F.struct("v", "ts", "event_id")
+    # pick keys: both extremes resolve value ties to the EARLIEST
+    # (ts, event_id). min side orders (v asc, ts asc, id asc); the max
+    # side must NOT be max_by on (v, ts, id) — that picks the LATEST tie —
+    # so it is min_by on (-v, ts, id), matching the oracle's
+    # ORDER BY v DESC, ts, event_id.
+    pick_lo = F.struct("v", "ts", "event_id")
+    pick_hi = F.struct((-F.col("v")).alias("nv"), "ts", "event_id")
     return (
         ev.groupBy("event_type", "frame")
         .agg(
             F.count(F.lit(1)).alias("n_points"),
-            F.min_by(F.struct("ts", F.col("v")), pick).alias("lo"),
-            F.max_by(F.struct("ts", F.col("v")), pick).alias("hi"),
+            F.min_by(F.struct("ts", F.col("v")), pick_lo).alias("lo"),
+            F.min_by(F.struct("ts", F.col("v")), pick_hi).alias("hi"),
         )
         .select(
             "event_type",

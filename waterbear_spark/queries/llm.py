@@ -35,12 +35,23 @@ JACCARD_THRESHOLD = 0.5
 
 def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Spread a compute-heavy stage across the cluster when the upstream
-    scan produced fewer partitions than cores (e.g. a few large files with
+    scan produced fewer splits than cores (e.g. a few large files with
     single row groups). No-op when the input is already wide — we never
     *reduce* partitioning, so at scale this costs nothing.
+
+    The width probe is ``df.inputFiles()`` — analyzed-plan metadata, no
+    job, no RDD conversion (an ``rdd.getNumPartitions()`` probe would
+    force a driver-side plan translation per call; the plan lint bans the
+    RDD API outright). File count under-counts splits when one file spans
+    many row groups, but that only risks a redundant repartition of an
+    already-wide frame, never a narrowing.
     """
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plans: nothing to widen from
+        n_files = 0
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

@@ -966,7 +966,10 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_total", F.sum("cnt").over(Window.partitionBy()))
     )
 
-    # per tile i: start = (i-1)q + least(i-1, r) + 1, end = iq + least(i, r)
+    # per tile i: start = (i-1)q + least(i-1, r) + 1, end = iq + least(i, r);
+    # tiles with sz = 0 (n_total < bucket count) must emit NO boundaries —
+    # their degenerate ranks would land inside other tiles — matching
+    # NTILE, which simply produces fewer buckets on tiny inputs
     boundary = F.expr(
         f"""
         filter(
@@ -982,7 +985,7 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
               'sz', (i * (n_total div {k}) + least(i, n_total % {k}))
                     - ((i-1) * (n_total div {k}) + least(i-1, n_total % {k})))
           ))),
-          s -> s.rk > cum_prev AND s.rk <= cum)
+          s -> s.sz > 0 AND s.rk > cum_prev AND s.rk <= cum)
         """
     )
     targets = (
