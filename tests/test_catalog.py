@@ -117,18 +117,25 @@ def test_q5_broadcasts_dimensions(spark):
 def test_priority_window_integrity():
     """The driver validates the first 50 catalog entries in dict order;
     the rotation machinery must keep that window well-formed: every
-    priority/tail name exists, no duplicates anywhere, and every
-    first-window query has an oracle except deliberate rows-only ops."""
+    priority name exists, no duplicates anywhere, priority entries lead,
+    and the remainder is ordered least-recently-driver-verified first
+    (genuine round-robin — nothing parks permanently outside the window)."""
     from waterbear_spark.queries import catalog
 
     names = list(catalog.QUERIES)
     assert len(names) == len(set(names))
     for k in catalog._PRIORITY:
         assert k in catalog.QUERIES, f"priority entry {k} missing"
-    for k in catalog._ROUND1_VALIDATED:
-        assert k in catalog.QUERIES, f"validated-tail entry {k} missing"
+    # priority entries lead the window verbatim
+    head = [k for k in catalog._PRIORITY if k in catalog.QUERIES]
+    assert names[: len(head)] == head
+
+    # the rest must be sorted by (last verified round, name): stalest
+    # evidence rotates to the front, never-verified (round 0) before all
+    last = catalog._last_verified_round()
+    rest = names[len(head):]
+    assert rest == sorted(rest, key=lambda k: (last.get(k, 0), k))
+
     window = names[:50]
     rows_only = [k for k in window if k not in catalog.ORACLE_SQL]
     assert rows_only in ([], ["approx_distinct"]), rows_only
-    # priority entries lead the window verbatim
-    assert window[: len(catalog._PRIORITY)] == catalog._PRIORITY

@@ -64,61 +64,69 @@ assert set(ORACLE_SQL) <= set(QUERIES), "oracle without query"
 
 # The driver's correctness harness validates the catalog in dict order
 # with a bounded window (first 50), so ordering decides which operators
-# get cross-engine evidence each round. Front-load (1) queries whose
-# round-1 check failed and was since fixed plus this round's new
-# operators, then (2) queries not yet covered by any recorded round,
-# leaving the already-validated tail last.
+# get cross-engine evidence each round. The rotation is a genuine
+# round-robin driven by the committed evidence itself: each query's
+# last-verified round is read from the CORRECTNESS_r*.json files at the
+# repo root, and the catalog orders by
 #
-# NEXT-ROUND ROTATION: merge the keys of the newest CORRECTNESS_r*.json
-# into _ROUND1_VALIDATED (they have evidence now) and keep _PRIORITY to
-# genuinely new/fixed queries, so each round's window covers the largest
-# never-validated slice. CORRECTNESS_LOCAL.json already certifies the
-# full catalog locally each round.
+#   1. _PRIORITY — this round's new or semantics-changed queries, whose
+#      prior evidence (if any) predates the change;
+#   2. everything else, least-recently-driver-verified first (never
+#      verified sorts as round 0), name as the deterministic tie-break.
+#
+# So every round the window covers: fixed/new queries, then the largest
+# never-verified slice, then the STALEST previously-verified queries —
+# no query parks permanently outside the window, and a regression in a
+# long-validated query resurfaces once its evidence becomes the oldest.
+# CORRECTNESS_LOCAL.json (scripts/check_oracle.py, full catalog) remains
+# the per-round local certification on top.
 _PRIORITY = [
-    # round-1 failures, fixed (NTZ-safe epoch math; BIGINT-clean oracles)
-    "funnel_time_to_convert",
-    "time_weighted_avg",
-    "interval_peak_concurrency",
-    "rollup_cascade",
-    # new this round: multimodal + streaming-twin operators
-    "multimodal_decode_stats",
-    "multimodal_frame_sample",
-    "multimodal_header_triage",
-    "attribution_join",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "drift_kl_daily",
-    "weighted_sample_docs",
-    "ivm_incremental_agg",
-    "jaccard_prefix_join",
+    # round-3 semantics fixes: max-tie earliest pick, floor-div blocking,
+    # zero-size NTILE tiles (prior evidence predates the fix)
     "downsample_minmax",
-    "source_entropy",
-    "sequence_pattern_match",
+    "key_islands",
+    "equidepth_histogram",
 ]
-_ROUND1_VALIDATED = [
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "filter_project", "join_semi", "join_anti", "join_theta",
-    "asof_last_order", "agg_stats", "agg_distinct", "rollup_orders",
-    "cube_lineitem", "window_topk_parts", "window_running_totals",
-    "top_n_orders", "set_intersect_nations", "set_except_nations",
-    "union_priority_classes", "string_functions", "date_functions",
-    "json_functions", "variant_events", "events_hourly", "events_sliding",
-    "range_join_windows", "null_safe_join_buckets", "top_event_paths",
-    "gapfill_locf_daily", "skyline_orders", "funnel_conversion",
-    "cohort_retention", "reservoir_sample_orders",
-    "event_transition_matrix", "anomalous_days", "correlation_matrix",
-    "band_join_orders", "winsorized_mean_price", "key_islands",
-    "weighted_median_price", "equidepth_histogram", "ols_quantity_price",
-    "kmv_distinct_sketch", "sessionize_events", "explode_ordinality",
-    "window_range_frame", "rollup_grouping_id",
-]
+
+
+def _last_verified_round() -> dict[str, int]:
+    """name -> latest driver round whose CORRECTNESS_r*.json records a
+    passing check (hash match, or rows match for rows-only ops). A failed
+    or absent check contributes nothing, so such queries sort as stale."""
+    import json
+    import re
+    from pathlib import Path
+
+    last: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[2]
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, res in data.items():
+            if not isinstance(res, dict):
+                continue
+            ok = res.get("hash_match") or (
+                res.get("err") is None and res.get("rows_match")
+            )
+            if ok:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _reorder(mapping: dict) -> dict:
+    last = _last_verified_round()
     head = [k for k in _PRIORITY if k in mapping]
-    tail = [k for k in _ROUND1_VALIDATED if k in mapping]
-    mid = [k for k in mapping if k not in set(head) | set(tail)]
-    return {k: mapping[k] for k in head + mid + tail}
+    rest = sorted(
+        (k for k in mapping if k not in set(head)),
+        key=lambda k: (last.get(k, 0), k),
+    )
+    return {k: mapping[k] for k in head + rest}
 
 
 QUERIES = _reorder(QUERIES)
