@@ -128,7 +128,8 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join (4 rows x 34 hex chars per doc) and the candidate->signature
     lookups, whose left side is the (small) candidate set. The O(n^2)
     pairwise comparison never materializes; band width / hash count tune
-    the recall-cost curve.
+    the recall-cost curve, and [[dedup_recall_report]] measures that
+    curve (recall per exact-Jaccard bucket) as an oracle-checked query.
     """
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", _tokens(F.col("text")).alias("toks")
@@ -1263,7 +1264,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall/cost dial: a single min-gram key degenerates on low-entropy
     corpora (common grams put thousands of docs in one block — measured
     3047/5000 here), while the 3-hash AND key keeps the worst block at
-    ~200 docs for ~0.73 recall on 0.9-Jaccard true pairs.
+    ~200 docs. The recall cost of blocking is not asserted here but
+    MEASURED: [[dedup_recall_report]] computes the caught-vs-planted
+    curve per Jaccard bucket as an oracle-checked query.
     """
     docs = _fan_out(
         spark,
@@ -1503,6 +1506,139 @@ ORDER BY doc_id
 """
 
 
+def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the MinHash banding used by
+    [[dedup_near_minhash]]: every document is paired with a PLANTED
+    near-duplicate (drop every m-th token, m = 2 + doc_id % 5, so planted
+    similarity spans a range), the pair's EXACT shingle Jaccard is
+    computed, and "caught" means the two variants share at least one LSH
+    band key — i.e. the candidate join would have surfaced the pair.
+    Output: per 0.1-wide Jaccard bucket, planted pairs vs caught pairs
+    and the recall ratio. This turns the banding parameters' recall curve
+    (band count x band width vs similarity) from a hand-tuned docstring
+    claim into a computed, oracle-checked number.
+
+    Scale: the planted pair lives INSIDE its row — variant construction,
+    shingling, signatures, and the band-key comparison are all row-local
+    codegen; the only exchange is the final ~10-row bucket aggregate. No
+    join, no shuffle of text. Recall audits at 100 TB cost one scan.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    docs = _fan_out(spark, docs)
+    m = F.lit(2) + F.pmod(F.col("doc_id"), F.lit(5))
+    pairs = (
+        docs.filter(F.size("toks") >= 3)
+        .withColumn(
+            "vtoks",
+            F.transform(
+                F.filter(
+                    F.sequence(F.lit(1), F.size("toks")),
+                    lambda i: i % m != 0,
+                ),
+                lambda i: F.element_at("toks", i),
+            ),
+        )
+        .filter(F.size("vtoks") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(_shingles(F.col("toks"))).alias("arr_a"),
+            F.array_distinct(_shingles(F.col("vtoks"))).alias("arr_b"),
+        )
+    )
+
+    def seeded_md5(seed: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
+
+    def sig(arr: str, i: int) -> Column:
+        return F.array_min(F.transform(arr, seeded_md5(i)))
+
+    n_inter = F.size(F.array_intersect("arr_a", "arr_b")).cast("double")
+    jac = n_inter / (F.size("arr_a") + F.size("arr_b") - n_inter)
+    caught = None
+    for b in range(N_BANDS):
+        hit = (
+            F.concat(sig("arr_a", 2 * b), sig("arr_a", 2 * b + 1))
+            == F.concat(sig("arr_b", 2 * b), sig("arr_b", 2 * b + 1))
+        )
+        caught = hit if caught is None else caught | hit
+    scored = pairs.select(
+        (F.floor(jac * 10) / 10).alias("jaccard_bucket"),
+        caught.cast("int").alias("caught"),
+    )
+    return (
+        scored.groupBy("jaccard_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("caught").alias("n_caught"),
+        )
+        .select(
+            "jaccard_bucket",
+            "n_pairs",
+            "n_caught",
+            F.round(F.col("n_caught") / F.col("n_pairs"), 4).alias("recall"),
+        )
+        .orderBy("jaccard_bucket")
+    )
+
+
+_SHINGLES_V_SQL = SHINGLES_SQL.replace("toks", "vtoks")
+
+_SIG_A_SQL = ", ".join(
+    f"list_min(list_transform(arr_a, s -> md5('{i}|' || s))) AS ha{i}"
+    for i in range(N_HASHES)
+)
+_SIG_B_SQL = ", ".join(
+    f"list_min(list_transform(arr_b, s -> md5('{i}|' || s))) AS hb{i}"
+    for i in range(N_HASHES)
+)
+_CAUGHT_SQL = " OR ".join(
+    f"(ha{2 * b} || ha{2 * b + 1} = hb{2 * b} || hb{2 * b + 1})"
+    for b in range(N_BANDS)
+)
+
+DEDUP_RECALL_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+),
+pair AS (
+    SELECT doc_id, toks,
+           list_transform(
+               list_filter(generate_series(1, len(toks)),
+                           i -> i % (2 + doc_id % 5) != 0),
+               i -> toks[i]) AS vtoks
+    FROM tok WHERE len(toks) >= 3
+),
+sets AS (
+    SELECT doc_id,
+           list_distinct({SHINGLES_SQL}) AS arr_a,
+           list_distinct({_SHINGLES_V_SQL}) AS arr_b
+    FROM pair WHERE len(vtoks) >= 3
+),
+sig AS (
+    SELECT doc_id, arr_a, arr_b,
+           CAST(len(list_intersect(arr_a, arr_b)) AS DOUBLE) AS ninter,
+           {_SIG_A_SQL},
+           {_SIG_B_SQL}
+    FROM sets
+),
+scored AS (
+    SELECT FLOOR(ninter / (len(arr_a) + len(arr_b) - ninter) * 10) / 10
+               AS jaccard_bucket,
+           CASE WHEN {_CAUGHT_SQL} THEN 1 ELSE 0 END AS caught
+    FROM sig
+)
+SELECT jaccard_bucket,
+       COUNT(*) AS n_pairs,
+       SUM(caught) AS n_caught,
+       ROUND(CAST(SUM(caught) AS DOUBLE) / COUNT(*), 4) AS recall
+FROM scored
+GROUP BY jaccard_bucket
+ORDER BY jaccard_bucket
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_near_minhash": dedup_near_minhash,
@@ -1517,6 +1653,7 @@ QUERIES = {
     "weighted_sample_docs": weighted_sample_docs,
     "jaccard_prefix_join": jaccard_prefix_join,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "dedup_recall_report": dedup_recall_report,
     "doc_chunking": doc_chunking,
     "text_stats": text_stats,
     "doc_quality": doc_quality,
@@ -1536,6 +1673,7 @@ ORACLES = {
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
     "jaccard_prefix_join": PREFIX_JOIN_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+    "dedup_recall_report": DEDUP_RECALL_SQL,
     "doc_chunking": DOC_CHUNKING_SQL,
     "text_stats": TEXT_STATS_SQL,
     "doc_quality": DOC_QUALITY_SQL,

@@ -16,9 +16,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from waterbear_spark.queries.tables import table
-from waterbear_spark.streaming.windows import stream_stream_join
+from waterbear_spark.streaming.windows import (
+    session_metrics,
+    stream_dedup,
+    stream_stream_join,
+)
 
 _WITHIN = "10 minutes"
+_GAP = "30 minutes"
 
 
 def attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,5 +67,105 @@ ORDER BY p.user_id, l_event, r_event
 """
 
 
-QUERIES = {"attribution_join": attribution_join}
-ORACLES = {"attribution_join": _ATTRIBUTION_SQL}
+def session_metrics_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute inactivity gap) over the
+    events table, through the SAME ``session_metrics`` transform the
+    streaming path runs — this batch twin gives ``F.session_window``'s
+    merge semantics a cross-engine oracle (the DuckDB side is the
+    classic lag-gap sessionization), where previously only the
+    stream-vs-batch equivalence test covered it.
+
+    Scale: session_window is one shuffle on (key); state per key is the
+    open session. The oracle's window formulation sorts per user — the
+    Spark side's merge is the scalable form.
+    """
+    ev = table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    return (
+        session_metrics(ev, gap=_GAP, ts_col="ts", key_col="user_id")
+        .select(
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_SESSION_SQL = """
+WITH marked AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts, value,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 2) AS DOUBLE)
+           AS sum_value
+FROM sessions
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+def dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once replay collapsed by ``stream_dedup``: the events
+    table is deliberately doubled (every event delivered twice, the
+    at-least-once failure mode) and pushed through the same dedup
+    transform the streaming path uses; the per-type totals must equal
+    the ORIGINAL table's — which is exactly what the oracle computes, so
+    any dropped or surviving duplicate hash-mismatches.
+
+    Scale: dropDuplicates is one shuffle on the id key with map-side
+    first-row combine; in the streaming run the watermark bounds state.
+    """
+    ev = table(spark, sf_dir, "events")
+    replayed = ev.unionByName(ev)
+    deduped = stream_dedup(replayed, id_cols=["event_id"])
+    return (
+        deduped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_DEDUP_REPLAY_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 2) AS DOUBLE)
+           AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "attribution_join": attribution_join,
+    "session_metrics_user": session_metrics_user,
+    "dedup_stream_replay": dedup_stream_replay,
+}
+ORACLES = {
+    "attribution_join": _ATTRIBUTION_SQL,
+    "session_metrics_user": _SESSION_SQL,
+    "dedup_stream_replay": _DEDUP_REPLAY_SQL,
+}
