@@ -70,6 +70,19 @@ def test_equidepth_histogram_tiny_input(spark, tmp_path):
     assert compare_frames(sdf.columns, s_rows, d_cols, d_rows) == []
 
 
+def test_coverage_doc_counts_match():
+    """COVERAGE.md's harness block states the catalog size; it must not
+    drift from the real registry (the round-2 review caught it stale)."""
+    import pathlib
+    import re
+
+    doc = (pathlib.Path(__file__).parents[1] / "COVERAGE.md").read_text()
+    m = re.search(r"(\d+) catalog queries; (\d+) with exact DuckDB oracles", doc)
+    assert m, "COVERAGE.md harness block missing the catalog-count line"
+    assert int(m.group(1)) == len(QUERIES)
+    assert int(m.group(2)) == len(ORACLE_SQL)
+
+
 def test_no_python_udf_anywhere(spark):
     """Every catalog query stays JVM-side — except the pandas_* entries,
     which exist precisely to exercise the Arrow-batched UDF surface (and

@@ -21,7 +21,7 @@ Preserved quirks (golden tests encode them): numeric bounds are rendered as
 floats even for integer fields; date/timestamp ranges read the non-standard
 ``min``/``max`` keys and compare as strings; the ``time`` format regex is
 12-hour; array *element* domains are not enforced here (see
-`waterbear_spark.quality.expectations.element_constraints` for the native
+`waterbear_spark.quality.expectations.array_element_enum` for the native
 fix the reference couldn't express without a UDF).
 """
 
