@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Scaling-curve bench: run the heavy-tail queries at sf0.1 and sf1
+(10x, built by scripts/make_sf1.py) and report per-query runtimes plus
+the sf1/sf0.1 ratio. A ~linear operator lands near 10x (one scan, one
+bounded shuffle); super-linear ratios expose pair-space blowups or
+sort-bound stages that would not survive 100 TB.
+
+jaccard_prefix_join is benched through its UNCAPPED core
+(``prefix_join_pairs``) on the full corpus of each scale — the catalog
+entry's doc_id subset exists only for the O(n^2) DuckDB oracle and would
+otherwise make the query constant-size.
+
+Prints one JSON line; committed per-round as BENCH_SCALING_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from waterbear_spark.queries import graph, llm, quality_queries, textops
+from waterbear_spark.queries.tables import table
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF1 = os.path.join(REPO, "localdata", "sf1")
+
+
+def prefix_join_uncapped(spark, sf_dir):
+    return llm.prefix_join_pairs(table(spark, sf_dir, "documents"))
+
+
+HEAVY = {
+    "profile_table": quality_queries.profile_table,
+    "simhash_near_dup": textops.simhash_near_dup,
+    "dedup_near_minhash": llm.dedup_near_minhash,
+    "triangle_count_nations": graph.triangle_count_nations,
+    "jaccard_prefix_join_uncapped": prefix_join_uncapped,
+}
+
+
+def run_all(spark, sf_dir, iters=2):
+    # min over iterations: the first pass pays one-off codegen and file
+    # listing, which would otherwise swamp the data-dependent cost at
+    # the small scale and understate every ratio
+    timings = {}
+    for name, fn in HEAVY.items():
+        best = None
+        for _ in range(iters):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+    return timings
+
+
+def main():
+    if not os.path.isdir(SF1):
+        sys.exit("localdata/sf1 missing - run scripts/make_sf1.py first")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bench-scaling")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+
+    small = run_all(spark, SF01)
+    big = run_all(spark, SF1)
+    ratio = {n: round(big[n] / small[n], 2) for n in HEAVY}
+    out = {
+        "metric": "heavy_tail_scaling",
+        "unit": "sec",
+        "scale_factor": 10,
+        "sf0.1": small,
+        "sf1": big,
+        "ratio_sf1_over_sf0.1": ratio,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,10 @@ NESTED_LOOP_OK = {
     # date-spine × event-type grid: a deliberate broadcast cross join of
     # two generated micro-relations (|types| × |days|)
     "gapfill_locf_daily",
+    # per-lang floor: broadcast 1-row scalar joined against the corpus
+    "lang_balance_resample",
+    # corpus-size N: broadcast 1-row scalar against the tf relation
+    "tfidf_top_terms",
 }
 
 

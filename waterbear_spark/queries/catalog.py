@@ -8,6 +8,7 @@ from __future__ import annotations
 from waterbear_spark.functions import udfs
 from waterbear_spark.queries import (
     behavior,
+    corpusprep,
     graph,
     llm,
     multimodal_queries,
@@ -36,6 +37,7 @@ QUERIES = {
     **multimodal_queries.QUERIES,
     **streaming_queries.QUERIES,
     **skew_queries.QUERIES,
+    **corpusprep.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -55,6 +57,7 @@ ORACLE_SQL = {
     **multimodal_queries.ORACLES,
     **streaming_queries.ORACLES,
     **skew_queries.ORACLES,
+    **corpusprep.ORACLES,
     **udfs.ORACLES,
 }
 

@@ -1164,14 +1164,21 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (common tokens never enter short prefixes). Everything shuffles by
     token or doc_id — the pair space never materializes. The subset cap
     exists only so the O(n²) ORACLE stays runnable; the operator itself
-    has no such bound.
+    (``prefix_join_pairs``, which scripts/bench_scaling.py benches
+    uncapped at sf1) has no such bound.
     """
-    # persist the subset's shingle sets: the frame fans out into the
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < _PP_DOCS)
+    return prefix_join_pairs(docs)
+
+
+def prefix_join_pairs(raw_docs: DataFrame) -> DataFrame:
+    """Uncapped PPJoin core over any (doc_id, text) frame — see
+    [[jaccard_prefix_join]] for semantics and the scale argument."""
+    # persist the shingle sets: the frame fans out into the
     # document-frequency count AND the per-doc reorder, and without the
     # cache each branch re-pays the full parquet scan + shingling
     docs = (
-        table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < _PP_DOCS)
+        raw_docs
         .select("doc_id", _tokens(F.col("text")).alias("toks"))
         .filter(F.size("toks") >= 3)
         .select(
@@ -1631,11 +1638,75 @@ scored AS (
 )
 SELECT jaccard_bucket,
        COUNT(*) AS n_pairs,
-       SUM(caught) AS n_caught,
+       CAST(SUM(caught) AS BIGINT) AS n_caught,
        ROUND(CAST(SUM(caught) AS DOUBLE) / COUNT(*), 4) AS recall
 FROM scored
 GROUP BY jaccard_bucket
 ORDER BY jaccard_bucket
+"""
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moments of the embedding space (mean/std/min/max
+    for each of the 64 dims) — the statistics behind whitening,
+    normalization QA, and dead-dimension detection before ANN indexing.
+
+    Float determinism: each value is scaled to exact integer micro-units
+    (``round(v * 1e6)``) so the sums are EXACT integers on both engines
+    and the mean/variance arithmetic is a single identical double
+    expression — aggregation order can't shift a bit. At sums beyond
+    ~2^63 micro-units² per dimension swap the integer sums for
+    DECIMAL(38,0); the shape is otherwise scale-free (explode -> one
+    hash aggregate on a 64-key space, map-side combinable).
+    """
+    dims = (
+        table(spark, sf_dir, "embeddings")
+        .select(F.posexplode("embedding").alias("dim", "vf"))
+        .select(
+            "dim",
+            F.col("vf").cast("double").alias("v"),
+            F.round(F.col("vf").cast("double") * 1e6).cast("long").alias("vi"),
+        )
+    )
+    n = F.count(F.lit(1))
+    s = F.sum("vi").cast("double")
+    sq = F.sum(F.col("vi") * F.col("vi")).cast("double")
+    mean = s / F.lit(1e6) / n
+    var = (sq / F.lit(1e12) - (s / F.lit(1e6)) * (s / F.lit(1e6)) / n) / (n - 1)
+    return (
+        dims.groupBy("dim")
+        .agg(
+            n.alias("n"),
+            F.round(mean, 6).alias("mean"),
+            F.round(F.sqrt(var), 6).alias("std"),
+            F.round(F.min("v"), 6).alias("vmin"),
+            F.round(F.max("v"), 6).alias("vmax"),
+        )
+        .orderBy("dim")
+    )
+
+
+EMBEDDING_DIM_STATS_SQL = """
+WITH dims AS (
+    SELECT dim, v, CAST(ROUND(v * 1000000.0) AS BIGINT) AS vi
+    FROM (
+        SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim,
+               unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        FROM embeddings
+    )
+)
+SELECT dim,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(vi) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS mean,
+       ROUND(SQRT((CAST(SUM(vi * vi) AS DOUBLE) / 1000000000000.0
+                   - (CAST(SUM(vi) AS DOUBLE) / 1000000.0)
+                     * (CAST(SUM(vi) AS DOUBLE) / 1000000.0) / COUNT(*))
+                  / (COUNT(*) - 1)), 6) AS std,
+       ROUND(MIN(v), 6) AS vmin,
+       ROUND(MAX(v), 6) AS vmax
+FROM dims
+GROUP BY dim
+ORDER BY dim
 """
 
 
@@ -1649,6 +1720,7 @@ QUERIES = {
     "ann_hyperplane_buckets": ann_hyperplane_buckets,
     "ann_ivf_kmeans": ann_ivf_kmeans,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "embedding_dim_stats": embedding_dim_stats,
     "deterministic_split": deterministic_split,
     "weighted_sample_docs": weighted_sample_docs,
     "jaccard_prefix_join": jaccard_prefix_join,
@@ -1669,6 +1741,7 @@ ORACLES = {
     "ann_hyperplane_buckets": ANN_HYPERPLANE_SQL,
     "ann_ivf_kmeans": ANN_IVF_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COS_SQL,
+    "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
     "deterministic_split": DETERMINISTIC_SPLIT_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
     "jaccard_prefix_join": PREFIX_JOIN_SQL,

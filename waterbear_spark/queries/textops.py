@@ -10,7 +10,7 @@ structurally the same computation; everything is integer/string arithmetic
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from waterbear_spark.queries.llm import SHINGLES_SQL, TOKENS_SQL, _fan_out, _tokens
@@ -526,9 +526,90 @@ ORDER BY name_a, name_b
 """
 
 
+_TFIDF_K = 3  # top terms kept per document
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF signature: each document's top 3 terms by
+    ``tf * ln((N+1)/(df+1))`` — the classic keyword extraction /
+    retrieval-indexing primitive. Term frequency is a per-doc count,
+    document frequency one corpus aggregate, and the corpus size N a
+    broadcast 1-row scalar; ties (same score) break on the term itself
+    so the pick is engine-exact.
+
+    Scale: two shuffles (token explode -> (doc, term) counts; df per
+    term) and a per-doc window over a handful of scored terms. The df
+    relation is vocabulary-sized, broadcastable at any corpus scale; no
+    pair space, no Python.
+    """
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = toks.distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = (
+        table(spark, sf_dir, "documents")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TFIDF_K)
+        .select("doc_id", "rk", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rk")
+    )
+
+
+TFIDF_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+df AS (
+    SELECT term, COUNT(*) AS df
+    FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS score
+    FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, term, tf, df, score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term) AS rk
+    FROM scored
+)
+SELECT doc_id, rk, term, tf, df, score
+FROM ranked WHERE rk <= {_TFIDF_K}
+ORDER BY doc_id, rk
+"""
+
+
 QUERIES = {
     "fuzzy_join_parts": fuzzy_join_parts,
     "vocab_top_terms": vocab_top_terms,
+    "tfidf_top_terms": tfidf_top_terms,
     "simhash_near_dup": simhash_near_dup,
     "lang_id": lang_id,
     "token_counting": token_counting,
@@ -540,6 +621,7 @@ QUERIES = {
 ORACLES = {
     "fuzzy_join_parts": FUZZY_JOIN_SQL,
     "vocab_top_terms": VOCAB_TOP_TERMS_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
     "simhash_near_dup": SIMHASH_SQL,
     "lang_id": LANG_ID_SQL,
     "token_counting": TOKEN_COUNTING_SQL,
