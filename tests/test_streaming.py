@@ -225,3 +225,51 @@ def test_stream_static_join_matches_batch(spark, event_stream_dir):
     )
     assert problems == []
     assert stream_result.count() > 0
+
+
+def test_session_gap_boundary_merges(spark, tmp_path):
+    """An event landing EXACTLY one gap after the previous one merges
+    into the session (F.session_window semantics, probed empirically);
+    one microsecond past the gap starts a new session. The catalog
+    oracle for session_metrics_user must agree — its lag condition is
+    strictly-greater, and this pins it against the real engine."""
+    import datetime as dt
+
+    import duckdb
+
+    from waterbear_spark.queries import streaming_queries
+
+    def t(h, m, us=0):
+        return dt.datetime(2024, 1, 1, h, m, 0, us)
+
+    rows = [
+        (1, t(0, 0), 1, "view", 1.0, "{}"),
+        (2, t(0, 30), 1, "view", 1.0, "{}"),       # exactly gap later: merge
+        (3, t(1, 30, 1), 1, "view", 1.0, "{}"),    # 1us past gap: new session
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    got = [
+        (r.session_start, r.session_end, r.n_events)
+        for r in streaming_queries.session_metrics_user(spark, sf).collect()
+    ]
+    assert got == [
+        (t(0, 0), t(1, 0), 2),
+        (t(1, 30, 1), t(2, 0, 1), 1),
+    ]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'"
+    )
+    oracle = [
+        (r[0], r[1], r[3])
+        for r in con.execute(streaming_queries._SESSION_SQL).fetchall()
+    ]
+    con.close()
+    assert oracle == got

@@ -98,8 +98,11 @@ def session_metrics_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_SQL = """
 WITH marked AS (
     SELECT user_id, ts, event_id, value,
+           -- strictly greater: F.session_window MERGES an event landing
+           -- exactly gap after the previous one (probed empirically;
+           -- tests/test_streaming.py::test_session_gap_boundary_merges)
            CASE WHEN lag(ts) OVER w IS NULL
-                  OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS new_s
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
