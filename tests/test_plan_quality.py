@@ -24,6 +24,11 @@ NESTED_LOOP_OK = {
     "lang_balance_resample",
     # corpus-size N: broadcast 1-row scalar against the tf relation
     "tfidf_top_terms",
+    # suppressed-group count: broadcast 1-row scalar against kept cube rows
+    "kanon_suppressed_cube",
+    # max-day boundary: broadcast 1-row scalar gating the 7x contribution
+    # fan-out (the join itself is an equi-join-free filter)
+    "rolling_distinct_users",
 }
 
 

@@ -16,9 +16,11 @@ from waterbear_spark.queries import (
     reconcile,
     relational,
     relational_ext,
+    relational_more,
     skew_queries,
     streaming_queries,
     textops,
+    timeseries,
     tpch_more,
     tpch_rest,
 )
@@ -27,6 +29,7 @@ QUERIES = {
     **relational.QUERIES,
     **behavior.QUERIES,
     **relational_ext.QUERIES,
+    **relational_more.QUERIES,
     **tpch_more.QUERIES,
     **tpch_rest.QUERIES,
     **graph.QUERIES,
@@ -38,6 +41,7 @@ QUERIES = {
     **streaming_queries.QUERIES,
     **skew_queries.QUERIES,
     **corpusprep.QUERIES,
+    **timeseries.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -47,6 +51,7 @@ ORACLE_SQL = {
     **relational.ORACLES,
     **behavior.ORACLES,
     **relational_ext.ORACLES,
+    **relational_more.ORACLES,
     **tpch_more.ORACLES,
     **tpch_rest.ORACLES,
     **graph.ORACLES,
@@ -58,6 +63,7 @@ ORACLE_SQL = {
     **streaming_queries.ORACLES,
     **skew_queries.ORACLES,
     **corpusprep.ORACLES,
+    **timeseries.ORACLES,
     **udfs.ORACLES,
 }
 

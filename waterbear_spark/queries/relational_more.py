@@ -1,0 +1,336 @@
+"""Round-3 relational catalog extensions: deterministic mode/median,
+k-anonymity suppression over a cube, grid-bucketed spatial neighbor
+joins, and hierarchy rollup (the recursive-CTE capability, expressed
+Spark-natively).
+
+Each query carries an exact DuckDB oracle; determinism notes inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from waterbear_spark.queries.tables import dsum, oracle_dsum, table
+
+_KANON_K = 12
+_GRID_CELL = 64  # pseudo-coordinate space is [0, 1024) x [0, 1024)
+_GRID_RADIUS2 = 900  # squared-distance threshold (30 units)
+_BOM_MAX_DEPTH = 7  # 10^7 > any partkey at the tested SFs
+
+
+def mode_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per return flag: deterministic MODE of the ship month (max count,
+    ties broken by smallest month — built-in ``mode()`` is tie-arbitrary
+    in both engines, so both sides compute it explicitly), interpolated
+    MEDIAN of l_quantity, and row count.
+
+    Scale: mode reduces to a (flag, month) count — bounded domain — then
+    a tiny window; median over a window-free percentile aggregate. One
+    shuffle each, both on low-cardinality keys.
+    """
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.month("l_shipdate")
+    )
+    counts = li.groupBy("l_returnflag", "ship_month").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("ship_month")
+    )
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("ship_month").alias("mode_month"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 2).alias("median_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        mode.join(med, "l_returnflag")
+        .select(
+            "l_returnflag", "mode_month", "mode_count", "median_qty", "n_rows"
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+MODE_MEDIAN_LINEITEM_SQL = """
+WITH counts AS (
+    SELECT l_returnflag, CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1, 2
+),
+mode AS (
+    SELECT l_returnflag, ship_month AS mode_month, n AS mode_count,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                              ORDER BY n DESC, ship_month) AS rn
+    FROM counts
+),
+med AS (
+    SELECT l_returnflag,
+           ROUND(median(l_quantity), 2) AS median_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT m.l_returnflag, mode_month, mode_count, median_qty, n_rows
+FROM mode m JOIN med USING (l_returnflag)
+WHERE rn = 1
+ORDER BY m.l_returnflag
+"""
+
+
+def kanon_suppressed_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity gate over a CUBE: aggregate customers by (segment,
+    nation) with all subtotal combinations, then suppress any group with
+    fewer than K members — the privacy pre-release step for sharing
+    aggregate panels (and for filtering long-tail strata out of training
+    mixes). Output: surviving cube rows plus a constant column counting
+    the suppressed groups, so the oracle certifies both what was released
+    and how much was withheld.
+
+    Scale: CUBE is Spark's Expand + one hash aggregate (a 4x row
+    multiplier before combine, no extra shuffle); the suppressed-count is
+    a broadcast 1-row scalar.
+    """
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    joined = cust.join(
+        F.broadcast(nation),
+        cust.c_nationkey == nation.n_nationkey,
+    ).select("c_mktsegment", F.col("n_name").alias("nation"), "c_acctbal")
+    cube = joined.cube("c_mktsegment", "nation").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_custs"),
+        dsum(F.col("c_acctbal"), "sum_acctbal"),
+    )
+    suppressed = cube.filter(F.col("n_custs") < _KANON_K).agg(
+        F.count(F.lit(1)).alias("n_suppressed")
+    )
+    return (
+        cube.filter(F.col("n_custs") >= _KANON_K)
+        .crossJoin(F.broadcast(suppressed))
+        .orderBy(
+            "gid",
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("nation").asc_nulls_first(),
+        )
+    )
+
+
+KANON_SUPPRESSED_CUBE_SQL = f"""
+WITH cube_t AS (
+    SELECT c_mktsegment, n_name AS nation,
+           CAST(GROUPING(c_mktsegment, n_name) AS INTEGER) AS gid,
+           COUNT(*) AS n_custs,
+           {oracle_dsum("c_acctbal", "sum_acctbal")}
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY CUBE(c_mktsegment, n_name)
+)
+SELECT c_mktsegment, nation, gid, n_custs, sum_acctbal,
+       (SELECT COUNT(*) FROM cube_t WHERE n_custs < {_KANON_K}) AS n_suppressed
+FROM cube_t
+WHERE n_custs >= {_KANON_K}
+ORDER BY gid, c_mktsegment NULLS FIRST, nation NULLS FIRST
+"""
+
+
+def _pseudo_coord(key: F.Column, salt: str) -> F.Column:
+    """Deterministic pseudo-coordinate in [0, 1024): md5-derived integer,
+    bit-identical across engines (no RNG, no libm)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1024
+    )
+
+
+def _pseudo_coord_sql(key: str, salt: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 15))"
+        f" AS UBIGINT)::BIGINT % 1024"
+    )
+
+
+def grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial neighbor join via grid bucketing: suppliers get
+    deterministic pseudo-coordinates (md5 of the key — the engine-neutral
+    stand-in for real lat/lon), each point is assigned to a ``_GRID_CELL``
+    cell, replicated to its 3x3 cell neighborhood, and pairs within a
+    squared-distance radius are counted per cell row. The standard
+    all-pairs-avoidance for distance joins: candidate pairs exist only
+    inside a neighborhood, never across the full corpus. Distance math is
+    pure integer multiply/add — bit-exact everywhere.
+
+    Scale: replication is a fixed 9x map-side fan-out; the join is an
+    equi-join on cell id, so it hash-partitions. Cell size is chosen
+    ~2x the radius so every qualifying pair shares >= 1 neighborhood
+    cell; the (a < b) guard plus home-cell ownership dedups pairs. Works
+    unchanged at 100 TB with a finer grid; skewed cells fall to AQE.
+    """
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"),
+        _pseudo_coord(F.col("s_suppkey"), "gx|").alias("x"),
+        _pseudo_coord(F.col("s_suppkey"), "gy|").alias("y"),
+    )
+    cell = supp.select(
+        "k",
+        "x",
+        "y",
+        (F.col("x") / _GRID_CELL).cast("bigint").alias("cx"),
+        (F.col("y") / _GRID_CELL).cast("bigint").alias("cy"),
+    )
+    # replicate each point into its 3x3 neighborhood (two bounded
+    # explodes, map-side); a pair is counted once via the (k < k2) guard
+    probe = (
+        cell.select(
+            "k", "x", "y", "cx", "cy",
+            F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dx"),
+        )
+        .select(
+            "k", "x", "y", "cx", "cy", "dx",
+            F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dy"),
+        )
+        .select(
+            "k",
+            "x",
+            "y",
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            (F.col("cy") + F.col("dy")).alias("jy"),
+        )
+    )
+    home = cell.select(
+        F.col("k").alias("k2"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = (F.col("x") - F.col("x2")) * (F.col("x") - F.col("x2")) + (
+        F.col("y") - F.col("y2")
+    ) * (F.col("y") - F.col("y2"))
+    pairs = (
+        probe.join(home, ["jx", "jy"])
+        .filter((F.col("k") < F.col("k2")) & (d2 <= _GRID_RADIUS2))
+        .select("k", "k2")
+        .distinct()
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("k") + F.col("k2")).alias("pair_checksum"),
+        F.min(F.col("k")).alias("min_k"),
+        F.max(F.col("k2")).alias("max_k2"),
+    )
+
+
+GRID_NEIGHBOR_JOIN_SQL = f"""
+WITH pts AS (
+    SELECT s_suppkey AS k,
+           {_pseudo_coord_sql("s_suppkey", "gx|")} AS x,
+           {_pseudo_coord_sql("s_suppkey", "gy|")} AS y
+    FROM supplier
+),
+pairs AS (
+    SELECT a.k AS k, b.k AS k2
+    FROM pts a JOIN pts b
+      ON a.k < b.k
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         <= {_GRID_RADIUS2}
+)
+SELECT COUNT(*) AS n_pairs,
+       CAST(SUM(k + k2) AS BIGINT) AS pair_checksum,
+       MIN(k) AS min_k,
+       MAX(k2) AS max_k2
+FROM pairs
+"""
+
+
+def bom_rollup_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials subtree rollup over an implicit part hierarchy
+    (parent(k) = k div 10): for every part, the count and total retail
+    price of its descendants (self included). Spark has no recursive CTE,
+    but a fixed-fan-out hierarchy closes in *closed form*: each node
+    emits its full ancestor chain (k div 10^i, depth <= 7) via one
+    map-side explode, and a single aggregate produces every subtree total
+    — no iteration, no driver loop. The DuckDB oracle intentionally uses
+    a genuine ``WITH RECURSIVE`` closure, so the two engines cross-check
+    the semantics through entirely different mechanisms.
+
+    Output: the 25 costliest subtrees (excluding trivial leaf-only ones).
+
+    Scale: ancestor expansion is a bounded (depth x rows) map-side
+    fan-out — the same technique as [[rolling_distinct_users]]'s
+    contribution expansion — followed by one hash aggregate on the
+    ancestor key. An *iterative* formulation (the general-DAG fallback,
+    as in [[dedup_clusters]]) needs depth rounds of joins; the closed
+    form trades that for one pass, which is the right call whenever the
+    hierarchy is an arithmetic encoding.
+    """
+    part = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"), F.col("p_retailprice").alias("cost")
+    )
+    anc = part.select(
+        "k",
+        "cost",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOM_MAX_DEPTH))).alias("i"),
+    ).select(
+        F.floor(F.col("k") / F.pow(F.lit(10.0), F.col("i")))
+        .cast("bigint")
+        .alias("anc"),
+        "cost",
+    ).filter(F.col("anc") >= 1)
+    rolled = anc.groupBy("anc").agg(
+        F.count(F.lit(1)).alias("n_desc"),
+        dsum(F.col("cost"), "subtree_cost"),
+    )
+    return (
+        rolled.filter(F.col("n_desc") > 1)
+        .orderBy(F.col("subtree_cost").desc(), "anc")
+        .limit(25)
+        .select(F.col("anc").alias("p_partkey"), "n_desc", "subtree_cost")
+    )
+
+
+BOM_ROLLUP_COST_SQL = f"""
+WITH RECURSIVE closure(node, anc) AS (
+    SELECT p_partkey, p_partkey FROM part
+    UNION ALL
+    SELECT node, anc // 10 FROM closure WHERE anc >= 10
+),
+rolled AS (
+    SELECT c.anc, COUNT(*) AS n_desc,
+           {oracle_dsum("p.p_retailprice", "subtree_cost")}
+    FROM closure c JOIN part p ON p.p_partkey = c.node
+    GROUP BY c.anc
+)
+SELECT anc AS p_partkey, n_desc, subtree_cost
+FROM rolled
+WHERE n_desc > 1
+ORDER BY subtree_cost DESC, anc
+LIMIT 25
+"""
+
+
+QUERIES = {
+    "mode_median_lineitem": mode_median_lineitem,
+    "kanon_suppressed_cube": kanon_suppressed_cube,
+    "grid_neighbor_join": grid_neighbor_join,
+    "bom_rollup_cost": bom_rollup_cost,
+}
+
+ORACLES = {
+    "mode_median_lineitem": MODE_MEDIAN_LINEITEM_SQL,
+    "kanon_suppressed_cube": KANON_SUPPRESSED_CUBE_SQL,
+    "grid_neighbor_join": GRID_NEIGHBOR_JOIN_SQL,
+    "bom_rollup_cost": BOM_ROLLUP_COST_SQL,
+}
