@@ -26,6 +26,14 @@ NESTED_LOOP_OK = {
     "tfidf_top_terms",
     # suppressed-group count: broadcast 1-row scalar against kept cube rows
     "kanon_suppressed_cube",
+    # corpus-total scalar against the vocabulary relation
+    "lm_quality_score",
+    # unigram/bigram-total scalars against the collocation relation
+    "bigram_pmi",
+    # budget and water-level: broadcast 1-row scalars on a sources-sized frame
+    "mixing_water_fill",
+    # census assembly: three 1-row aggregates joined into one output row
+    "incremental_dedup_merge",
     # max-day boundary: broadcast 1-row scalar gating the 7x contribution
     # fan-out (the join itself is an equi-join-free filter)
     "rolling_distinct_users",

@@ -13,7 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from waterbear_spark.queries.llm import TOKENS_SQL, _tokens
+from waterbear_spark.queries.llm import (
+    N_BANDS,
+    N_HASHES,
+    SHINGLES_SQL,
+    TOKENS_SQL,
+    _shingles,
+    _tokens,
+)
 from waterbear_spark.queries.tables import table
 
 _PACK_BUDGET = 512  # tokens per packed training sequence
@@ -139,12 +146,432 @@ ORDER BY p.lang
 """
 
 
+_LM_BOTTOM_K = 20
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 20
+_MIX_BUDGET_FRAC = 2  # budget = total_tokens DIV 2
+_INC_MOD = 7  # doc_id % 7 == 0 -> "incoming" batch, else "base" corpus
+
+
+def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: fit a unigram language model on
+    the corpus itself (token -> ln(count/total)) and score every document
+    by its mean token log-probability — the cheap statistical stand-in
+    for model-based quality filters, used to surface the least
+    language-like documents. Output: the bottom-``_LM_BOTTOM_K`` docs.
+
+    Determinism: per-token log-probs are floor-scaled to integer
+    micro-nats (``floor(ln(p) * 1e6)``) so the per-doc sum is exact
+    integer arithmetic; the only float steps are one ln (same libm result
+    in both engines) and one final division. Ranking ties break by
+    doc_id.
+
+    Scale: two shuffles — the vocabulary aggregate (token domain, heavily
+    combinable map-side) and the token->logprob equi-join back to the
+    exploded corpus (at 100 TB the vocab side is MBs: broadcast). No
+    pair space, no Python.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    tok = docs.select("doc_id", F.explode("toks").alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    logp = vocab.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.floor(
+            F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+            * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("lp_micro"),
+    )
+    scored = (
+        tok.join(logp, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_micro").alias("lp_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("lp_sum").cast("double")
+                / (F.col("n_tokens").cast("double") * F.lit(1000000.0)),
+                4,
+            ).alias("avg_logp"),
+        )
+    )
+    return scored.orderBy("avg_logp", "doc_id").limit(_LM_BOTTOM_K)
+
+
+LM_QUALITY_SCORE_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({TOKENS_SQL}) AS t FROM documents
+),
+vocab AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+total AS (SELECT SUM(cnt) AS total FROM vocab),
+logp AS (
+    SELECT t,
+           CAST(FLOOR(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                      * 1000000.0) AS BIGINT) AS lp_micro
+    FROM vocab CROSS JOIN total
+),
+scored AS (
+    SELECT doc_id, COUNT(*) AS n_tokens, SUM(lp_micro) AS lp_sum
+    FROM tok JOIN logp USING (t)
+    GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(CAST(lp_sum AS DOUBLE)
+             / (CAST(n_tokens AS DOUBLE) * 1000000.0), 4) AS avg_logp
+FROM scored
+ORDER BY avg_logp, doc_id
+LIMIT {_LM_BOTTOM_K}
+"""
+
+
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top word pairs by pointwise mutual information
+    (min support ``_PMI_MIN_COUNT``) — the classic signal for
+    tokenizer-vocabulary candidates and boilerplate phrase detection.
+    ``pmi = ln(p(xy) / (p(x) p(y)))`` with unigram probabilities from the
+    token stream and bigram probabilities from adjacent pairs.
+
+    Determinism: counts are exact integers; the single float expression
+    is written with the identical operand order in both engines, so the
+    IEEE result (and hence the ranking) is bit-equal.
+
+    Scale: bigram extraction is row-local (``arrays_zip`` of the token
+    array with its shift — no self-join); both count domains are
+    vocabulary-sized; the two probability joins are word-keyed
+    equi-joins, broadcastable at any corpus size.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    tok = docs.select(F.explode("toks").alias("t"))
+    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    n_uni = uni.agg(F.sum("cnt").alias("nu"))
+    pairs = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1).alias("w1"),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cxy"))
+    n_big = big.agg(F.sum("cxy").alias("nb"))
+    pmi = (
+        big.filter(F.col("cxy") >= _PMI_MIN_COUNT)
+        .join(uni.select(F.col("t").alias("w1"), F.col("cnt").alias("cx")), "w1")
+        .join(uni.select(F.col("t").alias("w2"), F.col("cnt").alias("cy")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "w1",
+            "w2",
+            "cxy",
+            F.round(
+                F.log(
+                    (
+                        F.col("cxy").cast("double")
+                        * F.col("nu").cast("double")
+                        * F.col("nu").cast("double")
+                    )
+                    / (
+                        F.col("nb").cast("double")
+                        * F.col("cx").cast("double")
+                        * F.col("cy").cast("double")
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return pmi.orderBy(F.col("pmi").desc(), "w1", "w2").limit(_PMI_TOP_K)
+
+
+BIGRAM_PMI_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+),
+tok AS (SELECT unnest(toks) AS t FROM toks),
+uni AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+n_uni AS (SELECT SUM(cnt) AS nu FROM uni),
+pairs AS (
+    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                  i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS bg
+    FROM toks
+),
+big AS (SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS cxy
+        FROM pairs GROUP BY 1, 2),
+n_big AS (SELECT SUM(cxy) AS nb FROM big)
+SELECT w1, w2, cxy,
+       ROUND(ln((CAST(cxy AS DOUBLE) * CAST(nu AS DOUBLE) * CAST(nu AS DOUBLE))
+                / (CAST(nb AS DOUBLE) * CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))),
+             4) AS pmi
+FROM big
+JOIN uni u1 ON u1.t = big.w1
+JOIN uni u2 ON u2.t = big.w2
+CROSS JOIN n_uni CROSS JOIN n_big
+, LATERAL (SELECT u1.cnt AS cx, u2.cnt AS cy) _x
+WHERE cxy >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2
+LIMIT {_PMI_TOP_K}
+"""
+
+
+def mixing_water_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixing: allocate a training-token budget (half the
+    corpus) across sources by *water-filling* — small sources are taken
+    whole, large sources are capped at a common level L chosen so the
+    allocations exactly exhaust the budget's integer part. This is the
+    standard way to flatten a source mix without upsampling. Closed form,
+    no iteration: sort sources by size; the level is fixed by the first
+    source whose full inclusion would overshoot.
+
+    Scale: everything after the per-source token count (one combinable
+    aggregate over the corpus) operates on a sources-cardinality frame —
+    single-digit rows at any data size; the window and scalar joins are
+    free.
+
+    Determinism: pure integer arithmetic (DIV, LEAST) end to end.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "source", F.size(_tokens(F.col("text"))).alias("tok_n")
+    )
+    per_src = docs.groupBy("source").agg(
+        F.sum("tok_n").cast("bigint").alias("n_tokens")
+    )
+    budget = per_src.agg(
+        F.expr(f"sum(n_tokens) div {_MIX_BUDGET_FRAC}").alias("budget"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    w = Window.orderBy("n_tokens", "source")
+    laid = (
+        per_src.crossJoin(F.broadcast(budget))
+        .withColumn("idx", F.row_number().over(w))
+        .withColumn(
+            "cum_prev",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("k_rem", F.col("k") - F.col("idx") + 1)
+    )
+    # first source (smallest-first) whose level-capped tail meets the
+    # budget fixes the water level; if none does, the budget covers all
+    level_row = (
+        laid.filter(
+            F.col("cum_prev") + F.col("n_tokens") * F.col("k_rem")
+            >= F.col("budget")
+        )
+        .orderBy("idx")
+        .limit(1)
+        .select(
+            F.expr("(budget - cum_prev) div k_rem").alias("level")
+        )
+    )
+    return (
+        laid.crossJoin(F.broadcast(level_row))
+        .select(
+            "source",
+            "n_tokens",
+            F.least(F.col("n_tokens"), F.col("level")).alias("alloc_tokens"),
+            "level",
+            "budget",
+        )
+        .orderBy("source")
+    )
+
+
+MIXING_WATER_FILL_SQL = f"""
+WITH per_src AS (
+    SELECT source, CAST(SUM(len({TOKENS_SQL})) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+scalars AS (
+    SELECT SUM(n_tokens) // {_MIX_BUDGET_FRAC} AS budget, COUNT(*) AS k
+    FROM per_src
+),
+laid AS (
+    SELECT source, n_tokens, budget, k,
+           ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS idx,
+           COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_prev
+    FROM per_src CROSS JOIN scalars
+),
+level_row AS (
+    SELECT (budget - cum_prev) // (k - idx + 1) AS level
+    FROM laid
+    WHERE cum_prev + n_tokens * (k - idx + 1) >= budget
+    ORDER BY idx LIMIT 1
+)
+SELECT source, n_tokens,
+       LEAST(n_tokens, level) AS alloc_tokens,
+       level, budget
+FROM laid CROSS JOIN level_row
+ORDER BY source
+"""
+
+
+def incremental_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion: dedupe an incoming batch (every
+    ``_INC_MOD``-th doc plays the role of today's crawl) against the
+    standing corpus — exact-first (content digest anti-join), then
+    near-dup (MinHash band keys semi-joined against the base corpus's
+    bands, same banding as [[dedup_near_minhash]]). This is the
+    production shape of dedup: the pair space is *batch x corpus*, never
+    corpus x corpus, and the corpus side reduces to digests + band keys.
+
+    Output: one census row — batch size, exact drops, near drops, kept
+    docs, and a kept-membership checksum.
+
+    Scale: the base corpus contributes only 16-byte digests and band
+    keys (both precomputable and storable as an index table); joins are
+    all equi-joins keyed on digest/band. At 100 TB the digest/band index
+    is what you persist between ingests — the text is never rescanned.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5("text").alias("digest"),
+        _tokens(F.col("text")).alias("toks"),
+    )
+    is_inc = F.col("doc_id") % _INC_MOD == 0
+    incoming = docs.filter(is_inc)
+    base = docs.filter(~is_inc)
+
+    def bands_of(frame: DataFrame) -> DataFrame:
+        sets = frame.filter(F.size("toks") >= 3).select(
+            "doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("arr")
+        )
+
+        def seeded_md5(seed: int):
+            return lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
+
+        sig = sets.select(
+            "doc_id",
+            *[
+                F.array_min(F.transform("arr", seeded_md5(i))).alias(f"h{i}")
+                for i in range(N_HASHES)
+            ],
+        )
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat(
+                        F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")
+                    ).alias("bkey"),
+                )
+                for b in range(N_BANDS)
+            ]
+        )
+        return sig.select("doc_id", F.explode(entries).alias("e")).select(
+            "doc_id", F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey")
+        )
+
+    base_digests = base.select("digest").distinct()
+    after_exact = incoming.join(base_digests, "digest", "left_anti")
+
+    near_hit_ids = (
+        bands_of(after_exact)
+        .join(bands_of(base), ["band", "bkey"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    kept = after_exact.join(near_hit_ids, "doc_id", "left_anti")
+
+    n_incoming = incoming.agg(F.count(F.lit(1)).alias("n_incoming"))
+    n_after_exact = after_exact.agg(F.count(F.lit(1)).alias("n_after_exact"))
+    kept_stats = kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("kept_checksum"),
+    )
+    return (
+        n_incoming.crossJoin(n_after_exact)
+        .crossJoin(kept_stats)
+        .select(
+            "n_incoming",
+            (F.col("n_incoming") - F.col("n_after_exact")).alias(
+                "n_exact_dropped"
+            ),
+            (F.col("n_after_exact") - F.col("n_kept")).alias("n_near_dropped"),
+            "n_kept",
+            "kept_checksum",
+        )
+    )
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+WITH docs AS (
+    SELECT doc_id, md5(text) AS digest, {TOKENS_SQL} AS toks FROM documents
+),
+incoming AS (SELECT * FROM docs WHERE doc_id % {_INC_MOD} = 0),
+base AS (SELECT * FROM docs WHERE doc_id % {_INC_MOD} <> 0),
+after_exact AS (
+    SELECT * FROM incoming
+    WHERE digest NOT IN (SELECT digest FROM base)
+),
+inc_sig AS (
+    SELECT doc_id,
+           {', '.join(f"list_min(list_transform(arr, s -> md5('{i}|' || s))) AS h{i}" for i in range(N_HASHES))}
+    FROM (SELECT doc_id, list_distinct({SHINGLES_SQL}) AS arr
+          FROM after_exact WHERE len(toks) >= 3)
+),
+base_sig AS (
+    SELECT doc_id,
+           {', '.join(f"list_min(list_transform(arr, s -> md5('{i}|' || s))) AS h{i}" for i in range(N_HASHES))}
+    FROM (SELECT doc_id, list_distinct({SHINGLES_SQL}) AS arr
+          FROM base WHERE len(toks) >= 3)
+),
+inc_bands AS (
+    {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS bkey FROM inc_sig" for b in range(N_BANDS))}
+),
+base_bands AS (
+    {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS bkey FROM base_sig" for b in range(N_BANDS))}
+),
+near_hits AS (
+    SELECT DISTINCT i.doc_id
+    FROM inc_bands i JOIN base_bands b
+      ON i.band = b.band AND i.bkey = b.bkey
+),
+kept AS (
+    SELECT * FROM after_exact
+    WHERE doc_id NOT IN (SELECT doc_id FROM near_hits)
+)
+SELECT
+    (SELECT COUNT(*) FROM incoming) AS n_incoming,
+    (SELECT COUNT(*) FROM incoming) - (SELECT COUNT(*) FROM after_exact)
+        AS n_exact_dropped,
+    (SELECT COUNT(*) FROM after_exact) - (SELECT COUNT(*) FROM kept)
+        AS n_near_dropped,
+    (SELECT COUNT(*) FROM kept) AS n_kept,
+    (SELECT CAST(SUM(doc_id) AS BIGINT) FROM kept) AS kept_checksum
+"""
+
+
 QUERIES = {
     "sequence_packing": sequence_packing,
     "lang_balance_resample": lang_balance_resample,
+    "lm_quality_score": lm_quality_score,
+    "bigram_pmi": bigram_pmi,
+    "mixing_water_fill": mixing_water_fill,
+    "incremental_dedup_merge": incremental_dedup_merge,
 }
 
 ORACLES = {
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "lang_balance_resample": LANG_BALANCE_SQL,
+    "lm_quality_score": LM_QUALITY_SCORE_SQL,
+    "bigram_pmi": BIGRAM_PMI_SQL,
+    "mixing_water_fill": MIXING_WATER_FILL_SQL,
+    "incremental_dedup_merge": INCREMENTAL_DEDUP_SQL,
 }
