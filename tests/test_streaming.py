@@ -189,6 +189,64 @@ def test_stream_stream_join_matches_batch(spark, event_stream_dir):
     assert stream_result.count() > 0
 
 
+def test_stream_stream_left_join_withholds_watermark_tail(spark, event_stream_dir):
+    """LEFT OUTER stream-stream join contract: matched rows equal the
+    batch join's; unmatched (NULL-right) rows emit only once the
+    watermark passes, so the stream's unmatched set is exactly the batch
+    unmatched set MINUS purchases later than (max event time - delay) —
+    nothing withheld before the watermark, nothing invented after."""
+    from waterbear_spark.streaming import stream_stream_left_join
+
+    wm_delay = "1 hour"
+    purchases = _stream_source(spark, event_stream_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = _stream_source(spark, event_stream_dir).filter(
+        F.col("event_type") == "click"
+    )
+    stream_result = _run_stream(
+        spark,
+        stream_stream_left_join(
+            purchases, clicks, within="30 minutes", watermark=wm_delay
+        ),
+        "ssleft_test",
+        mode="append",
+    ).collect()
+
+    batch_events = table(spark, SF_SMOKE, "events")
+    batch_rows = stream_stream_left_join(
+        batch_events.filter(F.col("event_type") == "purchase"),
+        batch_events.filter(F.col("event_type") == "click"),
+        within="30 minutes",
+    ).collect()
+
+    s_matched = {(r.l_event, r.r_event) for r in stream_result if r.r_event is not None}
+    b_matched = {(r.l_event, r.r_event) for r in batch_rows if r.r_event is not None}
+    assert s_matched == b_matched, "matched pairs must not depend on mode"
+
+    s_unmatched = {r.l_event for r in stream_result if r.r_event is None}
+    b_unmatched = {r.l_event for r in batch_rows if r.r_event is None}
+    assert s_unmatched <= b_unmatched, "stream invented an unmatched row"
+    # every batch-unmatched purchase the final watermark definitely
+    # passed must have been emitted. Spark emits an outer NULL only
+    # after the watermark (max ts - delay, advanced at batch
+    # boundaries) clears the row's full join window (l_ts + within),
+    # so the guaranteed-emitted horizon subtracts delay + within + one
+    # batch of slack.
+    import datetime as dt
+
+    max_ts = max(r.l_ts for r in batch_rows)
+    horizon = max_ts - dt.timedelta(hours=2)
+    overdue = {
+        r.l_event
+        for r in batch_rows
+        if r.r_event is None and r.l_ts < horizon
+    }
+    missing = overdue - s_unmatched
+    assert not missing, f"watermark passed but rows withheld: {sorted(missing)[:5]}"
+    assert s_unmatched, "no unmatched rows emitted at all"
+
+
 def test_stream_dedup_drops_planted_duplicates(spark, tmp_path):
     events = table(spark, SF_SMOKE, "events").limit(200)
     doubled_dir = str(tmp_path / "doubled")

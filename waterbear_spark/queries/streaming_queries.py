@@ -20,6 +20,7 @@ from waterbear_spark.streaming.windows import (
     session_metrics,
     stream_dedup,
     stream_stream_join,
+    stream_stream_left_join,
 )
 
 _WITHIN = "10 minutes"
@@ -162,13 +163,61 @@ ORDER BY event_type
 """
 
 
+def attribution_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-purchase conversion census via the LEFT OUTER stream-stream
+    join: every purchase with the count of same-user clicks in the
+    preceding 10 minutes — zero for unconverted purchases, which an
+    inner join would silently drop. Batch twin of
+    ``stream_stream_left_join`` (the streaming run withholds the
+    watermark tail of unmatched rows; see tests/test_streaming.py).
+
+    Scale: identical to [[attribution_join]] — one shuffle per side on
+    user_id, outer rows ride the same sort-merge join.
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    joined = stream_stream_left_join(purchases, clicks, within=_WITHIN)
+    return (
+        joined.groupBy("user_id", "l_event")
+        .agg(
+            F.count("r_event").alias("n_clicks"),
+            F.min(F.col("l_ts").cast("timestamp_ntz")).alias("purchase_ts"),
+        )
+        .select(
+            "user_id",
+            F.col("l_event").alias("purchase_event"),
+            "n_clicks",
+            "purchase_ts",
+        )
+        .orderBy("user_id", "purchase_event")
+    )
+
+
+_ATTRIBUTION_UNMATCHED_SQL = f"""
+SELECT p.user_id,
+       p.event_id AS purchase_event,
+       COUNT(c.event_id) AS n_clicks,
+       MIN(p.ts) AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts > p.ts - INTERVAL {_WITHIN}
+GROUP BY p.user_id, p.event_id
+ORDER BY p.user_id, purchase_event
+"""
+
+
 QUERIES = {
     "attribution_join": attribution_join,
     "session_metrics_user": session_metrics_user,
     "dedup_stream_replay": dedup_stream_replay,
+    "attribution_unmatched": attribution_unmatched,
 }
 ORACLES = {
     "attribution_join": _ATTRIBUTION_SQL,
     "session_metrics_user": _SESSION_SQL,
     "dedup_stream_replay": _DEDUP_REPLAY_SQL,
+    "attribution_unmatched": _ATTRIBUTION_UNMATCHED_SQL,
 }

@@ -3,6 +3,7 @@ from waterbear_spark.streaming.windows import (
     stream_dedup,
     stream_static_enrich,
     stream_stream_join,
+    stream_stream_left_join,
     tumbling_metrics,
 )
 
@@ -12,4 +13,5 @@ __all__ = [
     "stream_dedup",
     "stream_static_enrich",
     "stream_stream_join",
+    "stream_stream_left_join",
 ]

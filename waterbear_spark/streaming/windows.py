@@ -156,6 +156,59 @@ def stream_stream_join(
     )
 
 
+def stream_stream_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    within: str = "10 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Event-time stream-stream LEFT OUTER join: like
+    ``stream_stream_join`` but left rows with no right match within the
+    interval survive with NULL right columns — the attribution shape
+    that also reports *unconverted* events.
+
+    Streaming semantics: Spark can only emit an unmatched left row once
+    the watermark has passed ``l_ts`` (until then a matching right row
+    could still arrive), so with a finite source the trailing
+    ``watermark`` of unmatched rows is withheld at stream end. Matched
+    rows stream out immediately. ``tests/test_streaming.py`` pins
+    exactly this contract; the batch run of the same plan has no such
+    tail (no watermark, the join is an ordinary outer range join).
+    """
+    left = ensure_event_time(left, ts_col)
+    right = ensure_event_time(right, ts_col)
+    if left.isStreaming:
+        left = left.withWatermark(ts_col, watermark)
+        right = right.withWatermark(ts_col, watermark)
+    l = left.select(
+        F.col(key_col).alias("l_user"),
+        F.col(ts_col).alias("l_ts"),
+        F.col("event_id").alias("l_event"),
+    )
+    r = right.select(
+        F.col(key_col).alias("r_user"),
+        F.col(ts_col).alias("r_ts"),
+        F.col("event_id").alias("r_event"),
+        F.col("value").alias("r_value"),
+    )
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") > F.col("l_ts") - F.expr(f"INTERVAL {within}")),
+        "left_outer",
+    ).select(
+        F.col("l_user").alias("user_id"),
+        "l_event",
+        "r_event",
+        "l_ts",
+        "r_ts",
+        "r_value",
+    )
+
+
 def stream_static_enrich(
     events: DataFrame,
     dim: DataFrame,
