@@ -34,6 +34,8 @@ NESTED_LOOP_OK = {
     "mixing_water_fill",
     # census assembly: three 1-row aggregates joined into one output row
     "incremental_dedup_merge",
+    # grand-total scalar against the contingency cells
+    "chi2_lang_source",
     # max-day boundary: broadcast 1-row scalar gating the 7x contribution
     # fan-out (the join itself is an equi-join-free filter)
     "rolling_distinct_users",

@@ -235,3 +235,53 @@ def test_incremental_dedup_census_conserves(spark):
         == census.n_incoming
     )
     assert census.n_kept > 0
+
+def test_asof_forward_matches_naive(spark):
+    """Forward as-of join with tolerance vs a naive per-row scan over the
+    same data — nearest following order within 7 days, greatest orderkey
+    on date ties."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from waterbear_spark.queries.relational_more import asof_next_order
+    from waterbear_spark.queries.tables import table
+
+    got = {
+        r.event_id: (r.next_orderkey, r.next_orderdate)
+        for r in asof_next_order(spark, SF_SMOKE).collect()
+    }
+    orders = defaultdict(list)
+    for r in table(spark, SF_SMOKE, "orders").collect():
+        orders[r.o_custkey].append((r.o_orderdate, r.o_orderkey))
+    events = table(spark, SF_SMOKE, "events").collect()
+    for e in events:
+        cand = [
+            (d, k)
+            for d, k in orders.get(e.user_id, [])
+            if e.ts <= d <= e.ts + dt.timedelta(days=7)
+        ]
+        expect = min(cand, key=lambda x: (x[0], -x[1])) if cand else None
+        if expect is None:
+            assert got[e.event_id] == (None, None), e.event_id
+        else:
+            assert got[e.event_id] == (expect[1], expect[0].date()), e.event_id
+
+
+def test_chi2_is_nonnegative_with_consistent_dof(spark):
+    from waterbear_spark.queries.quality_queries import chi2_lang_source
+
+    (row,) = chi2_lang_source(spark, SF_SMOKE).collect()
+    assert row.chi2 >= 0.0
+    assert row.dof == (row.n_langs - 1) * (row.n_sources - 1)
+
+
+def test_mad_outliers_are_a_minority(spark):
+    from waterbear_spark.queries.quality_queries import mad_outlier_docs
+
+    rows = mad_outlier_docs(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.mad_chars >= 0.0
+        # by construction at least half the docs sit within 1 MAD
+        assert r.n_outliers <= r.n_docs / 2
+

@@ -40,9 +40,14 @@ def asof_join(
     value_cols: list[str],
     tiebreak: str | None = None,
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
-    ``right_time <= left_time`` for the same join key.
+    ``right_time <= left_time`` for the same join key (``backward``,
+    the default), or the earliest right row with ``right_time >=
+    left_time`` (``forward`` — the "next quote" shape). Forward mode is
+    the same union-timeline plan traversed in reverse: identical cost,
+    one shuffle, no pairwise blowup.
 
     :param on_left: equi-join key column in the left (probe) frame.
     :param on_right: equi-join key column in the right (state) frame;
@@ -53,10 +58,15 @@ def asof_join(
         (returned as-is; NULL when no prior right row exists).
     :param tiebreak: right-side column breaking equal-time ties
         (greatest wins); defaults to the first value column.
-    :param tolerance: optional max lookback as an INTERVAL string (e.g.
-        ``"7 days"``): a match older than ``left_time - tolerance`` is
-        discarded (NULLed), mirroring pandas ``merge_asof(tolerance=...)``.
+    :param tolerance: optional max lookback (backward) / lookahead
+        (forward) as an INTERVAL string (e.g. ``"7 days"``): a match
+        further than that from ``left_time`` is discarded (NULLed),
+        mirroring pandas ``merge_asof(tolerance=...)``.
+    :param direction: ``"backward"`` (nearest prior, inclusive) or
+        ``"forward"`` (nearest following, inclusive).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on_right = on_right or on_left
     tiebreak = tiebreak or value_cols[0]
 
@@ -87,9 +97,14 @@ def asof_join(
     )
 
     timeline = state.unionByName(probe)
+    # forward mode traverses the timeline in reverse: descending time,
+    # probes still AFTER the state rows they may match (equal-time rows
+    # match inclusively in both directions), and among equal-time state
+    # rows the greatest tiebreak still lands nearest the probe
+    t_order = F.col("__t") if direction == "backward" else F.col("__t").desc()
     carry = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__t"), F.col("__origin"), F.col("__tie"))
+        .orderBy(t_order, F.col("__origin"), F.col("__tie"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = timeline.withColumn(
@@ -97,7 +112,14 @@ def asof_join(
     )
 
     if tolerance:
-        fresh = F.col("__asof.__rt") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        if direction == "backward":
+            fresh = F.col("__asof.__rt") >= F.col("__t") - F.expr(
+                f"INTERVAL {tolerance}"
+            )
+        else:
+            fresh = F.col("__asof.__rt") <= F.col("__t") + F.expr(
+                f"INTERVAL {tolerance}"
+            )
         carried = [
             F.when(fresh, F.col(f"__asof.{c}")).alias(c) for c in value_cols
         ]

@@ -397,7 +397,8 @@ WITH per_src AS (
     FROM documents GROUP BY source
 ),
 scalars AS (
-    SELECT SUM(n_tokens) // {_MIX_BUDGET_FRAC} AS budget, COUNT(*) AS k
+    SELECT CAST(SUM(n_tokens) // {_MIX_BUDGET_FRAC} AS BIGINT) AS budget,
+           COUNT(*) AS k
     FROM per_src
 ),
 laid AS (
@@ -409,13 +410,13 @@ laid AS (
     FROM per_src CROSS JOIN scalars
 ),
 level_row AS (
-    SELECT (budget - cum_prev) // (k - idx + 1) AS level
+    SELECT CAST((budget - cum_prev) // (k - idx + 1) AS BIGINT) AS level
     FROM laid
     WHERE cum_prev + n_tokens * (k - idx + 1) >= budget
     ORDER BY idx LIMIT 1
 )
 SELECT source, n_tokens,
-       LEAST(n_tokens, level) AS alloc_tokens,
+       CAST(LEAST(n_tokens, level) AS BIGINT) AS alloc_tokens,
        level, budget
 FROM laid CROSS JOIN level_row
 ORDER BY source

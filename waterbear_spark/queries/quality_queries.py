@@ -359,6 +359,164 @@ ORDER BY source
 """
 
 
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independence test between corpus dimensions: Pearson chi-square
+    statistic for the lang x source contingency table — the screening
+    monitor for "does some source have a skewed language mix?" (a large
+    chi2 means lang and source are entangled and stratified sampling
+    must treat them jointly). Counts are exact; expected values and the
+    per-cell terms are doubles computed with an identical expression
+    shape in both engines and folded in sorted cell order, so the
+    statistic is bit-identical.
+
+    Scale: one count aggregate to |langs| x |sources| cells; the margins
+    and the fold never scale with rows.
+    """
+    docs = table(spark, sf_dir, "documents").select("lang", "source")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    row_t = cells.groupBy("lang").agg(F.sum("o").alias("rt"))
+    col_t = cells.groupBy("source").agg(F.sum("o").alias("ct"))
+    n_tot = cells.agg(F.sum("o").alias("n_tot"))
+    e = (F.col("rt").cast("double") * F.col("ct").cast("double")) / F.col(
+        "n_tot"
+    ).cast("double")
+    terms = (
+        cells.join(row_t, "lang")
+        .join(col_t, "source")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "lang",
+            "source",
+            (
+                (F.col("o").cast("double") - e)
+                * (F.col("o").cast("double") - e)
+                / e
+            ).alias("term"),
+        )
+    )
+    return terms.agg(
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).alias("dof"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("lang", "source", "term"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            ),
+            4,
+        ).alias("chi2"),
+    )
+
+
+_CHI2_SQL = """
+WITH cells AS (
+    SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source
+),
+row_t AS (SELECT lang, SUM(o) AS rt FROM cells GROUP BY lang),
+col_t AS (SELECT source, SUM(o) AS ct FROM cells GROUP BY source),
+n_tot AS (SELECT SUM(o) AS n_tot FROM cells),
+terms AS (
+    SELECT c.lang, c.source,
+           (CAST(o AS DOUBLE)
+            - (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) / CAST(n_tot AS DOUBLE))
+           * (CAST(o AS DOUBLE)
+              - (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) / CAST(n_tot AS DOUBLE))
+           / ((CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) / CAST(n_tot AS DOUBLE))
+               AS term
+    FROM cells c
+    JOIN row_t USING (lang)
+    JOIN col_t USING (source)
+    CROSS JOIN n_tot
+)
+SELECT COUNT(DISTINCT lang) AS n_langs,
+       COUNT(DISTINCT source) AS n_sources,
+       (COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS dof,
+       ROUND(list_aggregate(list(term ORDER BY lang, source), 'sum'), 4)
+           AS chi2
+FROM terms
+"""
+
+
+def mad_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per language: median document length, the
+    median absolute deviation around it, and how many documents fall
+    outside median ± 3·MAD — the robust alternative to z-scores
+    ([[anomalous_days]]) when the length distribution has heavy tails.
+    Two median passes (exact interpolated percentiles) with the per-lang
+    statistics broadcast back between them.
+
+    Scale: each pass is one aggregate per lang; the doc-level work is a
+    map-side join against a |langs|-row broadcast. Exact medians at
+    100 TB would switch to the two-pass bucketed order statistics of
+    [[weighted_median_price]] — same output contract.
+    """
+    docs = table(spark, sf_dir, "documents").select("lang", "n_chars")
+    med = docs.groupBy("lang").agg(
+        F.median("n_chars").alias("med_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    devs = docs.join(F.broadcast(med), "lang").select(
+        "lang",
+        "n_chars",
+        "med_chars",
+        "n_docs",
+        F.abs(F.col("n_chars").cast("double") - F.col("med_chars")).alias("dev"),
+    )
+    mad = devs.groupBy("lang", "med_chars", "n_docs").agg(
+        F.median("dev").alias("mad_chars")
+    )
+    out = (
+        devs.select("lang", "dev")
+        .join(F.broadcast(mad.select("lang", "mad_chars")), "lang")
+        .filter(F.col("dev") > 3.0 * F.col("mad_chars"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        mad.join(out, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.round("med_chars", 2).alias("med_chars"),
+            F.round("mad_chars", 2).alias("mad_chars"),
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+        )
+        .orderBy("lang")
+    )
+
+
+_MAD_SQL = """
+WITH med AS (
+    SELECT lang, median(n_chars) AS med_chars, COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+),
+devs AS (
+    SELECT d.lang, med_chars, n_docs,
+           ABS(CAST(n_chars AS DOUBLE) - med_chars) AS dev
+    FROM documents d JOIN med USING (lang)
+),
+mad AS (
+    SELECT lang, med_chars, n_docs, median(dev) AS mad_chars
+    FROM devs GROUP BY lang, med_chars, n_docs
+),
+out AS (
+    SELECT devs.lang, COUNT(*) AS n_outliers
+    FROM devs JOIN mad USING (lang)
+    WHERE dev > 3.0 * mad_chars
+    GROUP BY devs.lang
+)
+SELECT lang, n_docs,
+       ROUND(med_chars, 2) AS med_chars,
+       ROUND(mad_chars, 2) AS mad_chars,
+       COALESCE(n_outliers, 0) AS n_outliers
+FROM mad LEFT JOIN out USING (lang)
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "profile_table": profile_table,
     "quality_report_event": quality_report_event,
@@ -366,6 +524,8 @@ QUERIES = {
     "quality_quarantine_customer": quality_quarantine_customer,
     "drift_kl_daily": drift_kl_daily,
     "source_entropy": source_entropy,
+    "chi2_lang_source": chi2_lang_source,
+    "mad_outlier_docs": mad_outlier_docs,
 }
 
 ORACLES = {
@@ -375,4 +535,6 @@ ORACLES = {
     "quality_quarantine_customer": _quarantine_oracle(),
     "drift_kl_daily": _DRIFT_SQL,
     "source_entropy": _SOURCE_ENTROPY_SQL,
+    "chi2_lang_source": _CHI2_SQL,
+    "mad_outlier_docs": _MAD_SQL,
 }

@@ -321,11 +321,64 @@ LIMIT 25
 """
 
 
+def asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance: each event picks up the
+    customer's next order at or after the event time, but only within a
+    7-day lookahead — the "did this interaction convert?" shape. Runs
+    the same union-timeline operator as [[asof_last_order]] traversed in
+    reverse (operators/asof.py direction="forward"): one shuffle,
+    no pairwise intermediate, tolerance as a post-carry null-out.
+    """
+    from waterbear_spark.operators.asof import asof_join
+
+    events = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    joined = asof_join(
+        events,
+        orders,
+        on_left="user_id",
+        on_right="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+        tolerance="7 days",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.col("o_orderdate").cast("date").alias("next_orderdate"),
+    ).orderBy("event_id")
+
+
+ASOF_NEXT_ORDER_SQL = """
+SELECT e.event_id, e.user_id,
+       o.o_orderkey AS next_orderkey,
+       CAST(o.o_orderdate AS DATE) AS next_orderdate
+FROM events e
+LEFT JOIN LATERAL (
+    SELECT o_orderkey, o_orderdate
+    FROM orders
+    WHERE o_custkey = e.user_id
+      AND o_orderdate >= e.ts
+      AND o_orderdate <= e.ts + INTERVAL 7 DAY
+    ORDER BY o_orderdate ASC, o_orderkey DESC
+    LIMIT 1
+) o ON TRUE
+ORDER BY e.event_id
+"""
+
+
 QUERIES = {
     "mode_median_lineitem": mode_median_lineitem,
     "kanon_suppressed_cube": kanon_suppressed_cube,
     "grid_neighbor_join": grid_neighbor_join,
     "bom_rollup_cost": bom_rollup_cost,
+    "asof_next_order": asof_next_order,
 }
 
 ORACLES = {
@@ -333,4 +386,5 @@ ORACLES = {
     "kanon_suppressed_cube": KANON_SUPPRESSED_CUBE_SQL,
     "grid_neighbor_join": GRID_NEIGHBOR_JOIN_SQL,
     "bom_rollup_cost": BOM_ROLLUP_COST_SQL,
+    "asof_next_order": ASOF_NEXT_ORDER_SQL,
 }
