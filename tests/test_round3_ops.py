@@ -285,3 +285,44 @@ def test_mad_outliers_are_a_minority(spark):
         # by construction at least half the docs sit within 1 MAD
         assert r.n_outliers <= r.n_docs / 2
 
+def test_spearman_matches_pandas(spark):
+    from waterbear_spark.queries.relational_more import spearman_price_quantity
+    from waterbear_spark.queries.tables import table
+
+    got = {
+        r.l_returnflag: r.spearman_rho
+        for r in spearman_price_quantity(spark, SF_SMOKE).collect()
+    }
+    pdf = (
+        table(spark, SF_SMOKE, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .toPandas()
+    )
+    for flag, grp in pdf.groupby("l_returnflag"):
+        # rank-then-pearson == spearman (avoids the scipy dependency the
+        # method="spearman" path would pull in)
+        rx = grp["l_extendedprice"].rank(method="average")
+        ry = grp["l_quantity"].rank(method="average")
+        expect = rx.corr(ry)
+        assert math.isclose(got[flag], expect, abs_tol=1e-6), flag
+
+
+def test_yoy_growth_recomputes_from_revenue(spark):
+    from collections import defaultdict
+
+    from waterbear_spark.queries.relational_more import yoy_growth_nation
+
+    rows = yoy_growth_nation(spark, SF_SMOKE).collect()
+    assert rows
+    by_nation = defaultdict(list)
+    for r in rows:
+        by_nation[r.n_name].append(r)
+    for series in by_nation.values():
+        series.sort(key=lambda r: r.yr)
+        assert series[0].growth_bps is None, "first year has no prior"
+        for prev, cur in zip(series, series[1:]):
+            pc, cc = round(prev.revenue * 100), round(cur.revenue * 100)
+            # integer-DIV semantics: truncation toward zero on exact cents
+            q = (cc - pc) * 10000
+            expect = q // pc if q >= 0 else -((-q) // pc)
+            assert cur.growth_bps == expect, (cur.n_name, cur.yr)

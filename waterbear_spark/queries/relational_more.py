@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from waterbear_spark.queries.tables import dsum, oracle_dsum, table
+from waterbear_spark.queries.tables import DEC, dsum, oracle_dsum, table
 
 _KANON_K = 12
 _GRID_CELL = 64  # pseudo-coordinate space is [0, 1024) x [0, 1024)
@@ -373,12 +373,175 @@ ORDER BY e.event_id
 """
 
 
+def yoy_growth_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation — the standard BI shape
+    of a window function over an *already-aggregated* relation: yearly
+    decimal-exact revenue per nation, LAG for the prior year, growth in
+    basis points by integer arithmetic (no float division drift).
+
+    Scale: the fact table reduces to |nations| x |years| rows in one
+    combinable aggregate (dims broadcast onto the fact scan); the window
+    runs on that tiny relation.
+    """
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yearly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    cents = (F.col("rev_dec") * 100).cast("bigint")
+    prev_cents = F.lag(cents).over(w)
+    return (
+        yearly.select(
+            "n_name",
+            "yr",
+            "n_orders",
+            F.round(F.col("rev_dec"), 2).cast("double").alias("revenue"),
+            # growth in basis points, integer DIV against the prior year
+            F.expr(
+                "(CAST(rev_dec * 100 AS BIGINT)"
+                " - lag(CAST(rev_dec * 100 AS BIGINT))"
+                "   OVER (PARTITION BY n_name ORDER BY yr)) * 10000"
+                " div lag(CAST(rev_dec * 100 AS BIGINT))"
+                "   OVER (PARTITION BY n_name ORDER BY yr)"
+            ).alias("growth_bps"),
+        )
+        .orderBy("n_name", "yr")
+    )
+
+
+YOY_GROWTH_NATION_SQL = """
+WITH yearly AS (
+    SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
+           SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS rev_dec,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, year(o_orderdate)
+)
+SELECT n_name, yr, n_orders,
+       CAST(ROUND(rev_dec, 2) AS DOUBLE) AS revenue,
+       CAST((CAST(rev_dec * 100 AS BIGINT)
+             - LAG(CAST(rev_dec * 100 AS BIGINT))
+                 OVER (PARTITION BY n_name ORDER BY yr)) * 10000
+            // LAG(CAST(rev_dec * 100 AS BIGINT))
+                 OVER (PARTITION BY n_name ORDER BY yr) AS BIGINT)
+           AS growth_bps
+FROM yearly
+ORDER BY n_name, yr
+"""
+
+
+def spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between extended price and quantity per
+    return flag — the robust (monotonic, outlier-proof) complement to
+    the Pearson moments in [[correlation_matrix]]. Average ranks for
+    ties are kept as exact *doubled* integers (sum of positions x 2 /
+    count is computed as integer products), all five moment sums stay
+    BIGINT, and the only float work is the final correlation formula —
+    one expression, identical shape in both engines.
+
+    Scale: two rank windows sharing one (flag)-partitioned sort, then a
+    single combinable moment aggregate; nothing is driver-side. At
+    100 TB the per-flag total order would move to the two-pass bucketed
+    rank of [[equidepth_histogram]] — same moments, same output.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    # average rank = (first_rank + last_rank) / 2 for a tie group;
+    # doubled it is (rank + (rank + cnt - 1)) — an exact integer
+    def dbl_rank(col: str) -> F.Column:
+        w = Window.partitionBy("l_returnflag").orderBy(col)
+        r = F.rank().over(w)
+        c = F.count(F.lit(1)).over(
+            Window.partitionBy("l_returnflag", col)
+        )
+        return (2 * r + c - 1).cast("bigint")
+
+    ranked = li.select(
+        "l_returnflag",
+        dbl_rank("l_extendedprice").alias("rx"),
+        dbl_rank("l_quantity").alias("ry"),
+    )
+    mom = ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sy").cast("double")
+    den = F.sqrt(
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        F.col("n").cast("double") * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return mom.select(
+        "l_returnflag",
+        "n",
+        F.round(num / den, 6).alias("spearman_rho"),
+    ).orderBy("l_returnflag")
+
+
+SPEARMAN_SQL = """
+WITH ranked AS (
+    SELECT l_returnflag,
+           CAST(2 * RANK() OVER (PARTITION BY l_returnflag
+                                 ORDER BY l_extendedprice)
+                + COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice)
+                - 1 AS BIGINT) AS rx,
+           CAST(2 * RANK() OVER (PARTITION BY l_returnflag
+                                 ORDER BY l_quantity)
+                + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity)
+                - 1 AS BIGINT) AS ry
+    FROM lineitem
+),
+mom AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(rx) AS BIGINT) AS sx,
+           CAST(SUM(ry) AS BIGINT) AS sy,
+           CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+           CAST(SUM(ry * ry) AS BIGINT) AS syy,
+           CAST(SUM(rx * ry) AS BIGINT) AS sxy
+    FROM ranked
+    GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           AS spearman_rho
+FROM mom
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "mode_median_lineitem": mode_median_lineitem,
     "kanon_suppressed_cube": kanon_suppressed_cube,
     "grid_neighbor_join": grid_neighbor_join,
     "bom_rollup_cost": bom_rollup_cost,
     "asof_next_order": asof_next_order,
+    "yoy_growth_nation": yoy_growth_nation,
+    "spearman_price_quantity": spearman_price_quantity,
 }
 
 ORACLES = {
@@ -387,4 +550,6 @@ ORACLES = {
     "grid_neighbor_join": GRID_NEIGHBOR_JOIN_SQL,
     "bom_rollup_cost": BOM_ROLLUP_COST_SQL,
     "asof_next_order": ASOF_NEXT_ORDER_SQL,
+    "yoy_growth_nation": YOY_GROWTH_NATION_SQL,
+    "spearman_price_quantity": SPEARMAN_SQL,
 }
