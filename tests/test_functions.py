@@ -115,6 +115,36 @@ def test_png_dimensions_parsed_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "Python" not in plan
 
 
+def test_gif_dimensions_parsed_jvm_side(spark):
+    """Real GIF Logical Screen Descriptors (both 87a and 89a) parse to
+    the right little-endian dimensions; junk bytes yield NULLs; zero
+    Python in the plan."""
+    import struct
+
+    from waterbear_spark.functions.multimodal import gif_dimensions
+
+    def gif_bytes(sig, w, h):
+        return sig + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+    rows = [
+        ("a", bytearray(gif_bytes(b"GIF89a", 640, 480))),
+        ("b", bytearray(gif_bytes(b"GIF87a", 1, 65535))),
+        ("c", bytearray(b"GIFxx not really")),
+        ("d", bytearray(b"\x89PNG\r\n\x1a\n")),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, data binary")
+    out = {r["media_id"]: (r["gif_width"], r["gif_height"])
+           for r in gif_dimensions(df).collect()}
+    assert out == {
+        "a": (640, 480),
+        "b": (1, 65535),
+        "c": (None, None),
+        "d": (None, None),
+    }
+    plan = gif_dimensions(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Python" not in plan
+
+
 def test_mapinarrow_batch_transform(spark):
     """mapInArrow: zero-copy Arrow batches through Python — compute L2
     norms on the embedding column and check against the JVM-side result."""

@@ -205,6 +205,22 @@ def wav_metadata(df: DataFrame, data_col: str = "data") -> DataFrame:
     )
 
 
+def gif_dimensions(df: DataFrame, data_col: str = "data") -> DataFrame:
+    """REAL (not stubbed) metadata extraction #3: GIF width/height from
+    the Logical Screen Descriptor (little-endian u16 pair right after
+    the 6-byte signature) — joins ``png_dimensions`` (big-endian) and
+    ``wav_metadata`` (RIFF) as the third zero-Python header parser.
+    Accepts both GIF87a and GIF89a; anything else gets NULLs.
+    """
+    sig6 = F.substring(F.col(data_col), 1, 6).cast("string")
+    sig_ok = sig6.isin("GIF87a", "GIF89a")
+    width = _le_uint(data_col, 7, 2).cast("int")
+    height = _le_uint(data_col, 9, 2).cast("int")
+    return df.withColumn("gif_width", F.when(sig_ok, width)).withColumn(
+        "gif_height", F.when(sig_ok, height)
+    )
+
+
 def attach_fake_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     """Test helper: derive a deterministic binary payload from document
     text (md5 -> bytes, repeated), shaped into MEDIA_SCHEMA."""

@@ -179,13 +179,80 @@ ORDER BY is_png
 """
 
 
+def multimodal_gif_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little-endian roundtrip proof for the third header parser: build
+    GIF payloads (GIF87a/GIF89a Logical Screen Descriptor, LE u16 dims
+    derived from doc_id), mix in junk payloads, parse the dims back with
+    ``gif_dimensions``, and aggregate. The oracle never touches bytes —
+    it computes the same census from doc_id arithmetic — so the Spark
+    side only matches if construction AND parsing are both exactly
+    right (any endianness slip breaks the sums). Zero Python.
+    """
+    from waterbear_spark.functions.multimodal import gif_dimensions
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < _DOC_LIMIT)
+    )
+    w = (F.col("doc_id") % 640 + 1).cast("int")
+    h = (F.col("doc_id") % 480 + 1).cast("int")
+
+    def le16(col):
+        lo = F.lpad(F.hex(col % 256), 2, "0")
+        hi = F.lpad(F.hex((col / 256).cast("int")), 2, "0")
+        return F.unhex(F.concat(lo, hi))
+
+    sig = F.when(F.col("doc_id") % 2 == 0, F.lit("GIF89a")).otherwise(
+        F.lit("GIF87a")
+    )
+    gif = F.concat(sig.cast("binary"), le16(w), le16(h))
+    junk = F.unhex(F.md5("text"))
+    media = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, junk).otherwise(gif).alias("data"),
+    )
+    parsed = gif_dimensions(media)
+    return (
+        parsed.groupBy(F.col("gif_width").isNotNull().alias("is_gif"))
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("gif_width").alias("sum_width"),
+            F.sum("gif_height").alias("sum_height"),
+            F.max("gif_width").alias("max_width"),
+        )
+        .orderBy("is_gif")
+    )
+
+
+_GIF_SQL = f"""
+WITH media AS (
+    SELECT doc_id,
+           doc_id % 4 <> 0 AS is_gif,
+           CASE WHEN doc_id % 4 <> 0 THEN doc_id % 640 + 1 END AS w,
+           CASE WHEN doc_id % 4 <> 0 THEN doc_id % 480 + 1 END AS h
+    FROM documents WHERE doc_id < {_DOC_LIMIT}
+)
+SELECT is_gif,
+       COUNT(*) AS n_media,
+       CAST(SUM(w) AS BIGINT) AS sum_width,
+       CAST(SUM(h) AS BIGINT) AS sum_height,
+       CAST(MAX(w) AS INTEGER) AS max_width
+FROM media
+GROUP BY is_gif
+ORDER BY is_gif
+"""
+
+
 QUERIES = {
     "multimodal_decode_stats": multimodal_decode_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_header_triage": multimodal_header_triage,
+    "multimodal_gif_dims": multimodal_gif_dims,
 }
 ORACLES = {
     "multimodal_decode_stats": _DECODE_STATS_SQL,
     "multimodal_frame_sample": _FRAME_SQL,
     "multimodal_header_triage": _HEADER_SQL,
+    "multimodal_gif_dims": _GIF_SQL,
 }
