@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from waterbear_spark.queries import graph, llm, quality_queries, textops
+from waterbear_spark.queries import corpusprep, graph, llm, quality_queries, relational_more, textops
 from waterbear_spark.queries.tables import table
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -43,6 +43,13 @@ HEAVY = {
     "dedup_near_minhash": llm.dedup_near_minhash,
     "triangle_count_nations": graph.triangle_count_nations,
     "jaccard_prefix_join_uncapped": prefix_join_uncapped,
+    # round-3 heavy tail: the iterative loop, the corpus-wide joins, and
+    # the double rank sort
+    "pagerank_bipartite": graph.pagerank_bipartite,
+    "lm_quality_score": corpusprep.lm_quality_score,
+    "incremental_dedup_merge": corpusprep.incremental_dedup_merge,
+    "bigram_pmi": corpusprep.bigram_pmi,
+    "spearman_price_quantity": relational_more.spearman_price_quantity,
 }
 
 

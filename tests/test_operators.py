@@ -151,3 +151,52 @@ class TestFindIslands:
         got = sorted(tuple(r) for r in find_islands(df, "key", block=b).collect())
         want = sorted((lo, hi, hi - lo + 1) for lo, hi in runs)
         assert got == want
+
+class TestBucketedNtile:
+    def test_matches_plain_ntile_all_shapes(self, spark):
+        """bucketed_ntile == NTILE for global and partitioned tilings,
+        k dividing and not dividing n, including the n < k zero-size-tile
+        numbering."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from waterbear_spark.operators.ntile import bucketed_ntile
+
+        df = spark.range(997).select(
+            (F.col("id") % 7).alias("p"),
+            F.expr(
+                "CAST(conv(substr(md5(cast(id as string)),1,8),16,10) % 1000"
+                " AS DOUBLE)"
+            ).alias("v"),
+            F.col("id").alias("k"),
+        )
+        cases = [([], 10), (["p"], 10), ([], 16), (["p"], 3)]
+        for parts, k in cases:
+            got = bucketed_ntile(df, "v", "k", k, part_cols=parts, width=50.0)
+            w = Window.partitionBy(*parts).orderBy("v", "k")
+            exp = df.withColumn("tile", F.ntile(k).over(w))
+            diff = (
+                got.select("p", "v", "k", "tile")
+                .exceptAll(exp.select("p", "v", "k", "tile"))
+                .count()
+            )
+            assert diff == 0, (parts, k)
+
+    def test_tiny_input_skips_tiles_like_ntile(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from waterbear_spark.operators.ntile import bucketed_ntile
+
+        df = spark.createDataFrame(
+            [(1.0, 1), (5.0, 2), (5.0, 3), (9.0, 4)], "v double, k long"
+        )
+        got = bucketed_ntile(df, "v", "k", 10, width=4.0)
+        exp = df.withColumn("tile", F.ntile(10).over(Window.orderBy("v", "k")))
+        assert (
+            got.select("v", "k", "tile")
+            .exceptAll(exp.select("v", "k", "tile"))
+            .count()
+            == 0
+        )
+

@@ -36,6 +36,8 @@ NESTED_LOOP_OK = {
     "incremental_dedup_merge",
     # grand-total scalar against the contingency cells
     "chi2_lang_source",
+    # pooled ntile boundaries: one broadcast array row against the corpus
+    "quantile_normalize_lengths",
     # max-day boundary: broadcast 1-row scalar gating the 7x contribution
     # fan-out (the join itself is an equi-join-free filter)
     "rolling_distinct_users",

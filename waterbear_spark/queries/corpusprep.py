@@ -21,7 +21,7 @@ from waterbear_spark.queries.llm import (
     _shingles,
     _tokens,
 )
-from waterbear_spark.queries.tables import table
+from waterbear_spark.queries.tables import davg, oracle_davg, table
 
 _PACK_BUDGET = 512  # tokens per packed training sequence
 
@@ -559,6 +559,141 @@ SELECT
 """
 
 
+_VOCAB_K = 500  # tokenizer vocabulary budget for the OOV-coverage metric
+
+
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit metric: freeze the top-``_VOCAB_K`` corpus tokens as
+    the vocabulary (ties broken lexicographically, the deterministic
+    version of a BPE vocab cut) and measure each source's out-of-vocab
+    token share — the number that tells you which ingest stream a fixed
+    tokenizer will shred into bytes. Rates in exact basis points.
+
+    Scale: vocabulary = one combinable token count + top-k
+    (TakeOrderedAndProject); membership is a broadcast semi-join of the
+    token stream against K rows; per-source shares are one aggregate.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "source", _tokens(F.col("text")).alias("toks")
+    )
+    tok = docs.select("source", F.explode("toks").alias("t"))
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "t")
+        .limit(_VOCAB_K)
+        .select("t")
+    )
+    flagged = tok.join(
+        F.broadcast(vocab.withColumn("in_v", F.lit(1))), "t", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_v").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov * 10000 div n_tokens").alias("oov_bps"),
+        )
+        .orderBy("source")
+    )
+
+
+OOV_RATE_SQL = f"""
+WITH tok AS (
+    SELECT source, unnest({TOKENS_SQL}) AS t FROM documents
+),
+vocab AS (
+    SELECT t FROM (
+        SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t
+        ORDER BY cnt DESC, t LIMIT {_VOCAB_K}
+    )
+)
+SELECT source,
+       COUNT(*) AS n_tokens,
+       COUNT(CASE WHEN v.t IS NULL THEN 1 END) AS n_oov,
+       CAST(COUNT(CASE WHEN v.t IS NULL THEN 1 END) * 10000
+            // COUNT(*) AS BIGINT) AS oov_bps
+FROM tok LEFT JOIN vocab v USING (t)
+GROUP BY source
+ORDER BY source
+"""
+
+
+_QN_BUCKETS = 10
+
+
+def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of the per-source document-length
+    distributions: every source's lengths are mapped decile-for-decile
+    onto the POOLED corpus distribution (each source's decile d is
+    replaced by the pooled decile-d mean) — the batch-effect removal
+    trick from bioinformatics, used in corpus prep to compare quality
+    signals across sources with wildly different length profiles.
+    Output: per (source, decile) count, raw mean, and normalized value.
+
+    Scale: NTILE windows (pooled AND per-source) would funnel the table
+    through 1 / |sources| partitions forever, so both tilings run
+    through ``operators/ntile.py bucketed_ntile`` — two-pass bucketed
+    order statistics that sort only boundary-holding value-buckets and
+    assign tiles by broadcast comparison. The naive windows remain the
+    oracle; the decile means are exact decimal sums.
+    """
+    from waterbear_spark.operators.ntile import bucketed_ntile
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    tiled = bucketed_ntile(
+        bucketed_ntile(
+            docs, "n_chars", "doc_id", _QN_BUCKETS,
+            out_col="src_decile", part_cols=["source"], width=64.0,
+        ),
+        "n_chars", "doc_id", _QN_BUCKETS,
+        out_col="pool_decile", width=64.0,
+    ).select("source", "n_chars", "src_decile", "pool_decile")
+    pooled = (
+        tiled.groupBy("pool_decile")
+        .agg(davg(F.col("n_chars"), "pool_mean", scale=4))
+        .withColumnRenamed("pool_decile", "decile")
+    )
+    per_src = tiled.groupBy("source", F.col("src_decile").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg(F.col("n_chars"), "raw_mean", scale=4),
+    )
+    return (
+        per_src.join(F.broadcast(pooled), "decile")
+        .select("source", "decile", "n_docs", "raw_mean",
+                F.col("pool_mean").alias("normalized"))
+        .orderBy("source", "decile")
+    )
+
+
+QUANTILE_NORMALIZE_SQL = f"""
+WITH tiled AS (
+    SELECT source, n_chars,
+           NTILE({_QN_BUCKETS}) OVER (PARTITION BY source
+                                      ORDER BY n_chars, doc_id) AS src_decile,
+           NTILE({_QN_BUCKETS}) OVER (ORDER BY n_chars, doc_id) AS pool_decile
+    FROM documents
+),
+pooled AS (
+    SELECT pool_decile AS decile, {oracle_davg("n_chars", "pool_mean", 4)}
+    FROM tiled GROUP BY pool_decile
+),
+per_src AS (
+    SELECT source, src_decile AS decile, COUNT(*) AS n_docs,
+           {oracle_davg("n_chars", "raw_mean", 4)}
+    FROM tiled GROUP BY source, src_decile
+)
+SELECT source, decile, n_docs, raw_mean, pool_mean AS normalized
+FROM per_src JOIN pooled USING (decile)
+ORDER BY source, decile
+"""
+
+
 QUERIES = {
     "sequence_packing": sequence_packing,
     "lang_balance_resample": lang_balance_resample,
@@ -566,6 +701,8 @@ QUERIES = {
     "bigram_pmi": bigram_pmi,
     "mixing_water_fill": mixing_water_fill,
     "incremental_dedup_merge": incremental_dedup_merge,
+    "oov_rate_by_source": oov_rate_by_source,
+    "quantile_normalize_lengths": quantile_normalize_lengths,
 }
 
 ORACLES = {
@@ -575,4 +712,6 @@ ORACLES = {
     "bigram_pmi": BIGRAM_PMI_SQL,
     "mixing_water_fill": MIXING_WATER_FILL_SQL,
     "incremental_dedup_merge": INCREMENTAL_DEDUP_SQL,
+    "oov_rate_by_source": OOV_RATE_SQL,
+    "quantile_normalize_lengths": QUANTILE_NORMALIZE_SQL,
 }
