@@ -472,13 +472,18 @@ def spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         dbl_rank("l_extendedprice").alias("rx"),
         dbl_rank("l_quantity").alias("ry"),
     )
+    # moment sums in DECIMAL(38,0): BIGINT products of doubled ranks
+    # overflow int64 around 5M rows per group (caught by the sf1 scaling
+    # bench); exact 128-bit accumulation holds to ~1e12 rows
+    rx_d = F.col("rx").cast("decimal(19,0)")
+    ry_d = F.col("ry").cast("decimal(19,0)")
     mom = ranked.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rx").alias("sx"),
         F.sum("ry").alias("sy"),
-        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(rx_d * rx_d).alias("sxx"),
+        F.sum(ry_d * ry_d).alias("syy"),
+        F.sum(rx_d * ry_d).alias("sxy"),
     )
     num = F.col("n").cast("double") * F.col("sxy").cast("double") - F.col(
         "sx"
@@ -515,9 +520,10 @@ mom AS (
            COUNT(*) AS n,
            CAST(SUM(rx) AS BIGINT) AS sx,
            CAST(SUM(ry) AS BIGINT) AS sy,
-           CAST(SUM(rx * rx) AS BIGINT) AS sxx,
-           CAST(SUM(ry * ry) AS BIGINT) AS syy,
-           CAST(SUM(rx * ry) AS BIGINT) AS sxy
+           -- 128-bit accumulation, mirroring the Spark side's DECIMAL(38,0)
+           SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+           SUM(CAST(ry AS HUGEINT) * ry) AS syy,
+           SUM(CAST(rx AS HUGEINT) * ry) AS sxy
     FROM ranked
     GROUP BY l_returnflag
 )
