@@ -7,7 +7,13 @@ the way a real pretraining-data job runs them.
       -> near-dup clusters  (MinHash LSH -> connected components -> keep
                              cluster canonicals only)
       -> decontamination    (drop docs overlapping the benchmark set)
+      -> LM-score floor     (unigram-LM mean log-prob gate at
+                             mean - 3*sigma, the perplexity-proxy
+                             quality filter)
       -> deterministic split (train/validation/test by key hash)
+      -> sequence packing    (concat-and-chunk manifest for the train
+                              split: how many context windows the corpus
+                              actually fills)
       -> partitioned corpus write (split=... directory layout)
 
 Every stage is the already-oracle-checked operator from
@@ -40,7 +46,9 @@ class CorpusStats:
     n_exact_kept: int
     n_near_kept: int
     n_clean: int
+    n_lm_kept: int
     splits: dict[str, int]
+    n_train_sequences: int
 
 
 def training_corpus(
@@ -50,6 +58,8 @@ def training_corpus(
     min_tokens: int = 10,
     max_stop_ratio: float = 0.9,
     contamination_tau: float = 0.5,
+    lm_sigma: float = 3.0,
+    pack_budget: int = 512,
 ) -> tuple[DataFrame, CorpusStats]:
     """Run the pipeline; return the final corpus frame (doc_id, text,
     lang, split) and per-stage survivor counts. Writes ``split=``
@@ -90,7 +100,45 @@ def training_corpus(
     clean = near.join(contaminated, "doc_id", "left_anti")
     n_clean = clean.count()
 
-    # 5. deterministic split — row-local hash gate
+    # 5. LM-score floor — unigram model fit on the surviving corpus
+    #    itself (vocabulary aggregate + logprob join, integer micro-nat
+    #    sums as in queries/corpusprep.py lm_quality_score); the floor is
+    #    relative (mean - lm_sigma * stddev of the per-doc score), so the
+    #    gate adapts to any corpus instead of hardcoding a perplexity
+    tok = clean.select("doc_id", F.explode(toks).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    logp = vocab.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.floor(
+            F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+            * F.lit(1e6)
+        ).cast("bigint").alias("lp_micro"),
+    )
+    doc_scores = (
+        tok.join(logp, "t")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum("lp_micro").cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1e6))
+            ).alias("avg_logp")
+        )
+    )
+    floor_row = doc_scores.agg(
+        (F.avg("avg_logp") - F.lit(lm_sigma) * F.stddev_pop("avg_logp")).alias(
+            "floor"
+        )
+    )
+    low_docs = (
+        doc_scores.crossJoin(F.broadcast(floor_row))
+        .filter(F.col("avg_logp") < F.col("floor"))
+        .select("doc_id")
+    )
+    lm_kept = clean.join(low_docs, "doc_id", "left_anti")
+    n_lm = lm_kept.count()
+
+    # 6. deterministic split — row-local hash gate
     bucket = (
         F.conv(
             F.substring(
@@ -101,7 +149,7 @@ def training_corpus(
         ).cast("bigint")
         % 100
     )
-    final = clean.withColumn(
+    final = lm_kept.withColumn(
         "split",
         F.when(bucket < 80, "train")
         .when(bucket < 90, "validation")
@@ -113,7 +161,22 @@ def training_corpus(
         for r in final.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
     }
 
+    # 7. packing manifest for the train split: how many pack_budget-token
+    #    context windows the corpus fills (concat-and-chunk layout, as in
+    #    queries/corpusprep.py sequence_packing)
+    train_tok = final.filter(F.col("split") == "train").select(
+        F.size(toks).alias("tok_n")
+    )
+    n_train_sequences = int(
+        train_tok.agg(
+            F.ceil(F.sum("tok_n") / F.lit(float(pack_budget))).alias("n")
+        ).collect()[0]["n"]
+        or 0
+    )
+
     if out_path is not None:
         final.write.mode("overwrite").partitionBy("split").parquet(out_path)
 
-    return final, CorpusStats(n_raw, n_quality, n_exact, n_near, n_clean, splits)
+    return final, CorpusStats(
+        n_raw, n_quality, n_exact, n_near, n_clean, n_lm, splits, n_train_sequences
+    )

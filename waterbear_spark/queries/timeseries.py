@@ -168,10 +168,14 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_intervals"),
             F.count(F.when(F.col("to_us").isNull(), 1)).alias("n_open"),
             # integer DIV on both engines (DuckDB `//`): double division
-            # then cast would truncate in Spark but round in DuckDB
+            # then cast would truncate in Spark but round in DuckDB.
+            # The duration sum accumulates in DECIMAL(38,0) — microsecond
+            # sums cross int64 around 1e6 users x 1e12 us (the integer-
+            # width discipline in SCALE.md); DuckDB's SUM is HUGEINT
+            # natively
             F.expr(
-                "sum(case when to_us is not null then to_us - from_us end)"
-                " div count(to_us)"
+                "sum(cast(case when to_us is not null then to_us - from_us end"
+                " as decimal(38,0))) div count(to_us)"
             ).alias("mean_closed_us"),
             F.sum("user_id").cast("bigint").alias("user_checksum"),
         )
