@@ -540,6 +540,108 @@ ORDER BY l_returnflag
 """
 
 
+def listagg_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): per order
+    status, the comma-joined sorted set of distinct priorities plus the
+    dominant priority's share in basis points. Implemented as
+    ``array_join(array_sort(collect_set))`` — deterministic regardless
+    of partitioning, which raw LISTAGG without WITHIN GROUP is not.
+
+    Scale: collect_set over a bounded domain (5 priorities); the heavy
+    input reduces in the combinable (status, priority) count first.
+    """
+    orders = table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        counts.groupBy("o_orderstatus")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.expr("max(n) * 10000 div sum(n)").alias("top_share_bps"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+LISTAGG_PRIORITIES_SQL = """
+WITH counts AS (
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY 1, 2
+)
+SELECT o_orderstatus,
+       string_agg(o_orderpriority, ',' ORDER BY o_orderpriority)
+           AS priorities,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities,
+       CAST(MAX(n) * 10000 // SUM(n) AS BIGINT) AS top_share_bps
+FROM counts
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def ansi_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The try_* error-safe expression family under ANSI mode (Spark 4's
+    default): division by a data-dependent zero (``try_divide``), a
+    malformed numeric cast (``try_cast``), guaranteed bigint overflow
+    (``try_add``), and out-of-bounds array access (``try_element_at``)
+    — each yields NULL instead of failing the job, and the census
+    proves exactly how many rows took the NULL path. The DuckDB twin
+    expresses the same semantics via NULLIF / TRY_CAST / list bounds.
+
+    Scale: all expressions are row-local; one combinable aggregate.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    div = F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25)
+    cast_src = F.when(
+        F.col("l_linenumber") == 1, F.lit("not-a-number")
+    ).otherwise(F.col("l_quantity").cast("string"))
+    casted = cast_src.try_cast("double")
+    overflowed = F.try_add(F.col("l_orderkey"), F.lit(2**63 - 1))
+    elem = F.try_element_at(
+        F.array(F.col("l_returnflag"), F.col("l_linestatus")),
+        F.col("l_linenumber").cast("int") + 1,
+    )
+    return li.select(
+        div.alias("d"), casted.alias("c"), overflowed.alias("o"), elem.alias("e")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("d").isNull(), 1)).alias("n_div_null"),
+        F.count(F.when(F.col("c").isNull(), 1)).alias("n_cast_null"),
+        F.count(F.when(F.col("o").isNull(), 1)).alias("n_add_null"),
+        F.count(F.when(F.col("e").isNull(), 1)).alias("n_elem_null"),
+        F.round(F.sum(F.col("d").cast(DEC)), 2)
+        .cast("double")
+        .alias("sum_safe_div"),
+    )
+
+
+ANSI_SAFE_ARITHMETIC_SQL = """
+WITH t AS (
+    SELECT l_extendedprice / NULLIF(l_quantity - 25, 0) AS d,
+           TRY_CAST(CASE WHEN l_linenumber = 1 THEN 'not-a-number'
+                         ELSE CAST(l_quantity AS VARCHAR) END AS DOUBLE) AS c,
+           -- l_orderkey + BIGINT_MAX overflows int64 exactly when the
+           -- key is positive (key 0 exists in the synthetic data)
+           CASE WHEN l_orderkey <= 0
+                THEN l_orderkey + 9223372036854775807 END AS o,
+           list_extract([l_returnflag, l_linestatus],
+                        CAST(l_linenumber AS INTEGER) + 1) AS e
+    FROM lineitem
+)
+SELECT COUNT(*) AS n_rows,
+       COUNT(CASE WHEN d IS NULL THEN 1 END) AS n_div_null,
+       COUNT(CASE WHEN c IS NULL THEN 1 END) AS n_cast_null,
+       COUNT(CASE WHEN o IS NULL THEN 1 END) AS n_add_null,
+       COUNT(CASE WHEN e IS NULL THEN 1 END) AS n_elem_null,
+       CAST(ROUND(SUM(CAST(d AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_safe_div
+FROM t
+"""
+
+
 QUERIES = {
     "mode_median_lineitem": mode_median_lineitem,
     "kanon_suppressed_cube": kanon_suppressed_cube,
@@ -548,6 +650,8 @@ QUERIES = {
     "asof_next_order": asof_next_order,
     "yoy_growth_nation": yoy_growth_nation,
     "spearman_price_quantity": spearman_price_quantity,
+    "listagg_priorities": listagg_priorities,
+    "ansi_safe_arithmetic": ansi_safe_arithmetic,
 }
 
 ORACLES = {
@@ -558,4 +662,6 @@ ORACLES = {
     "asof_next_order": ASOF_NEXT_ORDER_SQL,
     "yoy_growth_nation": YOY_GROWTH_NATION_SQL,
     "spearman_price_quantity": SPEARMAN_SQL,
+    "listagg_priorities": LISTAGG_PRIORITIES_SQL,
+    "ansi_safe_arithmetic": ANSI_SAFE_ARITHMETIC_SQL,
 }

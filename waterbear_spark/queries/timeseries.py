@@ -213,14 +213,101 @@ ORDER BY event_type
 """
 
 
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count by day ("total users ever seen"). A
+    naive cumulative COUNT(DISTINCT) window rescans all history per day;
+    the standard rewrite maps each user to their FIRST day (one
+    aggregate), counts first-appearances per day, and takes a running
+    sum over the tiny day-indexed relation — the distinct-to-first-
+    occurrence reduction, dual of [[rolling_distinct_users]]'s
+    contribution expansion.
+
+    Scale: one user-keyed aggregate (combinable) + a window over
+    |days| rows. History length never enters the cost.
+    """
+    events = table(spark, sf_dir, "events")
+    first_day = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    per_day = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_day.withColumn("cum_users", F.sum("n_new").over(w))
+        .orderBy("day")
+    )
+
+
+CUMULATIVE_DISTINCT_USERS_SQL = """
+WITH first_day AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+),
+per_day AS (
+    SELECT day, COUNT(*) AS n_new FROM first_day GROUP BY day
+)
+SELECT day, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_users
+FROM per_day
+ORDER BY day
+"""
+
+
+_TOPK_PER_WINDOW = 2
+
+
+def windowed_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event types per tumbling day window — the windowed-rank shape
+    every monitoring dashboard runs (streaming twin: the same aggregate
+    under ``F.window`` + watermark emits per-window leaders as windows
+    close). Rank ties break on type name for determinism.
+
+    Scale: one (window, type) aggregate — combinable — then a rank
+    window over |types| rows per day.
+    """
+    events = table(spark, sf_dir, "events")
+    counts = events.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("day").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK_PER_WINDOW)
+        .select("day", "rnk", "event_type", "n")
+        .orderBy("day", "rnk")
+    )
+
+
+WINDOWED_TOPK_TYPES_SQL = f"""
+WITH counts AS (
+    SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT day, rnk, event_type, n
+FROM (
+    SELECT day, event_type, n,
+           ROW_NUMBER() OVER (PARTITION BY day
+                              ORDER BY n DESC, event_type) AS rnk
+    FROM counts
+)
+WHERE rnk <= {_TOPK_PER_WINDOW}
+ORDER BY day, rnk
+"""
+
+
 QUERIES = {
     "rolling_distinct_users": rolling_distinct_users,
     "ema_daily_revenue": ema_daily_revenue,
     "scd2_intervals": scd2_intervals,
+    "cumulative_distinct_users": cumulative_distinct_users,
+    "windowed_topk_types": windowed_topk_types,
 }
 
 ORACLES = {
     "rolling_distinct_users": ROLLING_DISTINCT_USERS_SQL,
     "ema_daily_revenue": EMA_DAILY_REVENUE_SQL,
     "scd2_intervals": SCD2_INTERVALS_SQL,
+    "cumulative_distinct_users": CUMULATIVE_DISTINCT_USERS_SQL,
+    "windowed_topk_types": WINDOWED_TOPK_TYPES_SQL,
 }
