@@ -586,21 +586,32 @@ ORDER BY o_orderstatus
 def ansi_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The try_* error-safe expression family under ANSI mode (Spark 4's
     default): division by a data-dependent zero (``try_divide``), a
-    malformed numeric cast (``try_cast``), guaranteed bigint overflow
+    malformed numeric cast (``try_cast``), data-dependent bigint overflow
     (``try_add``), and out-of-bounds array access (``try_element_at``)
     — each yields NULL instead of failing the job, and the census
     proves exactly how many rows took the NULL path. The DuckDB twin
     expresses the same semantics via NULLIF / TRY_CAST / list bounds.
 
-    Scale: all expressions are row-local; one combinable aggregate.
+    Scale: all expressions are row-local; one combinable aggregate. The
+    error paths are deliberately RARE (~0.1% of rows): try_* error
+    handling is exception-driven on the JVM, so its cost scales with the
+    number of errors, not rows — an always-overflowing try_add measured
+    ~20x the whole-query runtime at sf0.1 (each throw pays a stack-trace
+    fill). At 100 TB, a try_* hot path must treat errors as the
+    exceptional case it is named for.
     """
     li = table(spark, sf_dir, "lineitem")
     div = F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25)
     cast_src = F.when(
-        F.col("l_linenumber") == 1, F.lit("not-a-number")
+        F.col("l_orderkey") % 997 == 0, F.lit("not-a-number")
     ).otherwise(F.col("l_quantity").cast("string"))
     casted = cast_src.try_cast("double")
-    overflowed = F.try_add(F.col("l_orderkey"), F.lit(2**63 - 1))
+    overflowed = F.try_add(
+        F.col("l_orderkey"),
+        F.when(F.col("l_orderkey") % 1000 == 0, F.lit(2**63 - 1)).otherwise(
+            F.lit(1)
+        ),
+    )
     elem = F.try_element_at(
         F.array(F.col("l_returnflag"), F.col("l_linestatus")),
         F.col("l_linenumber").cast("int") + 1,
@@ -622,11 +633,12 @@ def ansi_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANSI_SAFE_ARITHMETIC_SQL = """
 WITH t AS (
     SELECT l_extendedprice / NULLIF(l_quantity - 25, 0) AS d,
-           TRY_CAST(CASE WHEN l_linenumber = 1 THEN 'not-a-number'
+           TRY_CAST(CASE WHEN l_orderkey % 997 = 0 THEN 'not-a-number'
                          ELSE CAST(l_quantity AS VARCHAR) END AS DOUBLE) AS c,
-           -- l_orderkey + BIGINT_MAX overflows int64 exactly when the
+           -- the +BIGINT_MAX branch overflows int64 exactly when the
            -- key is positive (key 0 exists in the synthetic data)
-           CASE WHEN l_orderkey <= 0
+           CASE WHEN l_orderkey % 1000 <> 0 THEN l_orderkey + 1
+                WHEN l_orderkey <= 0
                 THEN l_orderkey + 9223372036854775807 END AS o,
            list_extract([l_returnflag, l_linestatus],
                         CAST(l_linenumber AS INTEGER) + 1) AS e
