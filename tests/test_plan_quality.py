@@ -41,6 +41,8 @@ NESTED_LOOP_OK = {
     # max-day boundary: broadcast 1-row scalar gating the 7x contribution
     # fan-out (the join itself is an equi-join-free filter)
     "rolling_distinct_users",
+    # totals row: broadcast 1-row scalar against the k-row top-k relation
+    "skew_key_census",
 }
 
 

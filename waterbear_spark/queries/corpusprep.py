@@ -694,8 +694,84 @@ ORDER BY source, decile
 """
 
 
+_SENT_MIN_CHARS = 20  # C4 dedups spans long enough to be meaningful
+
+
+def sentence_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sentence-level exact dedup: every document is split into
+    sentences, and each distinct (normalized) sentence of at least
+    ``_SENT_MIN_CHARS`` characters survives exactly ONCE corpus-wide —
+    in its first occurrence by (doc_id, position), every later repeat is
+    dropped. That is the line-dedup step of the C4 pipeline (boilerplate
+    killer: nav text, disclaimers, repeated footers). Output: per-doc
+    sentence census (total, kept, drop rate in basis points) — the
+    manifest a rewrite pass would consume.
+
+    Scale: sentences shuffle by their 128-bit MD5, never by text — the
+    shuffle key is 16 bytes regardless of sentence length, and the
+    first-occurrence window reads each group once. One shuffle on the
+    digest, one shuffle back on doc_id for the census. No pair space;
+    boilerplate hot keys (the same disclaimer a billion times) salt
+    naturally because only (doc_id, pos) pairs ride the shuffle, not
+    the sentence bodies.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    sent = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\.")).alias("pos", "raw"),
+    ).select("doc_id", "pos", F.lower(F.trim(F.col("raw"))).alias("s"))
+    sent = sent.filter(F.length("s") >= _SENT_MIN_CHARS).select(
+        "doc_id", "pos", F.md5(F.col("s")).alias("key")
+    )
+    w = Window.partitionBy("key").orderBy("doc_id", "pos")
+    flagged = sent.withColumn(
+        "keep", (F.row_number().over(w) == 1).cast("int")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sent"),
+            F.sum("keep").alias("n_kept"),
+            F.expr(
+                "(count(1) - sum(keep)) * 10000 div count(1)"
+            ).alias("drop_bps"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SENTENCE_DEDUP_SQL = f"""
+WITH sent AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(s, 1) AS INTEGER) AS pos,
+           lower(trim(unnest(s))) AS sentence
+    FROM (SELECT doc_id, string_split(text, '.') AS s FROM documents)
+),
+keyed AS (
+    SELECT doc_id, pos, md5(sentence) AS key
+    FROM sent WHERE length(sentence) >= {_SENT_MIN_CHARS}
+),
+flagged AS (
+    SELECT doc_id,
+           CASE WHEN ROW_NUMBER() OVER (PARTITION BY key
+                                        ORDER BY doc_id, pos) = 1
+                THEN 1 ELSE 0 END AS keep
+    FROM keyed
+)
+SELECT doc_id,
+       COUNT(*) AS n_sent,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST((COUNT(*) - SUM(keep)) * 10000 // COUNT(*) AS BIGINT)
+           AS drop_bps
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "sequence_packing": sequence_packing,
+    "sentence_dedup_c4": sentence_dedup_c4,
     "lang_balance_resample": lang_balance_resample,
     "lm_quality_score": lm_quality_score,
     "bigram_pmi": bigram_pmi,
@@ -707,6 +783,7 @@ QUERIES = {
 
 ORACLES = {
     "sequence_packing": SEQUENCE_PACKING_SQL,
+    "sentence_dedup_c4": SENTENCE_DEDUP_SQL,
     "lang_balance_resample": LANG_BALANCE_SQL,
     "lm_quality_score": LM_QUALITY_SCORE_SQL,
     "bigram_pmi": BIGRAM_PMI_SQL,

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from waterbear_spark.queries.tables import dsum, epoch_us, oracle_dsum, table
+from waterbear_spark.queries.tables import DEC, dsum, epoch_us, oracle_dsum, table
 
 _ROLL_DAYS = 7
 _EMA_ALPHA = 0.3
@@ -296,8 +296,197 @@ ORDER BY day, rnk
 """
 
 
+_ACF_MAX_LAG = 7
+
+
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily order-revenue series at lags
+    1..``_ACF_MAX_LAG`` — the weekly-seasonality probe (lag-7 spikes when
+    weekdays rhyme). Estimator: Pearson correlation between the series
+    and its k-shifted self over the overlapping days. Revenue is exact
+    integer CENTS (decimal sum of 2-decimal prices, scaled), the five
+    moment sums accumulate in DECIMAL(38,0) exactly as in
+    [[spearman_price_quantity]], and the only float math is the closing
+    formula — identical in both engines.
+
+    Scale: the day-level series is a pre-aggregated micro-relation
+    (|days| rows — thousands, at ANY corpus size), so the global-order
+    lag window and the lag stack run on one partition by construction;
+    the heavy lifting is the combinable daily aggregate underneath.
+    """
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast(DEC)) * 100)
+        .cast("decimal(19,0)")
+        .alias("x")
+    )
+    w = Window.orderBy("day")
+    shifted = daily.select(
+        "x",
+        *[
+            F.lag("x", k).over(w).alias(f"xl{k}")
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ],
+    )
+    lagged = shifted.select(
+        "x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"), F.col(f"xl{k}").alias("xl")
+                    )
+                    for k in range(1, _ACF_MAX_LAG + 1)
+                ]
+            )
+        ).alias("e"),
+    ).select("x", F.col("e.lag").alias("lag"), F.col("e.xl").alias("xl"))
+    pairs = lagged.filter(F.col("xl").isNotNull())
+    mom = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("xl").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("xl") * F.col("xl")).alias("syy"),
+        F.sum(F.col("x") * F.col("xl")).alias("sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = F.sqrt(
+        n * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        n * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return mom.select(
+        "lag", "n_pairs", F.round(num / den, 6).alias("acf")
+    ).orderBy("lag")
+
+
+ACF_DAILY_REVENUE_SQL = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) * 100
+                AS DECIMAL(19,0)) AS x
+    FROM orders GROUP BY 1
+),
+idx AS (
+    SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily
+),
+pairs AS (
+    SELECT k.lag, a.x AS x, b.x AS xl
+    FROM idx a
+    CROSS JOIN (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag) k
+    JOIN idx b ON b.i = a.i - k.lag
+),
+mom AS (
+    SELECT lag, COUNT(*) AS n_pairs,
+           SUM(x) AS sx, SUM(xl) AS sy,
+           SUM(x * x) AS sxx, SUM(xl * xl) AS syy, SUM(x * xl) AS sxy
+    FROM pairs GROUP BY lag
+)
+SELECT lag, n_pairs,
+       ROUND((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (SQRT(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * SQRT(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           AS acf
+FROM mom
+ORDER BY lag
+"""
+
+
+_OLS_WINDOW_DAYS = 28
+
+
+def rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling ``_OLS_WINDOW_DAYS``-day least-squares trend of daily
+    revenue: for each day, the OLS slope (dollars/day) fitted over the
+    trailing window — the local trend detector behind "revenue is
+    decelerating" alerts, strictly sturdier than a moving-average delta.
+    Closed form over window sums: slope = (nΣty − ΣtΣy)/(nΣt² − (Σt)²),
+    with t = epoch-day (exact BIGINT) and y = exact integer cents, so
+    every accumulation is integer-exact; one double division at the end.
+
+    Scale: same micro-relation argument as [[acf_daily_revenue]] — the
+    windows run over |days| pre-aggregated rows, the scan-side aggregate
+    is combinable, nothing row-level crosses the shuffle.
+    """
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast(DEC)) * 100)
+        .cast("decimal(19,0)")
+        .alias("y")
+    )
+    t = F.datediff(F.col("day"), F.lit("1992-01-01").cast("date")).cast(
+        "bigint"
+    )
+    series = daily.select("day", t.alias("t"), "y")
+    w = Window.orderBy("day").rowsBetween(1 - _OLS_WINDOW_DAYS, 0)
+    ty = (F.col("t").cast("decimal(19,0)") * F.col("y")).alias("ty")
+    sums = series.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("t").over(w).alias("st"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("t") * F.col("t")).over(w).alias("stt"),
+        F.sum(ty).over(w).alias("sty"),
+    ).filter(F.col("n") == _OLS_WINDOW_DAYS)
+    n = F.col("n").cast("double")
+    num = n * F.col("sty").cast("double") - F.col("st").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = n * F.col("stt").cast("double") - F.col("st").cast(
+        "double"
+    ) * F.col("st").cast("double")
+    return sums.select(
+        "day", F.round(num / den / 100.0, 4).alias("slope_per_day")
+    ).orderBy("day")
+
+
+ROLLING_OLS_SLOPE_SQL = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) * 100
+                AS DECIMAL(19,0)) AS y
+    FROM orders GROUP BY 1
+),
+series AS (
+    SELECT day, CAST(day - DATE '1992-01-01' AS BIGINT) AS t, y FROM daily
+),
+sums AS (
+    SELECT day,
+           COUNT(*) OVER w AS n,
+           SUM(t) OVER w AS st,
+           SUM(y) OVER w AS sy,
+           SUM(t * t) OVER w AS stt,
+           SUM(CAST(t AS DECIMAL(19,0)) * y) OVER w AS sty
+    FROM series
+    WINDOW w AS (ORDER BY day
+                 ROWS BETWEEN {_OLS_WINDOW_DAYS - 1} PRECEDING
+                          AND CURRENT ROW)
+)
+SELECT day,
+       ROUND((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+              - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+             / 100.0, 4) AS slope_per_day
+FROM sums
+WHERE n = {_OLS_WINDOW_DAYS}
+ORDER BY day
+"""
+
+
 QUERIES = {
     "rolling_distinct_users": rolling_distinct_users,
+    "acf_daily_revenue": acf_daily_revenue,
+    "rolling_ols_slope": rolling_ols_slope,
     "ema_daily_revenue": ema_daily_revenue,
     "scd2_intervals": scd2_intervals,
     "cumulative_distinct_users": cumulative_distinct_users,
@@ -306,6 +495,8 @@ QUERIES = {
 
 ORACLES = {
     "rolling_distinct_users": ROLLING_DISTINCT_USERS_SQL,
+    "acf_daily_revenue": ACF_DAILY_REVENUE_SQL,
+    "rolling_ols_slope": ROLLING_OLS_SLOPE_SQL,
     "ema_daily_revenue": EMA_DAILY_REVENUE_SQL,
     "scd2_intervals": SCD2_INTERVALS_SQL,
     "cumulative_distinct_users": CUMULATIVE_DISTINCT_USERS_SQL,
