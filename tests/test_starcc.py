@@ -1,0 +1,93 @@
+"""Large-star/small-star connected components: equivalence to a
+union-find reference on adversarial graph shapes, and the catalog twin's
+agreement with the min-label implementation."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from waterbear_spark.operators.starcc import star_connected_components
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # component id = min vertex id reachable
+    comp = {}
+    for x in list(parent):
+        root = find(x)
+        comp.setdefault(root, root)
+    return {x: find(x) for x in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.vertex, r.component)
+        for r in star_connected_components(df).collect()
+    }
+    want = set(_union_find_components(edges).items())
+    assert got == want
+
+
+def test_chain_graph_high_diameter(spark):
+    # worst case for min-label (O(diameter) rounds); star CC must still
+    # produce min-vertex labels
+    _check(spark, [(i, i + 1) for i in range(60)])
+
+
+def test_star_and_cliques(spark):
+    edges = [(0, i) for i in range(1, 10)]
+    edges += [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]
+    _check(spark, edges)
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(7)
+    for _ in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+        ]
+        edges = [(u, v) for u, v in edges if u != v]
+        _check(spark, edges)
+
+
+def test_catalog_twin_matches_min_label(spark):
+    from waterbear_spark.queries.llm import dedup_clusters, dedup_clusters_star
+
+    a = sorted(
+        map(tuple, dedup_clusters(spark, SF_SMOKE).collect())
+    )
+    b = sorted(
+        map(tuple, dedup_clusters_star(spark, SF_SMOKE).collect())
+    )
+    assert a == b
+
+
+def test_lateral_decorrelates_to_window_join(spark):
+    """The LATERAL top-k must become a ranked window join, not a
+    per-row nested loop."""
+    from waterbear_spark.queries.sqlsurface import lateral_top_orders
+
+    plan = (
+        lateral_top_orders(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

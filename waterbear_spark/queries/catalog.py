@@ -18,6 +18,7 @@ from waterbear_spark.queries import (
     relational_ext,
     relational_more,
     skew_queries,
+    sqlsurface,
     streaming_queries,
     textops,
     timeseries,
@@ -40,6 +41,7 @@ QUERIES = {
     **multimodal_queries.QUERIES,
     **streaming_queries.QUERIES,
     **skew_queries.QUERIES,
+    **sqlsurface.QUERIES,
     **corpusprep.QUERIES,
     **timeseries.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
@@ -62,6 +64,7 @@ ORACLE_SQL = {
     **multimodal_queries.ORACLES,
     **streaming_queries.ORACLES,
     **skew_queries.ORACLES,
+    **sqlsurface.ORACLES,
     **corpusprep.ORACLES,
     **timeseries.ORACLES,
     **udfs.ORACLES,

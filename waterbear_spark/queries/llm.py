@@ -337,6 +337,39 @@ ORDER BY doc_id
 """
 
 
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same near-dup clustering as [[dedup_clusters]], computed by
+    the alternating large-star/small-star transform
+    (``operators/starcc.py``) instead of min-label propagation — the
+    O(log^2 n)-round algorithm that min-label's docstring names as its
+    100 TB swap, here implemented and held to the identical output
+    contract (and the identical recursive-closure oracle). Two engines,
+    two algorithms, one answer.
+
+    Scale: each round is two shuffles bounded by the edge list; round
+    count is O(log^2 n) on ANY graph shape, where min-label pays
+    O(diameter) — the difference that matters on chain-shaped near-dup
+    graphs (template drift, shingled boilerplate).
+    """
+    from waterbear_spark.operators.starcc import star_connected_components
+
+    pairs = dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    labels = star_connected_components(pairs, src="doc_a", dst="doc_b")
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "component")
+        .select(
+            F.col("vertex").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            F.col("cluster_size").cast("int").alias("cluster_size"),
+            (F.col("vertex") == F.col("component")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: for every training document, the
     fraction of its distinct 3-word shingles that occur anywhere in the
@@ -1714,6 +1747,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_near_minhash": dedup_near_minhash,
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_star": dedup_clusters_star,
     "decontaminate_overlap": decontaminate_overlap,
     "embedding_topk": embedding_topk,
     "embedding_knn_label": embedding_knn_label,
@@ -1735,6 +1769,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_near_minhash": DEDUP_NEAR_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_clusters_star": DEDUP_CLUSTERS_SQL,
     "decontaminate_overlap": DECONTAMINATE_SQL,
     "embedding_topk": EMBEDDING_TOPK_SQL,
     "embedding_knn_label": EMBEDDING_KNN_LABEL_SQL,
