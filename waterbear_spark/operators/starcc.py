@@ -80,23 +80,38 @@ def star_connected_components(
         .distinct()
         .localCheckpoint()
     )
+    def _signature(e: DataFrame):
+        """One combinable aggregate: (n_edges, sum(u), sum(v), sum(hash)).
+        Cheap per-round change detector — a differing signature proves
+        non-convergence without touching the exact set-equality path."""
+        row = e.agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("u").cast("decimal(38,0)")),
+            F.sum(F.col("v").cast("decimal(38,0)")),
+            # 64-bit hashes summed exactly in decimal128 (ANSI-safe)
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+        ).collect()[0]
+        return tuple(row)
+
+    sig = _signature(edges)
     for _ in range(max_rounds):
         after = _small_star(_large_star(edges)).localCheckpoint()
-        # fixpoint test on the canonical undirected form: same size and
-        # empty symmetric difference (two scalar counts, driver-tiny)
-        can_old = edges.select(
-            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
-        ).distinct()
-        can_new = after.select(
-            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
-        ).distinct()
-        changed = (
-            can_new.join(can_old, ["a", "b"], "left_anti").limit(1).count()
-            + can_old.join(can_new, ["a", "b"], "left_anti").limit(1).count()
-        )
-        edges = after
-        if changed == 0:
-            break
+        new_sig = _signature(after)
+        if new_sig == sig:
+            # signatures agree -> run the EXACT set-equality confirm
+            # (empty symmetric difference); in practice this executes
+            # once, at the true fixpoint, so the two anti-join jobs are
+            # paid a single time rather than every round
+            changed = (
+                after.join(edges, ["u", "v"], "left_anti").limit(1).count()
+                + edges.join(after, ["u", "v"], "left_anti").limit(1).count()
+            )
+            edges = after
+            if changed == 0:
+                break
+        else:
+            edges = after
+        sig = new_sig
     return (
         edges.select(F.col("u").alias("vertex"), F.col("v").alias("component"))
         .union(edges.select(F.col("v").alias("vertex"), F.col("v").alias("component")))
