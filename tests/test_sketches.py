@@ -1,0 +1,110 @@
+"""Approximate-sketch operators held to their published error bounds
+against exact answers on the same data.
+
+Sketches are the 100 TB workhorses (mergeable, bounded-memory,
+one-pass), but they cannot be DuckDB-oracle-hashed — so the catalog
+carries them rows-only (`approx_distinct`) and THESE tests supply the
+correctness evidence: every estimate must land inside the bound its
+algorithm guarantees, and the mergeable forms must survive partial
+aggregation (sketch-per-group then union == sketch-of-all)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_approx_count_distinct_within_rsd(lineitem):
+    rsd = 0.02
+    row = lineitem.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", rsd).alias("approx"),
+    ).collect()[0]
+    # HLL++ standard error is rsd; 5 sigma is a no-flake band
+    assert abs(row.approx - row.exact) <= max(5 * rsd * row.exact, 1)
+
+
+def test_approx_percentile_rank_error_bound(lineitem):
+    acc = 1000  # accuracy knob: rank error <= n / acc
+    n = lineitem.count()
+    got = lineitem.agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.9], acc).alias("q")
+    ).collect()[0].q
+    exact_sorted = [
+        r.l_extendedprice
+        for r in lineitem.select("l_extendedprice")
+        .orderBy("l_extendedprice")
+        .collect()
+    ]
+    for p, est in zip([0.25, 0.5, 0.9], got):
+        # the estimate must be an actual data value whose rank is within
+        # n/acc of the target rank (the GK-sketch guarantee)
+        import bisect
+
+        lo = bisect.bisect_left(exact_sorted, est)
+        hi = bisect.bisect_right(exact_sorted, est)
+        target = p * n
+        band = n / acc + 1
+        assert lo - band <= target <= hi + band, (p, est, lo, hi, target)
+
+
+def test_hll_sketch_merges_like_a_sketch(lineitem):
+    """Partial aggregation safety: per-suppkey-bucket sketches unioned
+    must equal (exactly — same algorithm, same stream) the whole-column
+    sketch estimate, and both must sit inside the HLL error band."""
+    whole = lineitem.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).alias("est")
+    ).collect()[0].est
+    merged = (
+        lineitem.withColumn("b", F.col("l_suppkey") % 16)
+        .groupBy("b")
+        .agg(F.hll_sketch_agg("l_orderkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    exact = lineitem.select("l_orderkey").distinct().count()
+    assert abs(whole - exact) <= 0.05 * exact
+    assert abs(merged - exact) <= 0.05 * exact
+
+
+def test_count_min_sketch_never_underestimates(documents, spark):
+    """CMS guarantee: estimated frequency >= true frequency for every
+    queried item (overestimates only, bounded by eps * stream length)."""
+    toks = documents.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    truth = {
+        r.tok: r.n
+        for r in toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+        .collect()
+    }
+    sketch = toks.agg(
+        F.count_min_sketch(
+            "tok", F.lit(0.001), F.lit(0.01), F.lit(42)
+        ).alias("cms")
+    ).collect()[0].cms
+    total = sum(
+        r.n for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sketch)
+    )
+    for tok, n in truth.items():
+        est = cms.estimateCount(tok)
+        assert est >= n, (tok, est, n)
+        assert est <= n + 0.001 * total * 3 + 1, (tok, est, n, total)
