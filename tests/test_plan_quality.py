@@ -43,6 +43,8 @@ NESTED_LOOP_OK = {
     "rolling_distinct_users",
     # totals row: broadcast 1-row scalar against the k-row top-k relation
     "skew_key_census",
+    # sqrt-mass denominator: broadcast 1-row scalar against |sources| rows
+    "temperature_mix_weights",
 }
 
 

@@ -221,6 +221,64 @@ def gif_dimensions(df: DataFrame, data_col: str = "data") -> DataFrame:
     )
 
 
+_JPEG_MAX_SEGMENTS = 8
+
+
+def jpeg_dimensions(df: DataFrame, data_col: str = "data") -> DataFrame:
+    """REAL metadata extraction #4, and the first VARIABLE-OFFSET one:
+    JPEG width/height from the SOF0 frame header. Unlike PNG/GIF/WAV,
+    JPEG dims live at no fixed byte position — the parser must walk the
+    segment chain (marker FFxx, big-endian u16 length, payload) from SOI
+    until it hits FFC0. The walk is a bounded fold (``F.aggregate`` over
+    ``_JPEG_MAX_SEGMENTS`` steps) carrying (offset, h, w) in a struct:
+    each step reads the marker at the current offset, captures dims on
+    SOF0, freezes on anything malformed, and otherwise hops
+    ``2 + length`` forward. Entirely JVM-side; no codec, no Python.
+
+    Scale: per-row bounded work (<= 8 marker reads of <= 4 bytes each on
+    a binary column) — map-only, no shuffle, and the fold never touches
+    payload bytes, so cost is independent of media size.
+    """
+
+    def be16(pos):
+        return F.conv(F.hex(F.substr(F.col(data_col), pos, F.lit(2))), 16, 10)
+
+    sig_ok = F.hex(F.substring(F.col(data_col), 1, 2)) == F.lit("FFD8")
+
+    def step(acc, _):
+        marker = F.hex(F.substr(F.col(data_col), acc.off, F.lit(2)))
+        is_marker = marker.startswith("FF")
+        is_sof0 = marker == F.lit("FFC0")
+        seg_len = be16(acc.off + 2).cast("int")
+        done = acc.h.isNotNull() | ~is_marker
+        return F.struct(
+            F.when(done | is_sof0, acc.off)
+            .otherwise(acc.off + 2 + seg_len)
+            .alias("off"),
+            F.when(acc.h.isNotNull(), acc.h)
+            .when(is_sof0, be16(acc.off + 5).cast("int"))
+            .alias("h"),
+            F.when(acc.w.isNotNull(), acc.w)
+            .when(is_sof0, be16(acc.off + 7).cast("int"))
+            .alias("w"),
+        )
+
+    walked = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_JPEG_MAX_SEGMENTS)),
+        F.struct(
+            F.lit(3).alias("off"),
+            F.lit(None).cast("int").alias("h"),
+            F.lit(None).cast("int").alias("w"),
+        ),
+        step,
+    )
+    return df.withColumn("_jw", F.when(sig_ok, walked)).select(
+        "*",
+        F.col("_jw.w").alias("jpeg_width"),
+        F.col("_jw.h").alias("jpeg_height"),
+    ).drop("_jw")
+
+
 def attach_fake_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     """Test helper: derive a deterministic binary payload from document
     text (md5 -> bytes, repeated), shaped into MEDIA_SCHEMA."""

@@ -769,9 +769,134 @@ ORDER BY doc_id
 """
 
 
+_BPE_TOP = 20
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training: frequency of every
+    adjacent character pair, weighted by word frequency — the statistic
+    whose argmax becomes merge rule #1. Run over the corpus word-freq
+    table (not raw text), exactly how BPE trainers amortize: a word seen
+    f times contributes f to each of its pairs. Output: the
+    ``_BPE_TOP`` most frequent pairs (tie-broken by pair) with their
+    weighted counts and context-position counts.
+
+    Scale: the word-freq aggregate is the only corpus-sized shuffle
+    (combinable, key = word); pair expansion is a map-side transform
+    over the *vocabulary*, which is sublinear in corpus size (Heaps'
+    law), and the final aggregate runs on |pairs| <= |alphabet|^2 keys.
+    This is why real BPE trainers survive trillion-token corpora.
+    """
+    docs = table(spark, sf_dir, "documents").select("text")
+    words = docs.select(F.explode(_tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    pairs = freq.select(
+        "f",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substr(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("f").alias("n"),
+            F.count(F.lit(1)).alias("n_contexts"),
+        )
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(_BPE_TOP)
+    )
+
+
+BPE_PAIR_COUNTS_SQL = f"""
+WITH words AS (
+    SELECT unnest({TOKENS_SQL}) AS w FROM documents
+),
+freq AS (
+    SELECT w, COUNT(*) AS f FROM words WHERE length(w) >= 2 GROUP BY w
+),
+pairs AS (
+    SELECT unnest(list_transform(range(1, length(w)),
+                  i -> substring(w, CAST(i AS INTEGER), 2))) AS pair,
+           f
+    FROM freq
+)
+SELECT pair, CAST(SUM(f) AS BIGINT) AS n, COUNT(*) AS n_contexts
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {_BPE_TOP}
+"""
+
+
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights, τ = 2 (exponent 1/2):
+    w_i = sqrt(m_i) / Σ_j sqrt(m_j) over per-source corpus mass — the
+    standard multilingual/multi-source rebalance (upweight the tail
+    without drowning the head; cf. multilingual LM sampling). Exponent
+    1/2 is chosen deliberately: sqrt is IEEE-correctly-rounded on both
+    engines (a general pow() is libm-dependent and NOT cross-engine
+    stable), and the denominator folds in pinned source order, so the
+    weights hash-match exactly.
+
+    Scale: one combinable aggregate to |sources| rows; the denominator
+    is a 1-row broadcast scalar. Nothing beyond the scan touches corpus
+    size.
+    """
+    docs = table(spark, sf_dir, "documents").select("source", "n_chars")
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("mass"),
+    )
+    dim = src.withColumn("sq", F.sqrt(F.col("mass").cast("double")))
+    denom = dim.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "sq"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["sq"],
+        ).alias("denom")
+    )
+    return (
+        dim.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "n_docs",
+            "mass",
+            F.round(F.col("sq") / F.col("denom") * 10000, 2).alias(
+                "weight_bps"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+TEMPERATURE_MIX_SQL = """
+WITH src AS (
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS mass
+    FROM documents GROUP BY source
+),
+d AS (
+    SELECT source, n_docs, mass, SQRT(CAST(mass AS DOUBLE)) AS sq FROM src
+),
+denom AS (
+    SELECT list_aggregate(list(sq ORDER BY source), 'sum') AS denom FROM d
+)
+SELECT source, n_docs, mass,
+       ROUND(sq / denom * 10000, 2) AS weight_bps
+FROM d CROSS JOIN denom
+ORDER BY source
+"""
+
+
 QUERIES = {
     "sequence_packing": sequence_packing,
     "sentence_dedup_c4": sentence_dedup_c4,
+    "bpe_pair_counts": bpe_pair_counts,
+    "temperature_mix_weights": temperature_mix_weights,
     "lang_balance_resample": lang_balance_resample,
     "lm_quality_score": lm_quality_score,
     "bigram_pmi": bigram_pmi,
@@ -784,6 +909,8 @@ QUERIES = {
 ORACLES = {
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "sentence_dedup_c4": SENTENCE_DEDUP_SQL,
+    "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
+    "temperature_mix_weights": TEMPERATURE_MIX_SQL,
     "lang_balance_resample": LANG_BALANCE_SQL,
     "lm_quality_score": LM_QUALITY_SCORE_SQL,
     "bigram_pmi": BIGRAM_PMI_SQL,

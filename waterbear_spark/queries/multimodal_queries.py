@@ -244,14 +244,95 @@ ORDER BY is_gif
 """
 
 
+def multimodal_jpeg_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-offset parsing proof for the JPEG marker walk: build
+    JPEG payloads whose SOF0 sits at a doc-dependent offset (APP0 and
+    COM segments with doc_id-derived padding lengths precede it), mix in
+    junk rows, and parse the dims back with ``jpeg_dimensions``. The
+    oracle computes the census from doc_id arithmetic alone, so the
+    Spark side matches only if the walk correctly hops BOTH
+    variable-length segments on every row — a fixed-offset "parser"
+    fails immediately. Zero Python.
+    """
+    from waterbear_spark.functions.multimodal import jpeg_dimensions
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < _DOC_LIMIT)
+    )
+    w = (F.col("doc_id") % 320 + 1).cast("int")
+    h = (F.col("doc_id") % 240 + 1).cast("int")
+    pad0 = (F.col("doc_id") % 13).cast("int")  # APP0 payload bytes
+    pad1 = (F.col("doc_id") % 7).cast("int")   # COM payload bytes
+
+    def be16(col):
+        return F.unhex(F.lpad(F.hex(col.cast("int")), 4, "0"))
+
+    def seg(marker_hex, pad):
+        return F.concat(
+            F.unhex(F.lit(marker_hex)),
+            be16(pad + 2),
+            F.unhex(F.repeat(F.lit("00"), pad)),
+        )
+
+    sof0 = F.concat(
+        F.unhex(F.lit("FFC0")),
+        be16(F.lit(17)),          # frame header length
+        F.unhex(F.lit("08")),     # precision
+        be16(h),
+        be16(w),
+    )
+    jpeg = F.concat(
+        F.unhex(F.lit("FFD8")), seg("FFE0", pad0), seg("FFFE", pad1), sof0
+    )
+    junk = F.unhex(F.md5("text"))
+    media = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, junk).otherwise(jpeg).alias("data"),
+    )
+    parsed = jpeg_dimensions(media)
+    return (
+        parsed.groupBy(F.col("jpeg_width").isNotNull().alias("is_jpeg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("jpeg_width").alias("sum_width"),
+            F.sum("jpeg_height").alias("sum_height"),
+            F.max("jpeg_height").alias("max_height"),
+        )
+        .orderBy("is_jpeg")
+    )
+
+
+_JPEG_SQL = f"""
+WITH media AS (
+    SELECT doc_id,
+           doc_id % 5 <> 0 AS is_jpeg,
+           CASE WHEN doc_id % 5 <> 0 THEN doc_id % 320 + 1 END AS w,
+           CASE WHEN doc_id % 5 <> 0 THEN doc_id % 240 + 1 END AS h
+    FROM documents WHERE doc_id < {_DOC_LIMIT}
+)
+SELECT is_jpeg,
+       COUNT(*) AS n_media,
+       CAST(SUM(w) AS BIGINT) AS sum_width,
+       CAST(SUM(h) AS BIGINT) AS sum_height,
+       CAST(MAX(h) AS INTEGER) AS max_height
+FROM media
+GROUP BY is_jpeg
+ORDER BY is_jpeg
+"""
+
+
 QUERIES = {
     "multimodal_decode_stats": multimodal_decode_stats,
+    "multimodal_jpeg_dims": multimodal_jpeg_dims,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_header_triage": multimodal_header_triage,
     "multimodal_gif_dims": multimodal_gif_dims,
 }
 ORACLES = {
     "multimodal_decode_stats": _DECODE_STATS_SQL,
+    "multimodal_jpeg_dims": _JPEG_SQL,
     "multimodal_frame_sample": _FRAME_SQL,
     "multimodal_header_triage": _HEADER_SQL,
     "multimodal_gif_dims": _GIF_SQL,

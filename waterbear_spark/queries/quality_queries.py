@@ -517,8 +517,84 @@ ORDER BY lang
 """
 
 
+def freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness/staleness monitor: for every event type, the
+    last-seen timestamp, its lag behind the newest event anywhere
+    (staleness — the "this source stopped flowing" alarm), and how much
+    of its traffic arrived in the trailing 7 days. The first page of any
+    ingestion dashboard.
+
+    Scale: one combinable max-aggregate to |types| rows; the global
+    watermark is a window over that micro-relation (not the fact
+    table); the trailing-window count re-aggregates the facts against a
+    broadcast per-type dimension — two scans total, zero row-level
+    shuffles beyond the combinable aggs.
+    """
+    events = table(spark, sf_dir, "events").select("event_type", "ts")
+    per_type = events.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n_total")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dim = per_type.withColumn("g_max", F.max("last_ts").over(wall))
+    recent = (
+        events.join(F.broadcast(dim.select("event_type", "g_max")), "event_type")
+        .filter(F.col("ts") >= F.col("g_max") - F.expr("INTERVAL 7 DAYS"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_7d"))
+    )
+    return (
+        dim.join(recent, "event_type", "left")
+        .select(
+            "event_type",
+            "last_ts",
+            # exact microsecond diff then integer-div: Spark's
+            # timestampdiff(SECOND) truncates the elapsed time while
+            # DuckDB's date_diff('second') counts boundary crossings —
+            # off by one whenever the fractional seconds straddle
+            F.expr(
+                "timestampdiff(MICROSECOND, last_ts, g_max) div 1000000"
+            ).alias("staleness_sec"),
+            "n_total",
+            F.coalesce("n_7d", F.lit(0)).alias("n_7d"),
+            F.expr("coalesce(n_7d, 0) * 10000 div n_total").alias(
+                "recent_share_bps"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_FRESHNESS_SQL = """
+WITH per_type AS (
+    SELECT event_type, MAX(ts) AS last_ts, COUNT(*) AS n_total
+    FROM events GROUP BY event_type
+),
+dim AS (
+    SELECT *, MAX(last_ts) OVER () AS g_max FROM per_type
+),
+recent AS (
+    SELECT e.event_type, COUNT(*) AS n_7d
+    FROM events e JOIN dim d USING (event_type)
+    WHERE e.ts >= d.g_max - INTERVAL 7 DAY
+    GROUP BY e.event_type
+)
+SELECT event_type, last_ts,
+       CAST((epoch_us(g_max) - epoch_us(last_ts)) // 1000000 AS BIGINT)
+           AS staleness_sec,
+       n_total,
+       COALESCE(n_7d, 0) AS n_7d,
+       CAST(COALESCE(n_7d, 0) * 10000 // n_total AS BIGINT)
+           AS recent_share_bps
+FROM dim LEFT JOIN recent USING (event_type)
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "profile_table": profile_table,
+    "freshness_report": freshness_report,
     "quality_report_event": quality_report_event,
     "quality_report_customer": quality_report_customer,
     "quality_quarantine_customer": quality_quarantine_customer,
@@ -530,6 +606,7 @@ QUERIES = {
 
 ORACLES = {
     "profile_table": _profile_oracle(),
+    "freshness_report": _FRESHNESS_SQL,
     "quality_report_event": _event_report_oracle(),
     "quality_report_customer": _report_oracle(),
     "quality_quarantine_customer": _quarantine_oracle(),
