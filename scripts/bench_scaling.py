@@ -50,6 +50,13 @@ HEAVY = {
     "incremental_dedup_merge": corpusprep.incremental_dedup_merge,
     "bigram_pmi": corpusprep.bigram_pmi,
     "spearman_price_quantity": relational_more.spearman_price_quantity,
+    # round-3 additions with corpus-sized shuffles: sentence-level and
+    # window-digest dedup (digest-keyed), the star-CC iterative loop,
+    # and the vocabulary-sized BPE expansion
+    "sentence_dedup_c4": corpusprep.sentence_dedup_c4,
+    "dup_span_census": corpusprep.dup_span_census,
+    "dedup_clusters_star": llm.dedup_clusters_star,
+    "bpe_pair_counts": corpusprep.bpe_pair_counts,
 }
 
 

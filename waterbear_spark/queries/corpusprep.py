@@ -769,6 +769,138 @@ ORDER BY doc_id
 """
 
 
+_SPAN_K = 10  # tokens per window: the dedup granularity
+
+
+def dup_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring census at ``_SPAN_K``-token
+    granularity — the window-digest form of Lee et al. 2021's
+    "Deduplicating Training Data Makes Language Models Better"
+    substring dedup: every overlapping k-token window is digested, a
+    window is *duplicated* if its digest occurs in more than one
+    document, and per doc we report how many of its windows are
+    duplicated plus the LONGEST consecutive duplicated run (run + k - 1
+    = the longest exactly-shared token span). This is the measure that
+    motivates suffix-array dedup; at fixed k the windowed form is
+    map-reduce-able and exact.
+
+    Scale: digests are row-local (one transform over the token array —
+    no explode before hashing); the only corpus-sized shuffle keys on
+    the 128-bit digest (16 bytes/window, never the text). Cross-doc
+    detection is min(doc)!=max(doc) — combinable, cheaper than a
+    distinct count — and the run-length pass is a per-doc
+    gaps-and-islands window ([[key_islands]] pattern). Inherent cost:
+    ~1 digest per corpus token, which is what exact substring dedup
+    costs anywhere.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    arr = docs.select(
+        "doc_id", _tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") >= _SPAN_K)
+    wins = arr.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - _SPAN_K + 1),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("t"), i, _SPAN_K), " ")
+                ),
+            )
+        ).alias("pos", "dig"),
+    )
+    shared = (
+        wins.groupBy("dig")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("dig")
+    )
+    marked = wins.join(shared, "dig", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        marked.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("run").alias("n_dup"),
+            F.max("run").alias("longest_run"),
+        )
+    )
+    totals = wins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    return (
+        totals.join(runs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            F.when(
+                F.col("longest_run").isNotNull(),
+                F.col("longest_run") + _SPAN_K - 1,
+            )
+            .otherwise(0)
+            .alias("longest_span_tokens"),
+            F.expr("coalesce(n_dup, 0) * 10000 div n_windows").alias(
+                "dup_bps"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUP_SPAN_CENSUS_SQL = f"""
+WITH arr AS (
+    SELECT doc_id, {TOKENS_SQL} AS t FROM documents
+    WHERE len({TOKENS_SQL}) >= {_SPAN_K}
+),
+wins AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(digs, 1) AS INTEGER) AS pos,
+           unnest(digs) AS dig
+    FROM (
+        SELECT doc_id,
+               list_transform(range(1, len(t) - {_SPAN_K} + 2),
+                   i -> md5(array_to_string(
+                       list_slice(t, CAST(i AS INTEGER),
+                                  CAST(i AS INTEGER) + {_SPAN_K} - 1), ' ')))
+                   AS digs
+        FROM arr
+    )
+),
+shared AS (
+    SELECT dig FROM wins GROUP BY dig HAVING MIN(doc_id) <> MAX(doc_id)
+),
+marked AS (
+    SELECT w.doc_id, w.pos FROM wins w SEMI JOIN shared s ON w.dig = s.dig
+),
+runs AS (
+    SELECT doc_id, grp, COUNT(*) AS run
+    FROM (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM marked
+    ) GROUP BY doc_id, grp
+),
+per_doc_runs AS (
+    SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_dup,
+           CAST(MAX(run) AS BIGINT) AS longest_run
+    FROM runs GROUP BY doc_id
+),
+totals AS (
+    SELECT doc_id, COUNT(*) AS n_windows FROM wins GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_windows,
+       COALESCE(r.n_dup, 0) AS n_dup,
+       CASE WHEN r.longest_run IS NOT NULL
+            THEN r.longest_run + {_SPAN_K} - 1 ELSE 0 END
+           AS longest_span_tokens,
+       CAST(COALESCE(r.n_dup, 0) * 10000 // t.n_windows AS BIGINT)
+           AS dup_bps
+FROM totals t LEFT JOIN per_doc_runs r ON t.doc_id = r.doc_id
+ORDER BY t.doc_id
+"""
+
+
 _BPE_TOP = 20
 
 
@@ -896,6 +1028,7 @@ QUERIES = {
     "sequence_packing": sequence_packing,
     "sentence_dedup_c4": sentence_dedup_c4,
     "bpe_pair_counts": bpe_pair_counts,
+    "dup_span_census": dup_span_census,
     "temperature_mix_weights": temperature_mix_weights,
     "lang_balance_resample": lang_balance_resample,
     "lm_quality_score": lm_quality_score,
@@ -910,6 +1043,7 @@ ORACLES = {
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "sentence_dedup_c4": SENTENCE_DEDUP_SQL,
     "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
+    "dup_span_census": DUP_SPAN_CENSUS_SQL,
     "temperature_mix_weights": TEMPERATURE_MIX_SQL,
     "lang_balance_resample": LANG_BALANCE_SQL,
     "lm_quality_score": LM_QUALITY_SCORE_SQL,
