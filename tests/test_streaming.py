@@ -3,6 +3,7 @@ Trigger.AvailableNow, memory sink — results must equal the batch run of
 the same transform (the functions are batch/stream polymorphic)."""
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
@@ -331,3 +332,56 @@ def test_session_gap_boundary_merges(spark, tmp_path):
     ]
     con.close()
     assert oracle == got
+
+
+def test_windowed_topk_stream_matches_batch(spark, event_stream_dir):
+    """The [[windowed_topk_types]] docstring promises a streaming twin:
+    the (day-window, type) count aggregate runs under a watermark, and
+    the rank is applied to the closed windows (post-aggregation, as a
+    foreachBatch consumer would). Leaders must equal the batch query."""
+    from waterbear_spark.queries.timeseries import (
+        _TOPK_PER_WINDOW,
+        windowed_topk_types,
+    )
+
+    src = _stream_source(spark, event_stream_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")  # watermark needs TIMESTAMP; UTC session keeps values
+    )
+    counts = (
+        src.withWatermark("ts", "31 days")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    streamed = _run_stream(spark, counts, "topk_stream_test")
+    w = Window.partitionBy("day").orderBy(F.col("n").desc(), "event_type")
+    got = (
+        streamed.select(
+            F.col("window.start").cast("date").alias("day"), "event_type", "n"
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK_PER_WINDOW)
+        .select("day", "rnk", "event_type", "n")
+    )
+    batch = windowed_topk_types(spark, SF_SMOKE)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_freshness_aggregate_stream_matches_batch(spark, event_stream_dir):
+    """[[freshness_report]]'s scan-side aggregate (per-type last_ts +
+    count) is streamable as-is; the staleness post-processing runs on
+    the |types|-row result. Stream agg must equal the batch dimensions."""
+    from waterbear_spark.queries.quality_queries import freshness_report
+
+    src = _stream_source(spark, event_stream_dir)
+    per_type = src.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n_total")
+    )
+    streamed = _run_stream(spark, per_type, "freshness_stream_test")
+    batch = freshness_report(spark, SF_SMOKE).select(
+        "event_type", "last_ts", "n_total"
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
