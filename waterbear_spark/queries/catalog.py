@@ -98,6 +98,23 @@ _PRIORITY = [
     "downsample_minmax",
     "key_islands",
     "equidepth_histogram",
+    # changed AFTER its r02 hash-match: the try_* census error paths are
+    # now rare (different counts), so the r02 evidence predates it
+    "ansi_safe_arithmetic",
+    # new this round (never driver-verified; pinned ahead of the stale
+    # tail so first-round evidence lands immediately)
+    "sentence_dedup_c4",
+    "dup_span_census",
+    "bpe_pair_counts",
+    "temperature_mix_weights",
+    "acf_daily_revenue",
+    "rolling_ols_slope",
+    "skew_key_census",
+    "dedup_clusters_star",
+    "recursive_org_rollup",
+    "lateral_top_orders",
+    "multimodal_jpeg_dims",
+    "freshness_report",
 ]
 
 
