@@ -58,7 +58,9 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deg has exactly one row per node (symmetrized edges: every node is
     # a src), so it doubles as the node list
     deg.persist()
-    n_nodes = deg.count()
+    # max(.., 1): on an empty graph every frame below has zero rows, so
+    # the sentinel only keeps the scalar math defined — no row uses it
+    n_nodes = max(deg.count(), 1)
     base = _SCALE * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN // n_nodes
 
     # the rank vector is one row per NODE (not per edge) — broadcast it

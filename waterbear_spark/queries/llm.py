@@ -464,12 +464,15 @@ ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 def _embedding_dim(spark: SparkSession, sf_dir: str) -> int:
-    """Vector width (driver-side metadata lookup, one 1-row job)."""
-    return (
+    """Vector width (driver-side metadata lookup, one 1-row job). An
+    empty table yields a 1-dim placeholder: every consumer's row-local
+    math stays well-formed and produces zero rows either way."""
+    row = (
         table(spark, sf_dir, "embeddings")
         .select(F.size("embedding").alias("d"))
-        .first()["d"]
+        .first()
     )
+    return row["d"] if row is not None else 1
 
 
 def _dot_expr(a: str, b: str, dim: int) -> Column:
@@ -674,6 +677,14 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(r["vec_id"]): list(r["v"])
         for r in emb.filter(F.col("vec_id") < _IVF_K).collect()
     }
+    if not init:
+        # empty table: no centroids to seed — emit the output shape with
+        # zero rows instead of building an untyped empty score array
+        return emb.select(
+            "vec_id",
+            F.lit(None).cast("int").alias("cell"),
+            F.lit(None).cast("int").alias("cell_size"),
+        )
 
     def assign(centroids: dict[int, list[float]]):
         cids = sorted(centroids)
