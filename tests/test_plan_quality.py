@@ -45,6 +45,8 @@ NESTED_LOOP_OK = {
     "skew_key_census",
     # sqrt-mass denominator: broadcast 1-row scalar against |sources| rows
     "temperature_mix_weights",
+    # leakage census: broadcast 1-row scalar against the 3-split census
+    "leakage_free_split",
 }
 
 

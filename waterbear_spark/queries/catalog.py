@@ -115,6 +115,7 @@ _PRIORITY = [
     "lateral_top_orders",
     "multimodal_jpeg_dims",
     "freshness_report",
+    "leakage_free_split",
 ]
 
 

@@ -370,6 +370,125 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/validation/test split: the md5 lottery of
+    [[deterministic_split]] keyed on the near-dup CLUSTER id instead of
+    the document id, so near-duplicate documents can never straddle
+    splits — the leakage mode that silently inflates eval numbers when
+    val/test contain near-copies of training docs. Clusters come from
+    the star-CC labels ([[dedup_clusters_star]]); singletons key on
+    their own doc_id. Output: per-split census plus the computed
+    cross-split leakage count — zero by construction, and the oracle
+    (recursive-closure CC + the same lottery) certifies it rather than
+    trusting the claim.
+
+    Scale: the cluster labels are a near-dup-pair-sized relation (tiny
+    vs the corpus) joined back broadcast; the lottery is row-local; the
+    census is one 3-group aggregate. The leakage check is an aggregate
+    over |groups| rows.
+    """
+    from waterbear_spark.operators.starcc import star_connected_components
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    labels = star_connected_components(pairs, src="doc_a", dst="doc_b")
+    assigned = docs.join(
+        F.broadcast(labels.withColumnRenamed("vertex", "doc_id")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("group_id"),
+        F.col("component").isNotNull().alias("clustered"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("split|"), F.col("group_id").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+    )
+    tagged = assigned.withColumn("split", split)
+    leaks = tagged.groupBy("group_id").agg(
+        F.countDistinct("split").alias("ns")
+    )
+    leaked = leaks.agg(
+        F.count(F.when(F.col("ns") > 1, 1)).alias("leaked_groups")
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("group_id").alias("n_groups"),
+            F.count(F.when(F.col("clustered"), 1)).alias("n_clustered"),
+        )
+        .crossJoin(F.broadcast(leaked))
+        .orderBy("split")
+    )
+
+
+LEAKAGE_FREE_SPLIT_SQL = f"""
+WITH RECURSIVE pairs AS (
+    SELECT doc_a, doc_b FROM ({DEDUP_NEAR_SQL}) q
+),
+edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+    SELECT s AS v, d AS r FROM edges
+    UNION
+    SELECT reach.v, edges.d FROM reach JOIN edges ON reach.r = edges.s
+),
+comp AS (
+    SELECT v AS doc_id, LEAST(v, MIN(r)) AS component FROM reach GROUP BY v
+),
+assigned AS (
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS group_id,
+           c.component IS NOT NULL AS clustered
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+tagged AS (
+    SELECT *,
+           CASE
+             WHEN CAST(('0x' || substr(md5('split|' || CAST(group_id AS VARCHAR)), 1, 15))
+                  AS UBIGINT)::BIGINT % 100 < 80 THEN 'train'
+             WHEN CAST(('0x' || substr(md5('split|' || CAST(group_id AS VARCHAR)), 1, 15))
+                  AS UBIGINT)::BIGINT % 100 < 90 THEN 'validation'
+             ELSE 'test'
+           END AS split
+    FROM assigned
+),
+leaked AS (
+    SELECT COUNT(*) FILTER (WHERE ns > 1) AS leaked_groups
+    FROM (SELECT group_id, COUNT(DISTINCT split) AS ns
+          FROM tagged GROUP BY group_id)
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT group_id) AS n_groups,
+       COUNT(*) FILTER (WHERE clustered) AS n_clustered,
+       leaked_groups
+FROM tagged CROSS JOIN leaked
+GROUP BY split, leaked_groups
+ORDER BY split
+"""
+
+
 def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: for every training document, the
     fraction of its distinct 3-word shingles that occur anywhere in the
@@ -1759,6 +1878,7 @@ QUERIES = {
     "dedup_near_minhash": dedup_near_minhash,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
+    "leakage_free_split": leakage_free_split,
     "decontaminate_overlap": decontaminate_overlap,
     "embedding_topk": embedding_topk,
     "embedding_knn_label": embedding_knn_label,
@@ -1781,6 +1901,7 @@ ORACLES = {
     "dedup_near_minhash": DEDUP_NEAR_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_clusters_star": DEDUP_CLUSTERS_SQL,
+    "leakage_free_split": LEAKAGE_FREE_SPLIT_SQL,
     "decontaminate_overlap": DECONTAMINATE_SQL,
     "embedding_topk": EMBEDDING_TOPK_SQL,
     "embedding_knn_label": EMBEDDING_KNN_LABEL_SQL,
