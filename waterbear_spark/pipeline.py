@@ -138,7 +138,10 @@ def training_corpus(
     lm_kept = clean.join(low_docs, "doc_id", "left_anti")
     n_lm = lm_kept.count()
 
-    # 6. deterministic split — row-local hash gate
+    # 6. deterministic split — row-local hash gate. Keying on doc_id is
+    #    leakage-free HERE because stage 3 kept only cluster canonicals;
+    #    a pipeline that retains near-dups must key the lottery on the
+    #    cluster id instead (queries/llm.py leakage_free_split)
     bucket = (
         F.conv(
             F.substring(
