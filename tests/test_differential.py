@@ -275,3 +275,53 @@ def test_spark_and_duckdb_agree_on_running_sums(engines, case):
     assert (
         compare_frames(sdf.columns, s_rows, d_cols, res.fetchall()) == []
     ), f"divergence on: {sql}"
+
+
+# --- scalar string/date expression family -----------------------------------
+# Generated engine-portable scalar expressions used as GROUP BY keys: any
+# divergence in SUBSTR indexing, REPLACE, concat, or EXTRACT semantics
+# shows up as a key-set mismatch immediately.
+
+_scalar_exprs = st.one_of(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),
+        st.integers(min_value=1, max_value=6),
+    ).map(lambda t: f"SUBSTR(o_orderpriority, {t[0]}, {t[1]})"),
+    st.sampled_from(["UPPER(o_orderpriority)", "LOWER(o_orderstatus)"]),
+    st.tuples(
+        st.sampled_from(["-", " ", "E", "1"]),
+        st.sampled_from(["_", "", "xx"]),
+    ).map(lambda t: f"REPLACE(o_orderpriority, '{t[0]}', '{t[1]}')"),
+    st.just("o_orderstatus || '-' || SUBSTR(o_orderpriority, 1, 1)"),
+    st.sampled_from(
+        [
+            "EXTRACT(YEAR FROM o_orderdate)",
+            "EXTRACT(MONTH FROM o_orderdate)",
+            "EXTRACT(DAY FROM o_orderdate)",
+            "LENGTH(TRIM(o_orderpriority))",
+        ]
+    ),
+)
+
+_SCALAR_QUERY = (
+    "SELECT {expr} AS k, COUNT(*) AS n "
+    "FROM orders_diff GROUP BY k ORDER BY k"
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(expr=_scalar_exprs)
+def test_spark_and_duckdb_agree_on_scalar_expressions(engines, expr):
+    spark, con = engines
+    sql = _SCALAR_QUERY.format(expr=expr)
+    sdf = spark.sql(sql)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(sql)
+    d_cols = [d[0] for d in res.description]
+    assert (
+        compare_frames(sdf.columns, s_rows, d_cols, res.fetchall()) == []
+    ), f"divergence on: {expr}"
