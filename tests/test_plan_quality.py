@@ -47,6 +47,8 @@ NESTED_LOOP_OK = {
     "temperature_mix_weights",
     # leakage census: broadcast 1-row scalar against the 3-split census
     "leakage_free_split",
+    # anchor date: broadcast 1-row scalar against the customer relation
+    "rfm_segments",
 }
 
 

@@ -894,6 +894,102 @@ ORDER BY day
 """
 
 
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer Recency (days since last
+    order, vs the newest order anywhere), Frequency (order count), and
+    Monetary (exact lifetime cents), each cut into quintiles; output is
+    the (R,F,M) segment census with average customer value — the
+    workhorse marketing segmentation, and a three-fold exercise of the
+    distributed exact NTILE.
+
+    Scale: one combinable customer aggregate, then THREE quintile
+    tilings — each via ``operators/ntile.py bucketed_ntile`` (two-pass
+    bucketed order statistics), because three NTILE windows over an
+    unpartitioned customer relation would funnel every customer through
+    one partition three times. The anchor date is a 1-row broadcast
+    scalar; the census aggregate has at most 125 groups.
+    """
+    from waterbear_spark.operators.ntile import bucketed_ntile
+    from waterbear_spark.queries.tables import DEC
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("day"), "o_totalprice"
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("day").alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        (F.sum(F.col("o_totalprice").cast(DEC)) * 100)
+        .cast("decimal(19,0)")
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    anchor = per_cust.agg(F.max("last_day").alias("g"))
+    feats = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff(F.col("g"), F.col("last_day")).cast("bigint").alias(
+            "recency_days"
+        ),
+        "frequency",
+        "monetary_cents",
+    )
+    tiled = bucketed_ntile(
+        bucketed_ntile(
+            bucketed_ntile(
+                feats, "recency_days", "o_custkey", 5,
+                out_col="r_q", width=16.0,
+            ),
+            "frequency", "o_custkey", 5, out_col="f_q", width=2.0,
+        ),
+        "monetary_cents", "o_custkey", 5, out_col="m_q", width=1e7,
+    )
+    return (
+        tiled.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum("monetary_cents").cast("double")
+                / F.count(F.lit(1))
+                / 100.0,
+                2,
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+_RFM_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           MAX(CAST(o_orderdate AS DATE)) AS last_day,
+           COUNT(*) AS frequency,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) * 100
+                AS DECIMAL(19,0)) AS BIGINT) AS monetary_cents
+    FROM orders GROUP BY o_custkey
+),
+anchor AS (SELECT MAX(last_day) AS g FROM per_cust),
+feats AS (
+    SELECT o_custkey,
+           CAST(g - last_day AS BIGINT) AS recency_days,
+           frequency, monetary_cents
+    FROM per_cust CROSS JOIN anchor
+),
+tiled AS (
+    SELECT *,
+           NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_q,
+           NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_q,
+           NTILE(5) OVER (ORDER BY monetary_cents, o_custkey) AS m_q
+    FROM feats
+)
+SELECT r_q, f_q, m_q,
+       COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(monetary_cents) AS DOUBLE) / COUNT(*) / 100.0, 2)
+           AS avg_monetary
+FROM tiled
+GROUP BY r_q, f_q, m_q
+ORDER BY r_q, f_q, m_q
+"""
+
+
 QUERIES = {
     "downsample_minmax": downsample_minmax,
     "sequence_pattern_match": sequence_pattern_match,
@@ -905,6 +1001,7 @@ QUERIES = {
     "skyline_orders": skyline_orders,
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
+    "rfm_segments": rfm_segments,
     "interval_peak_concurrency": interval_peak_concurrency,
     "reservoir_sample_orders": reservoir_sample_orders,
     "event_transition_matrix": event_transition_matrix,
@@ -921,6 +1018,7 @@ ORACLES = {
     "skyline_orders": _SKYLINE_SQL,
     "funnel_conversion": _FUNNEL_SQL,
     "cohort_retention": _COHORT_SQL,
+    "rfm_segments": _RFM_SQL,
     "interval_peak_concurrency": _CONCURRENCY_SQL,
     "reservoir_sample_orders": _RESERVOIR_SQL,
     "event_transition_matrix": _TRANSITION_SQL,

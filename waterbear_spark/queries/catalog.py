@@ -116,6 +116,7 @@ _PRIORITY = [
     "multimodal_jpeg_dims",
     "freshness_report",
     "leakage_free_split",
+    "rfm_segments",
 ]
 
 
