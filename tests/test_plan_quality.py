@@ -49,6 +49,12 @@ NESTED_LOOP_OK = {
     "leakage_free_split",
     # anchor date: broadcast 1-row scalar against the customer relation
     "rfm_segments",
+    # corpus N/avgdl: broadcast 1-row scalar against the tf relation
+    "bm25_search",
+    # order-count scalar against the top-k pair relation
+    "itemset_pair_lift",
+    # date-spine × event-type grid, as in gapfill_locf_daily
+    "gapfill_interpolate_daily",
 }
 
 

@@ -1,0 +1,218 @@
+"""Semantic invariants for the round-3 wave-2 operators (retrieval,
+mining, time-series additions). Exact oracle equality runs in
+scripts/check_oracle.py; these tests pin the properties equality alone
+wouldn't explain — independent reimplementations (pure-Python BM25 and
+sorted-neighborhood), conservation laws (decomposition re-adds,
+CUSUM telescoping), and bracketing bounds (interpolation)."""
+
+import math
+from collections import Counter
+
+from tests.conftest import SF_SMOKE
+from waterbear_spark.queries.mining import (
+    _SN_MAX_DIST,
+    _SN_WINDOW,
+    itemset_pair_lift,
+    sorted_neighborhood_pairs,
+)
+from waterbear_spark.queries.retrieval import (
+    _BM25_B,
+    _BM25_K1,
+    _BM25_QUERY,
+    _BM25_TOPK,
+    _POSTINGS_CAP,
+    bm25_search,
+    inverted_index_postings,
+)
+from waterbear_spark.queries.tables import table
+from waterbear_spark.queries.timeseries import (
+    _CUSUM_FRAC,
+    cusum_changepoints,
+    gapfill_interpolate_daily,
+    stl_decompose_daily,
+)
+
+
+def _doc_tokens(spark):
+    rows = table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    return {r.doc_id: [t for t in r.text.lower().split() if t] for r in rows}
+
+
+def test_bm25_matches_pure_python(spark):
+    docs = _doc_tokens(spark)
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = Counter(t for toks in docs.values() for t in set(toks) if t in _BM25_QUERY)
+    scores = {}
+    for doc_id, toks in docs.items():
+        tf = Counter(t for t in toks if t in _BM25_QUERY)
+        s = 0.0
+        for term, f in tf.items():
+            idf = math.log(1.0 + (n - df[term] + 0.5) / (df[term] + 0.5))
+            denom = f + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * len(toks) / avgdl)
+            s += round(idf * f * (_BM25_K1 + 1) / denom, 6)
+        if tf:
+            scores[doc_id] = round(s, 4)
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:_BM25_TOPK]
+    got = [(r.doc_id, r.score) for r in bm25_search(spark, SF_SMOKE).collect()]
+    assert got == expect
+
+
+def test_inverted_index_postings_shape(spark):
+    docs = _doc_tokens(spark)
+    rows = inverted_index_postings(spark, SF_SMOKE).collect()
+    by_term = {r.term: r for r in rows}
+    # every corpus term appears; df == docs containing it; postings are
+    # sorted, capped, and prefixed by the true smallest doc ids
+    expect_df = Counter(t for toks in docs.values() for t in set(toks))
+    assert set(by_term) == set(expect_df)
+    for term, r in by_term.items():
+        assert r.df == expect_df[term]
+        assert r.postings == sorted(r.postings)
+        assert len(r.postings) == min(r.df, _POSTINGS_CAP)
+        # spot-verify first posting: doc id and 1-based first position
+        doc_str, pos_str = r.postings[0].split(":")
+        doc_id, pos = int(doc_str), int(pos_str)
+        assert docs[doc_id][pos - 1] == term
+        assert term not in docs[doc_id][: pos - 1]
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_sorted_neighborhood_matches_brute_force(spark):
+    parts = sorted(
+        (r.p_name, r.p_partkey)
+        for r in table(spark, SF_SMOKE, "part").collect()
+    )
+    expect = set()
+    for i, (name_a, key_a) in enumerate(parts):
+        for j in range(i + 1, min(i + 1 + _SN_WINDOW, len(parts))):
+            name_b, key_b = parts[j]
+            if _lev(name_a, name_b) <= _SN_MAX_DIST:
+                expect.add((key_a, key_b, j - i))
+    got = {
+        (r.key_a, r.key_b, r.rank_gap)
+        for r in sorted_neighborhood_pairs(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_itemset_pair_lift_consistency(spark):
+    li = {
+        (r.l_orderkey, r.l_partkey)
+        for r in table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    }
+    n_orders = len({o for o, _ in li})
+    item = Counter(p for _, p in li)
+    rows = itemset_pair_lift(spark, SF_SMOKE).collect()
+    assert rows, "empty pair mining output"
+    for r in rows:
+        assert r.n_a == item[r.pa] and r.n_b == item[r.pb]
+        assert r.n_pair <= min(r.n_a, r.n_b)
+        assert math.isclose(
+            r.lift, round(r.n_pair * n_orders / (r.n_a * r.n_b), 4), abs_tol=1e-9
+        )
+        assert math.isclose(
+            r.support, round(r.n_pair / n_orders, 6), abs_tol=1e-9
+        )
+    # top-k really is the head: a pair outside the result can't beat the
+    # weakest returned support count
+    if len(rows) == 20:
+        counts = Counter()
+        by_order = {}
+        for o, p in li:
+            by_order.setdefault(o, []).append(p)
+        for ps in by_order.values():
+            ps = sorted(ps)
+            for i, a in enumerate(ps):
+                for b in ps[i + 1 :]:
+                    counts[(a, b)] += 1
+        returned = {(r.pa, r.pb) for r in rows}
+        floor = min(r.n_pair for r in rows)
+        for pair, c in counts.items():
+            if pair not in returned:
+                assert c <= floor
+
+
+def test_cusum_telescopes_and_flags(spark):
+    rows = cusum_changepoints(spark, SF_SMOKE).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for etype, series in by_type.items():
+        series.sort(key=lambda r: r.day)
+        # final CUSUM telescopes to sum(x) - n*mean; mean is rounded to
+        # 1e-6 so the residue is bounded by n * 0.5e-6 (plus display
+        # rounding of the cusum itself)
+        assert abs(series[-1].cusum) <= len(series) * 0.5e-6 + 0.005 + 1e-9, etype
+        # flags must be monotone in |cusum| against one per-type threshold:
+        # no flagged row may sit strictly inside an unflagged row's band
+        flagged = [abs(r.cusum) for r in series if r.shift_flag]
+        clear = [abs(r.cusum) for r in series if not r.shift_flag]
+        if flagged and clear:
+            assert min(flagged) >= max(clear) - 0.01, etype
+
+
+def test_stl_components_readd(spark):
+    rows = stl_decompose_daily(spark, SF_SMOKE).collect()
+    assert rows, "empty decomposition"
+    dows = set()
+    for r in rows:
+        assert math.isclose(
+            r.revenue,
+            round(r.trend + r.seasonal + r.residual, 2),
+            abs_tol=0.02,  # three 1e-6-rounded components + 2dp display
+        ), r.day
+        dows.add(r.dow)
+    assert dows <= set(range(1, 8))
+    # seasonal is a per-dow constant
+    per_dow = {}
+    for r in rows:
+        per_dow.setdefault(r.dow, set()).add(r.seasonal)
+    assert all(len(v) == 1 for v in per_dow.values())
+
+
+def test_gapfill_interpolation_brackets(spark):
+    from pyspark.sql import functions as F
+
+    daily = {
+        (r.event_type, r.day): r.avg
+        for r in table(spark, SF_SMOKE, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.avg("value").alias("avg"))
+        .collect()
+    }
+    rows = gapfill_interpolate_daily(spark, SF_SMOKE).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for etype, series in by_type.items():
+        series.sort(key=lambda r: r.day)
+        obs_days = [r.day for r in series if (etype, r.day) in daily]
+        assert obs_days, etype
+        first_obs, last_obs = min(obs_days), max(obs_days)
+        for r in series:
+            if (etype, r.day) in daily:
+                assert math.isclose(
+                    r.value_interp, daily[(etype, r.day)], abs_tol=5e-6
+                )
+            elif r.day < first_obs or r.day > last_obs:
+                assert r.value_interp is None
+            else:
+                prev = max(d for d in obs_days if d < r.day)
+                nxt = min(d for d in obs_days if d > r.day)
+                lo = min(daily[(etype, prev)], daily[(etype, nxt)])
+                hi = max(daily[(etype, prev)], daily[(etype, nxt)])
+                assert lo - 5e-6 <= r.value_interp <= hi + 5e-6

@@ -11,12 +11,14 @@ from waterbear_spark.queries import (
     corpusprep,
     graph,
     llm,
+    mining,
     multimodal_queries,
     quality_queries,
     reconcile,
     relational,
     relational_ext,
     relational_more,
+    retrieval,
     skew_queries,
     sqlsurface,
     streaming_queries,
@@ -44,6 +46,8 @@ QUERIES = {
     **sqlsurface.QUERIES,
     **corpusprep.QUERIES,
     **timeseries.QUERIES,
+    **retrieval.QUERIES,
+    **mining.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -67,6 +71,8 @@ ORACLE_SQL = {
     **sqlsurface.ORACLES,
     **corpusprep.ORACLES,
     **timeseries.ORACLES,
+    **retrieval.ORACLES,
+    **mining.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -117,6 +123,14 @@ _PRIORITY = [
     "freshness_report",
     "leakage_free_split",
     "rfm_segments",
+    # round-3 wave 2 (retrieval / mining / time-series additions)
+    "bm25_search",
+    "inverted_index_postings",
+    "sorted_neighborhood_pairs",
+    "itemset_pair_lift",
+    "cusum_changepoints",
+    "stl_decompose_daily",
+    "gapfill_interpolate_daily",
 ]
 
 

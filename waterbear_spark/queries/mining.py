@@ -1,0 +1,215 @@
+"""Pattern-mining operators: sorted-neighborhood entity-resolution
+blocking over ``part`` and frequent-itemset pair mining (support + lift)
+over ``lineitem``.
+
+Sorted-neighborhood is the second classic blocking strategy next to
+key-blocking (``textops.fuzzy_join_parts``): instead of grouping on an
+equality key, records are globally ordered by a sort key and only the
+w-nearest neighbors in that order become candidate pairs — it catches
+near-matches whose blocking keys differ (typo in the last word) as long
+as the sort prefix agrees. Pair mining is the association-rules /
+market-basket primitive (the co-occurrence counting at the bottom of
+FP-growth). Both are exact, UDF-free Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from waterbear_spark.queries.tables import table
+
+_SN_WINDOW = 5  # sorted-neighborhood width
+_SN_MAX_DIST = 4  # edit-distance verify threshold
+_PAIR_TOPK = 20
+
+
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate pairs: rank parts by
+    ``(p_name, p_partkey)``, pair each record with its next
+    {w} neighbors in rank order, keep pairs within edit distance
+    {d}. Returns (key_a, key_b, names, rank gap, distance).
+
+    The global rank is computed DISTRIBUTED: rows partition by the
+    1-char sort-key prefix, rank within each prefix group, then add the
+    broadcast per-group offsets (a prefix-sum over the tiny group-count
+    relation) — no single-partition global window. The neighbor pairing
+    is an equi-join on ``block = (rank-1) div w``: a w-window spans at
+    most two consecutive blocks, so the left side expands to
+    ``{{block, block+1}}`` and every qualifying pair matches exactly
+    once. At larger scale the prefix widens (2-3 chars) to keep groups
+    bounded; the shape is unchanged.
+
+    Scale: two bounded shuffles (rank-within-prefix, block equi-join);
+    the edit-distance verify runs only on the 2w-bounded neighbor set
+    per row — never a pair space.
+    """.format(w=_SN_WINDOW, d=_SN_MAX_DIST)
+    parts = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    g = F.substring("p_name", 1, 1)
+    counts = parts.groupBy(g.alias("g")).agg(F.count(F.lit(1)).alias("cnt"))
+    # prefix-sum offsets over the (tiny, alphabet-bounded) group counts
+    w_off = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "g", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("g").orderBy("p_name", "p_partkey")
+    ranked = (
+        parts.withColumn("g", g)
+        .withColumn("r_in", F.row_number().over(w_in))
+        .join(F.broadcast(offs), "g")
+        .select(
+            "p_partkey",
+            "p_name",
+            (F.col("off") + F.col("r_in")).cast("long").alias("rn"),
+        )
+    )
+    blk = lambda rn: F.floor((F.col(rn) - 1) / _SN_WINDOW)  # noqa: E731
+    a = ranked.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(F.array(blk("rn"), blk("rn") + 1)).alias("jblk"),
+    )
+    b = ranked.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("rn").alias("rn_b"),
+        blk("rn").alias("jblk"),
+    )
+    return (
+        a.join(b, "jblk")
+        .filter(
+            (F.col("rn_b") > F.col("rn_a"))
+            & (F.col("rn_b") <= F.col("rn_a") + _SN_WINDOW)
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= _SN_MAX_DIST)
+        .select(
+            "key_a",
+            "key_b",
+            "name_a",
+            "name_b",
+            (F.col("rn_b") - F.col("rn_a")).alias("rank_gap"),
+            "dist",
+        )
+        .orderBy("key_a", "key_b")
+    )
+
+
+SORTED_NEIGHBORHOOD_SQL = f"""
+WITH ranked AS (
+    SELECT p_partkey, p_name,
+           ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rn
+    FROM part
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       b.rn - a.rn AS rank_gap,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM ranked a
+JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + {_SN_WINDOW}
+WHERE levenshtein(a.p_name, b.p_name) <= {_SN_MAX_DIST}
+ORDER BY key_a, key_b
+"""
+
+
+def itemset_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the top-{k} part pairs co-purchased in
+    the same order, with support count and lift
+    ``P(a,b) / (P(a) * P(b))``. This is the co-occurrence counting at
+    the bottom of every association-rules / FP-growth pipeline.
+
+    Scale: the pair generation is a self-EQUI-join on ``l_orderkey``
+    whose per-key cardinality is the basket size (single digits) — the
+    pair space is sum-of-squares over baskets, linear-ish in orders,
+    never |parts|². Item supports and the order count are dimension-
+    sized and broadcast; the top-k is ``TakeOrderedAndProject``. Lift
+    arithmetic casts to double BEFORE multiplying so the intermediate
+    products cannot overflow BIGINT at corpus scale.
+    """.format(k=_PAIR_TOPK)
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                item.select(F.col("l_partkey").alias("pa"), F.col("n_item").alias("n_a"))
+            ),
+            "pa",
+        )
+        .join(
+            F.broadcast(
+                item.select(F.col("l_partkey").alias("pb"), F.col("n_item").alias("n_b"))
+            ),
+            "pb",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_pair").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+            F.round(F.col("n_pair").cast("double") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+        )
+        .orderBy(F.col("n_pair").desc(), "pa", "pb")
+        .limit(_PAIR_TOPK)
+    )
+
+
+ITEMSET_PAIR_LIFT_SQL = f"""
+WITH li AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+item AS (
+    SELECT l_partkey, COUNT(*) AS n_item FROM li GROUP BY l_partkey
+),
+pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_pair
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY pa, pb
+)
+SELECT pa, pb, n_pair, ia.n_item AS n_a, ib.n_item AS n_b,
+       ROUND(CAST(n_pair AS DOUBLE) * n.n_orders
+             / (CAST(ia.n_item AS DOUBLE) * ib.n_item), 4) AS lift,
+       ROUND(CAST(n_pair AS DOUBLE) / n.n_orders, 6) AS support
+FROM pairs
+JOIN item ia ON pairs.pa = ia.l_partkey
+JOIN item ib ON pairs.pb = ib.l_partkey
+CROSS JOIN n
+ORDER BY n_pair DESC, pa, pb
+LIMIT {_PAIR_TOPK}
+"""
+
+
+QUERIES = {
+    "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
+    "itemset_pair_lift": itemset_pair_lift,
+}
+
+ORACLES = {
+    "sorted_neighborhood_pairs": SORTED_NEIGHBORHOOD_SQL,
+    "itemset_pair_lift": ITEMSET_PAIR_LIFT_SQL,
+}

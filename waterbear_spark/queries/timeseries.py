@@ -483,6 +483,322 @@ ORDER BY day
 """
 
 
+_CUSUM_FRAC = 0.1  # changepoint threshold: 10% of total abs deviation
+
+
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over the per-type daily value series:
+    the running sum of deviations from the series mean, flagging days
+    where |CUSUM| exceeds a fraction of the total absolute deviation — a
+    persistent level shift drives the cumulative sum across the
+    threshold where pointwise outlier rules stay silent.
+
+    Determinism: daily sums are exact decimals; the mean is one rounded
+    double division cast BACK to decimal, so deviations and their
+    running/total sums stay exact decimal arithmetic on both engines;
+    the only float ops are the final threshold compare and display
+    rounding — identical single expressions.
+
+    Scale: the per-type day series is a pre-aggregated micro-relation
+    (|types| x |days|) — the CUSUM window runs per type on thousands of
+    rows regardless of corpus size; the heavy work is the combinable
+    daily aggregate underneath.
+    """
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast(DEC)).alias("rev"))
+    )
+    mean_dec = (
+        F.round(F.sum("rev").over(Window.partitionBy("event_type")).cast("double")
+                / F.count(F.lit(1)).over(Window.partitionBy("event_type")), 6)
+        .cast(DEC)
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    dev = daily.select(
+        "event_type",
+        "day",
+        F.col("rev").cast("double").alias("rev"),
+        (F.col("rev") - mean_dec).alias("dev"),
+    )
+    return (
+        dev.select(
+            "event_type",
+            "day",
+            F.round("rev", 2).alias("rev"),
+            F.sum("dev").over(w_cum).cast("double").alias("cusum_d"),
+            (F.sum(F.abs(F.col("dev"))).over(w_all).cast("double")
+             * _CUSUM_FRAC).alias("thr"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "rev",
+            # + 0.0 canonicalizes IEEE negative zero (-0.0 + 0.0 == +0.0):
+            # a tiny negative running sum rounds to -0.0 and the two
+            # engines disagree on its sign bit otherwise
+            (F.round("cusum_d", 2) + F.lit(0.0)).alias("cusum"),
+            (F.abs(F.col("cusum_d")) > F.col("thr")).alias("shift_flag"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+CUSUM_SQL = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           SUM(CAST(value AS DECIMAL(20,6))) AS rev
+    FROM events GROUP BY event_type, day
+),
+dev AS (
+    SELECT event_type, day, CAST(rev AS DOUBLE) AS rev,
+           rev - CAST(ROUND(
+               CAST(SUM(rev) OVER (PARTITION BY event_type) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY event_type), 6)
+             AS DECIMAL(20,6)) AS dev
+    FROM daily
+),
+cum AS (
+    SELECT event_type, day, ROUND(rev, 2) AS rev,
+           CAST(SUM(dev) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS cusum_d,
+           CAST(SUM(ABS(dev)) OVER (PARTITION BY event_type) AS DOUBLE)
+               * {_CUSUM_FRAC} AS thr
+    FROM dev
+)
+SELECT event_type, day, rev, ROUND(cusum_d, 2) + 0.0 AS cusum,
+       ABS(cusum_d) > thr AS shift_flag
+FROM cum
+ORDER BY event_type, day
+"""
+
+
+_STL_HALF = 3  # centered 7-day trend window
+
+
+def stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of daily order revenue:
+    trend = centered 7-day moving average (full windows only),
+    seasonal = per-ISO-weekday mean of the detrended series,
+    residual = detrended - seasonal. The classic additive
+    trend/season/remainder split, exact where it can be.
+
+    Determinism: revenue and the 7-day trend sum are exact decimals
+    (trend = one rounded double division); the detrended doubles are
+    rounded to 6 and re-cast to decimal before the seasonal mean, so
+    every aggregate is order-free; residual is one double subtraction.
+    Weekday is ISO (1=Mon..7=Sun) on both engines.
+
+    Scale: the series is a |days|-sized micro-relation; windows and the
+    weekday rollup are trivial at any corpus size — the combinable daily
+    aggregate does the heavy lifting.
+    """
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    )
+    w_tr = Window.orderBy("day").rowsBetween(-_STL_HALF, _STL_HALF)
+    trended = daily.select(
+        "day",
+        F.col("rev").cast("double").alias("rev_d"),
+        F.when(
+            F.count(F.lit(1)).over(w_tr) == 2 * _STL_HALF + 1,
+            F.round(
+                F.sum("rev").over(w_tr).cast("double") / (2 * _STL_HALF + 1), 6
+            ),
+        ).alias("trend"),
+    ).filter(F.col("trend").isNotNull())
+    detr = trended.select(
+        "day",
+        "rev_d",
+        "trend",
+        F.round(F.col("rev_d") - F.col("trend"), 6).cast(DEC).alias("detr"),
+        (F.weekday("day") + 1).alias("dow"),
+    )
+    w_dow = Window.partitionBy("dow")
+    return (
+        detr.select(
+            "day",
+            "dow",
+            F.round("rev_d", 2).alias("revenue"),
+            "trend",
+            F.col("detr").cast("double").alias("detr_d"),
+            F.round(
+                F.sum("detr").over(w_dow).cast("double")
+                / F.count(F.lit(1)).over(w_dow),
+                6,
+            ).alias("seasonal"),
+        )
+        .select(
+            "day",
+            "dow",
+            "revenue",
+            "trend",
+            "seasonal",
+            # + 0.0: negative-zero canonicalization, as in cusum
+            (F.round(F.col("detr_d") - F.col("seasonal"), 6) + F.lit(0.0)).alias(
+                "residual"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+STL_SQL = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS rev
+    FROM orders GROUP BY day
+),
+trended AS (
+    SELECT day, CAST(rev AS DOUBLE) AS rev_d,
+           CASE WHEN COUNT(*) OVER w = {2 * _STL_HALF + 1}
+                THEN ROUND(CAST(SUM(rev) OVER w AS DOUBLE)
+                           / {2 * _STL_HALF + 1}, 6)
+           END AS trend
+    FROM daily
+    WINDOW w AS (ORDER BY day
+                 ROWS BETWEEN {_STL_HALF} PRECEDING AND {_STL_HALF} FOLLOWING)
+),
+detr AS (
+    SELECT day, rev_d, trend,
+           CAST(ROUND(rev_d - trend, 6) AS DECIMAL(20,6)) AS detr,
+           isodow(day) AS dow
+    FROM trended WHERE trend IS NOT NULL
+)
+SELECT day, dow, ROUND(rev_d, 2) AS revenue, trend,
+       ROUND(CAST(SUM(detr) OVER (PARTITION BY dow) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY dow), 6) AS seasonal,
+       ROUND(CAST(detr AS DOUBLE)
+             - ROUND(CAST(SUM(detr) OVER (PARTITION BY dow) AS DOUBLE)
+                     / COUNT(*) OVER (PARTITION BY dow), 6), 6) + 0.0 AS residual
+FROM detr
+ORDER BY day
+"""
+
+
+def gapfill_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-fill with LINEAR INTERPOLATION: the complete
+    (event_type × day) spine as in [[gapfill_locf_daily]], but missing
+    days blend the bracketing observations by time fraction
+    (``prev + (next-prev) * gap_pos/gap_len``) instead of carrying the
+    last value. Days outside a type's observed range stay NULL.
+
+    Determinism: the bracketing values are the daily means (exact
+    decimal sum, one rounded division); the blend is a single identical
+    double expression on both engines, rounded for display.
+
+    Scale: identical to the LOCF variant — the spine is generated rows,
+    the fact side pre-aggregates to the daily micro-relation, and the
+    four IGNORE NULLS edge-value windows run per type over |days| rows.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast(DEC)).cast("double") / F.count("value"),
+            6,
+        ).alias("avg_value"),
+    )
+    bounds = ev.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("day")
+    )
+    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(spine))
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("avg_value").isNotNull(), F.col("day"))
+    obs_val = F.col("avg_value")
+    joined = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "avg_value",
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("pd"),
+        F.last(obs_val, ignorenulls=True).over(w_prev).alias("pv"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("nd"),
+        F.first(obs_val, ignorenulls=True).over(w_next).alias("nv"),
+    )
+    frac = F.datediff("day", "pd").cast("double") / F.datediff("nd", "pd")
+    return joined.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.when(F.col("avg_value").isNotNull(), F.round("avg_value", 6))
+        .when(
+            F.col("pd").isNotNull() & F.col("nd").isNotNull(),
+            F.round(F.col("pv") + (F.col("nv") - F.col("pv")) * frac, 6),
+        )
+        .alias("value_interp"),
+    ).orderBy("event_type", "day")
+
+
+GAPFILL_INTERP_SQL = """
+WITH ev AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, value FROM events
+),
+daily AS (
+    SELECT event_type, day, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                 / COUNT(value), 6) AS avg_value
+    FROM ev GROUP BY event_type, day
+),
+b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM ev),
+spine AS (
+    SELECT CAST(mn + i * INTERVAL 1 DAY AS DATE) AS day
+    FROM b, range(0, 100000) t(i)
+    WHERE i <= datediff('day', mn, mx)
+),
+grid AS (
+    SELECT event_type, day
+    FROM (SELECT DISTINCT event_type FROM ev), spine
+),
+edges AS (
+    SELECT g.event_type, g.day,
+           COALESCE(d.n_events, 0) AS n_events,
+           d.avg_value,
+           LAST_VALUE(CASE WHEN d.avg_value IS NOT NULL THEN g.day END
+                      IGNORE NULLS) OVER wp AS pd,
+           LAST_VALUE(d.avg_value IGNORE NULLS) OVER wp AS pv,
+           FIRST_VALUE(CASE WHEN d.avg_value IS NOT NULL THEN g.day END
+                       IGNORE NULLS) OVER wn AS nd,
+           FIRST_VALUE(d.avg_value IGNORE NULLS) OVER wn AS nv
+    FROM grid g LEFT JOIN daily d
+      ON g.event_type = d.event_type AND g.day = d.day
+    WINDOW wp AS (PARTITION BY g.event_type ORDER BY g.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (PARTITION BY g.event_type ORDER BY g.day
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, day, n_events,
+       CASE WHEN avg_value IS NOT NULL THEN ROUND(avg_value, 6)
+            WHEN pd IS NOT NULL AND nd IS NOT NULL THEN
+                ROUND(pv + (nv - pv)
+                      * (CAST(datediff('day', pd, day) AS DOUBLE)
+                         / datediff('day', pd, nd)), 6)
+       END AS value_interp
+FROM edges
+ORDER BY event_type, day
+"""
+
+
 QUERIES = {
     "rolling_distinct_users": rolling_distinct_users,
     "acf_daily_revenue": acf_daily_revenue,
@@ -491,6 +807,9 @@ QUERIES = {
     "scd2_intervals": scd2_intervals,
     "cumulative_distinct_users": cumulative_distinct_users,
     "windowed_topk_types": windowed_topk_types,
+    "cusum_changepoints": cusum_changepoints,
+    "stl_decompose_daily": stl_decompose_daily,
+    "gapfill_interpolate_daily": gapfill_interpolate_daily,
 }
 
 ORACLES = {
@@ -501,4 +820,7 @@ ORACLES = {
     "scd2_intervals": SCD2_INTERVALS_SQL,
     "cumulative_distinct_users": CUMULATIVE_DISTINCT_USERS_SQL,
     "windowed_topk_types": WINDOWED_TOPK_TYPES_SQL,
+    "cusum_changepoints": CUSUM_SQL,
+    "stl_decompose_daily": STL_SQL,
+    "gapfill_interpolate_daily": GAPFILL_INTERP_SQL,
 }
