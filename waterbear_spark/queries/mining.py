@@ -127,10 +127,13 @@ def itemset_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic casts to double BEFORE multiplying so the intermediate
     products cannot overflow BIGINT at corpus scale.
     """.format(k=_PAIR_TOPK)
+    # the distinct basket relation fans out four ways (pair sides, item
+    # supports, order count) — persist so the dedup shuffle runs once
     li = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .persist()
     )
     n_orders = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))

@@ -47,35 +47,40 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 6 before an exact decimal sum across the <=3 query terms, so the
     final score carries no float-order dependence.
 
-    Scale: one token-explode shuffle filtered to the query terms BEFORE
-    the aggregate (the corpus reduces to |query| x |matching docs| rows
-    immediately); df and the avgdl/N scalars are broadcast; the top-k is
-    a ``TakeOrderedAndProject``, never a global sort.
+    Scale: exactly TWO corpus scans — one tiny (N, avgdl) aggregate and
+    one token explode that filters to the query terms BEFORE the
+    aggregate (the corpus reduces to |query| x |matching docs| rows
+    immediately, carrying each doc's length alongside so no join back to
+    a corpus-sized dl relation is needed). df derives from the tf
+    relation, not a third scan; df and the avgdl/N scalars are
+    broadcast; the top-k is a ``TakeOrderedAndProject``, never a global
+    sort. At 100 TB the (N, avgdl) scan is the kind of corpus statistic
+    an index would maintain incrementally.
     """
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", _tokens(F.col("text")).alias("toks")
     )
-    dl = docs.select("doc_id", F.size("toks").alias("dl"))
     # corpus scalars: N and avgdl (exact decimal sum -> one division)
-    scal = dl.agg(
+    scal = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (
-            F.sum(F.col("dl").cast("decimal(20,6)")).cast("double")
+            F.sum(F.size("toks").cast("decimal(20,6)")).cast("double")
             / F.count(F.lit(1))
         ).alias("avgdl"),
     )
     qterms = list(_BM25_QUERY)
     hits = (
-        docs.select("doc_id", F.explode("toks").alias("term"))
+        docs.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
         .filter(F.col("term").isin(qterms))
     )
-    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_counts = (
-        hits.select("doc_id", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # dl is constant per doc, so min() just carries it through the agg
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
     )
+    # df = docs containing the term = tf's per-term row count (no rescan)
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
     idf = F.log(
         F.lit(1.0)
@@ -87,7 +92,6 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     term_score = F.round(idf * F.col("tf") * (k1 + 1) / denom, 6)
     return (
         tf.join(F.broadcast(df_counts), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(scal))
         .select(
             "doc_id",
