@@ -55,6 +55,8 @@ NESTED_LOOP_OK = {
     "itemset_pair_lift",
     # date-spine × event-type grid, as in gapfill_locf_daily
     "gapfill_interpolate_daily",
+    # digit-total scalar against the 9-row digit relation
+    "benford_first_digit",
 }
 
 

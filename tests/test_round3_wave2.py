@@ -216,3 +216,109 @@ def test_gapfill_interpolation_brackets(spark):
                 lo = min(daily[(etype, prev)], daily[(etype, nxt)])
                 hi = max(daily[(etype, prev)], daily[(etype, nxt)])
                 assert lo - 5e-6 <= r.value_interp <= hi + 5e-6
+
+
+def test_benford_shares_and_total(spark):
+    import math as m
+
+    from pyspark.sql import functions as F
+
+    from waterbear_spark.queries.quality_queries import benford_first_digit
+
+    rows = benford_first_digit(spark, SF_SMOKE).collect()
+    n_pos = (
+        table(spark, SF_SMOKE, "orders").filter(F.col("o_totalprice") > 0).count()
+    )
+    assert sum(r.n for r in rows) == n_pos
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert m.isclose(sum(r.obs_share for r in rows), 1.0, abs_tol=1e-4)
+    for r in rows:
+        assert m.isclose(
+            r.benford_share, round(m.log10(1 + 1 / r.digit), 6), abs_tol=1e-9
+        )
+        assert r.chi2_term >= 0
+
+
+def test_holt_matches_pure_python(spark):
+    import math as m
+
+    from pyspark.sql import functions as F
+
+    from waterbear_spark.queries.tables import dsum
+    from waterbear_spark.queries.timeseries import (
+        _HOLT_ALPHA,
+        _HOLT_BETA,
+        _HOLT_HORIZON,
+        holt_linear_forecast,
+    )
+
+    got = {r.event_type: r for r in holt_linear_forecast(spark, SF_SMOKE).collect()}
+    daily = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(dsum(F.col("value"), "rev"))
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.rev))
+    for etype, pts in series.items():
+        vals = [v for _, v in sorted(pts)]
+        if len(vals) < 2:
+            assert etype not in got
+            continue
+        a, be = _HOLT_ALPHA, _HOLT_BETA
+        lvl, b = vals[0], vals[1] - vals[0]
+        for x in vals[1:]:
+            nl = a * x + (1 - a) * (lvl + b)
+            b = be * (nl - lvl) + (1 - be) * b
+            lvl = nl
+        r = got[etype]
+        assert r.n_days == len(vals)
+        assert m.isclose(r.level, round(lvl, 4), abs_tol=1e-9), etype
+        assert m.isclose(r.trend, round(b, 4), abs_tol=1e-9), etype
+        assert m.isclose(
+            r.forecast, round(lvl + _HOLT_HORIZON * b, 4), abs_tol=1e-9
+        ), etype
+
+
+def test_interval_overlap_conserves_session_seconds(spark):
+    from pyspark.sql import functions as F
+
+    from waterbear_spark.queries.relational_ext import sessionize_events
+    from waterbear_spark.queries.timeseries import interval_bucket_overlap
+
+    buckets = interval_bucket_overlap(spark, SF_SMOKE).collect()
+    total_busy = sum(r.busy_sec for r in buckets)
+    total_duration = (
+        sessionize_events(spark, SF_SMOKE)
+        .agg(F.sum("duration_sec").alias("d"))
+        .collect()[0]
+        .d
+    )
+    # splitting intervals across buckets must neither create nor lose time
+    assert total_busy == total_duration
+    # bucket occupancy can never exceed capacity: n_sessions * 3600
+    for r in buckets:
+        assert 0 <= r.busy_sec <= r.n_sessions * 3600
+
+
+def test_zipf_matches_numpy_ols(spark):
+    import math as m
+
+    import numpy as np
+
+    from waterbear_spark.queries.corpusprep import zipf_fit_tokens
+
+    docs = _doc_tokens(spark)
+    freqs = Counter(t for toks in docs.values() for t in toks)
+    ranked = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))
+    x = np.log(np.arange(1, len(ranked) + 1, dtype=float))
+    y = np.log(np.array([n for _, n in ranked], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    r = zipf_fit_tokens(spark, SF_SMOKE).collect()[0]
+    assert r.n_terms == len(ranked)
+    assert m.isclose(r.zipf_slope, slope, abs_tol=1e-3)
+    assert m.isclose(r.intercept, intercept, abs_tol=1e-3)
+    # natural-ish corpus: slope is negative and meaningfully so
+    assert r.zipf_slope < -0.1

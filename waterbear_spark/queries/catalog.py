@@ -131,6 +131,10 @@ _PRIORITY = [
     "cusum_changepoints",
     "stl_decompose_daily",
     "gapfill_interpolate_daily",
+    "benford_first_digit",
+    "holt_linear_forecast",
+    "interval_bucket_overlap",
+    "zipf_fit_tokens",
 ]
 
 

@@ -1024,8 +1024,108 @@ ORDER BY source
 """
 
 
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token frequencies: OLS of
+    ``ln(freq)`` on ``ln(rank)`` across the vocabulary — the slope
+    (ideally near -1) is the standard sanity check that a corpus (or a
+    synthetic one) has natural-language frequency structure, and a kink
+    in it flags template/boilerplate contamination.
+
+    Determinism: ranks and counts are exact integers; the four float
+    moment sums (Σx, Σy, Σxx, Σxy over the log pairs) each fold in rank
+    order via ``F.aggregate`` over the rank-sorted array — DuckDB's
+    ``list_reduce`` over ``list(... ORDER BY rank)`` performs the
+    bit-identical fold — and the closing OLS formula is one identical
+    expression chain.
+
+    Scale: the fold runs over the VOCABULARY (Heaps-law sublinear, and
+    cappable at top-K ranks without changing the estimator's character),
+    not the corpus; the heavy work is the map-side-combinable token
+    count. The rank window runs on the vocab micro-relation.
+    """
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "term")
+    ranked = vocab.select(F.row_number().over(w).alias("rank"), "n")
+    pts = ranked.select(
+        "rank",
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    sums = pts.select(
+        F.struct("rank", "x", "y").alias("p"),
+        (F.col("x") * F.col("x")).alias("xx"),
+        (F.col("x") * F.col("y")).alias("xy"),
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        F.aggregate(
+            F.array_sort(F.collect_list("p")), F.lit(0.0), lambda a, p: a + p["x"]
+        ).alias("sx"),
+        F.aggregate(
+            F.array_sort(F.collect_list("p")), F.lit(0.0), lambda a, p: a + p["y"]
+        ).alias("sy"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("p.rank", "xx"))),
+            F.lit(0.0),
+            lambda a, p: a + p["xx"],
+        ).alias("sxx"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("p.rank", "xy"))),
+            F.lit(0.0),
+            lambda a, p: a + p["xy"],
+        ).alias("sxy"),
+    )
+    slope = (F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    # OLS needs two points; the guard also keeps the ANSI division-by-
+    # zero path unreachable on an empty corpus
+    return sums.filter(F.col("cnt") >= 2).select(
+        F.col("cnt").cast("bigint").alias("n_terms"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("cnt"), 4).alias(
+            "intercept"
+        ),
+    )
+
+
+ZIPF_FIT_SQL = f"""
+WITH toks AS (
+    SELECT unnest({TOKENS_SQL}) AS term FROM documents
+),
+vocab AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+pts AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rank,
+           LN(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS DOUBLE)) AS x,
+           LN(CAST(n AS DOUBLE)) AS y
+    FROM vocab
+),
+sums AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS cnt,
+           list_reduce(list_prepend(0.0, list(x ORDER BY rank)),
+                       (a, v) -> a + v) AS sx,
+           list_reduce(list_prepend(0.0, list(y ORDER BY rank)),
+                       (a, v) -> a + v) AS sy,
+           list_reduce(list_prepend(0.0, list(x * x ORDER BY rank)),
+                       (a, v) -> a + v) AS sxx,
+           list_reduce(list_prepend(0.0, list(x * y ORDER BY rank)),
+                       (a, v) -> a + v) AS sxy
+    FROM pts
+)
+SELECT CAST(cnt AS BIGINT) AS n_terms,
+       ROUND((cnt * sxy - sx * sy) / (cnt * sxx - sx * sx), 4) AS zipf_slope,
+       ROUND((sy - (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx) * sx) / cnt, 4)
+           AS intercept
+FROM sums
+WHERE cnt >= 2
+"""
+
+
 QUERIES = {
     "sequence_packing": sequence_packing,
+    "zipf_fit_tokens": zipf_fit_tokens,
     "sentence_dedup_c4": sentence_dedup_c4,
     "bpe_pair_counts": bpe_pair_counts,
     "dup_span_census": dup_span_census,
@@ -1041,6 +1141,7 @@ QUERIES = {
 
 ORACLES = {
     "sequence_packing": SEQUENCE_PACKING_SQL,
+    "zipf_fit_tokens": ZIPF_FIT_SQL,
     "sentence_dedup_c4": SENTENCE_DEDUP_SQL,
     "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
     "dup_span_census": DUP_SPAN_CENSUS_SQL,

@@ -592,8 +592,71 @@ ORDER BY event_type
 """
 
 
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit monitor over order totals: per leading
+    digit 1-9, the observed share vs the Benford expectation
+    ``log10(1 + 1/d)`` and the chi-square contribution — the classic
+    fabricated-data / ETL-corruption screen (a constant-injected or
+    truncated feed shows a digit spike immediately).
+
+    Determinism: the leading digit comes from the INTEGER cents string
+    (no float log10 near power-of-ten boundaries); shares are one
+    rounded division each; the chi-square contribution is a single
+    identical double expression per digit row.
+
+    Scale: one map-side-combinable count to 9 cells; everything after
+    runs on the 9-row micro-relation.
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    digits = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = digits.agg(F.sum("n").alias("n_total"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    obs = F.col("n") / F.col("n_total")
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(obs, 6).alias("obs_share"),
+            F.round(expected, 6).alias("benford_share"),
+            F.round(
+                (obs - expected) * (obs - expected) / expected * F.col("n_total"),
+                4,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_SQL = """
+WITH digits AS (
+    SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                       1, 1) AS INTEGER) AS digit,
+           COUNT(*) AS n
+    FROM orders WHERE o_totalprice > 0
+    GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS n_total FROM digits)
+SELECT digit, n,
+       ROUND(CAST(n AS DOUBLE) / n_total, 6) AS obs_share,
+       ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_share,
+       ROUND((CAST(n AS DOUBLE) / n_total - LOG10(1.0 + 1.0 / digit))
+             * (CAST(n AS DOUBLE) / n_total - LOG10(1.0 + 1.0 / digit))
+             / LOG10(1.0 + 1.0 / digit) * n_total, 4) AS chi2_term
+FROM digits CROSS JOIN tot
+ORDER BY digit
+"""
+
+
 QUERIES = {
     "profile_table": profile_table,
+    "benford_first_digit": benford_first_digit,
     "freshness_report": freshness_report,
     "quality_report_event": quality_report_event,
     "quality_report_customer": quality_report_customer,
@@ -606,6 +669,7 @@ QUERIES = {
 
 ORACLES = {
     "profile_table": _profile_oracle(),
+    "benford_first_digit": _BENFORD_SQL,
     "freshness_report": _FRESHNESS_SQL,
     "quality_report_event": _event_report_oracle(),
     "quality_report_customer": _report_oracle(),

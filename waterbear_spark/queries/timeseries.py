@@ -799,8 +799,220 @@ ORDER BY event_type, day
 """
 
 
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+_HOLT_HORIZON = 7
+
+
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing over the daily
+    revenue series per event type, with a {h}-day-ahead forecast
+    ``level + h * trend`` — the second sequential recurrence next to
+    [[ema_daily_revenue]], this one carrying a 2-component state
+    (level, trend) that no associative aggregate can express.
+
+    The fold runs over the day-sorted array with a STRUCT accumulator
+    seeded ``(l=x1, b=x2-x1)`` and folding x2..xn. The oracle is a
+    recursive CTE stepping the same recurrence (NOT ``list_reduce``
+    with a struct accumulator: DuckDB 1.0 evaluates the result-struct's
+    fields with in-place accumulator update, so the ``b`` expression
+    sees the already-updated ``l`` — measured, not documented); each CTE
+    step writes the identical IEEE expression tree, so the doubles are
+    bit-exact across engines.
+
+    Scale: the recurrence runs on the pre-aggregated (type, day) series
+    — calendar-bounded at any corpus size; the heavy work is the
+    combinable daily aggregate underneath (same argument as the EMA).
+    """.format(h=_HOLT_HORIZON)
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(dsum(F.col("value"), "rev"))
+    )
+    arr = F.array_sort(F.collect_list(F.struct("day", "rev")))
+    vals = F.transform(arr, lambda s: s["rev"])
+    x1 = F.element_at(vals, 1)
+    x2 = F.element_at(vals, 2)
+    a, be = F.lit(_HOLT_ALPHA), F.lit(_HOLT_BETA)
+    lvl = lambda acc, x: a * x + (F.lit(1.0) - a) * (acc["l"] + acc["b"])  # noqa: E731
+    state = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.struct(x1.alias("l"), (x2 - x1).alias("b")),
+        lambda acc, x: F.struct(
+            lvl(acc, x).alias("l"),
+            (be * (lvl(acc, x) - acc["l"]) + (F.lit(1.0) - be) * acc["b"]).alias(
+                "b"
+            ),
+        ),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.max("day").alias("last_day"),
+            state.alias("st"),
+        )
+        .filter(F.col("n_days") >= 2)
+        .select(
+            "event_type",
+            "n_days",
+            "last_day",
+            F.round(F.col("st.l"), 4).alias("level"),
+            F.round(F.col("st.b"), 4).alias("trend"),
+            F.round(F.col("st.l") + _HOLT_HORIZON * F.col("st.b"), 4).alias(
+                "forecast"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+HOLT_SQL = f"""
+WITH RECURSIVE daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           {oracle_dsum("value", "rev")}
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+seq AS (
+    SELECT event_type, rev,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+    FROM daily
+),
+meta AS (
+    SELECT event_type, COUNT(*) AS n_days, MAX(day) AS last_day
+    FROM daily GROUP BY event_type
+),
+rec AS (
+    -- base: the fold's first iteration (acc = (x1, x2-x1), x = x2),
+    -- written as the UNsimplified expression tree the fold executes
+    SELECT s1.event_type, 2 AS i,
+           {_HOLT_ALPHA} * s2.rev
+               + {1.0 - _HOLT_ALPHA} * (s1.rev + (s2.rev - s1.rev)) AS l,
+           {_HOLT_BETA} * ({_HOLT_ALPHA} * s2.rev
+                + {1.0 - _HOLT_ALPHA} * (s1.rev + (s2.rev - s1.rev))
+                - s1.rev)
+               + {1.0 - _HOLT_BETA} * (s2.rev - s1.rev) AS b
+    FROM seq s1 JOIN seq s2
+      ON s1.event_type = s2.event_type AND s1.i = 1 AND s2.i = 2
+    UNION ALL
+    SELECT r.event_type, r.i + 1,
+           {_HOLT_ALPHA} * s.rev + {1.0 - _HOLT_ALPHA} * (r.l + r.b),
+           {_HOLT_BETA} * ({_HOLT_ALPHA} * s.rev
+                + {1.0 - _HOLT_ALPHA} * (r.l + r.b) - r.l)
+               + {1.0 - _HOLT_BETA} * r.b
+    FROM rec r JOIN seq s
+      ON s.event_type = r.event_type AND s.i = r.i + 1
+)
+SELECT m.event_type, m.n_days, m.last_day,
+       ROUND(r.l, 4) AS level,
+       ROUND(r.b, 4) AS trend,
+       ROUND(r.l + {_HOLT_HORIZON} * r.b, 4) AS forecast
+FROM rec r JOIN meta m
+  ON r.event_type = m.event_type AND r.i = m.n_days
+WHERE m.n_days >= 2
+ORDER BY m.event_type
+"""
+
+
+_SESSION_GAP_SEC = 1800
+
+
+def interval_bucket_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted interval-to-bucket allocation: gap-based sessions
+    (same 30-min rule as [[sessionize_events]]) are split across the
+    hour buckets they span, each bucket receiving its exact overlap
+    seconds — the hypertable "time-weighted occupancy" shape (billing,
+    utilization, concurrency heatmaps all need interval seconds per
+    bucket, not event counts).
+
+    Scale: sessions come from the single-shuffle sessionization; each
+    session explodes into only the hour buckets it spans (bounded by
+    duration, not data size) with ``overlap = min(end, bucket_end) -
+    max(start, bucket_start)`` in exact integer seconds; the final
+    aggregate is a combinable sum per hour. Multi-day intervals widen
+    the fan-out linearly — bucket granularity picks the trade.
+    """
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        ev.withColumn(
+            "is_new", F.when(gap.isNull() | (gap > _SESSION_GAP_SEC), 1).otherwise(0)
+        )
+        .withColumn("session_idx", F.sum("is_new").over(wrun))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("s"),
+            F.unix_timestamp(F.max("ts")).alias("e"),
+        )
+    )
+    h0 = F.floor(F.col("s") / 3600)
+    h1 = F.floor(F.col("e") / 3600)
+    exploded = sess.select(
+        "s", "e", F.explode(F.sequence(h0, h1)).alias("hour_idx")
+    )
+    overlap = F.least(F.col("e"), (F.col("hour_idx") + 1) * 3600) - F.greatest(
+        F.col("s"), F.col("hour_idx") * 3600
+    )
+    return (
+        exploded.groupBy("hour_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(overlap).alias("busy_sec"),
+        )
+        .select(
+            F.timestamp_seconds(F.col("hour_idx") * 3600)
+            .cast("timestamp_ntz")
+            .alias("hour"),
+            "n_sessions",
+            "busy_sec",
+        )
+        .orderBy("hour")
+    )
+
+
+INTERVAL_BUCKET_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR DATE_DIFF('second', LAG(ts) OVER w, ts) > {_SESSION_GAP_SEC}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+    SELECT *,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+    FROM flagged
+),
+sess AS (
+    -- FLOOR before the cast: CAST(DOUBLE AS BIGINT) rounds in DuckDB,
+    -- while Spark's unix_timestamp truncates fractional seconds
+    SELECT user_id, session_idx,
+           CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS s,
+           CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS e
+    FROM sessioned GROUP BY user_id, session_idx
+),
+exploded AS (
+    SELECT s, e, unnest(generate_series(s // 3600, e // 3600)) AS hour_idx
+    FROM sess
+)
+SELECT CAST(to_timestamp(hour_idx * 3600) AS TIMESTAMP) AS hour,
+       COUNT(*) AS n_sessions,
+       SUM(LEAST(e, (hour_idx + 1) * 3600)
+           - GREATEST(s, hour_idx * 3600)) AS busy_sec
+FROM exploded
+GROUP BY hour_idx
+ORDER BY hour
+"""
+
+
 QUERIES = {
     "rolling_distinct_users": rolling_distinct_users,
+    "holt_linear_forecast": holt_linear_forecast,
+    "interval_bucket_overlap": interval_bucket_overlap,
     "acf_daily_revenue": acf_daily_revenue,
     "rolling_ols_slope": rolling_ols_slope,
     "ema_daily_revenue": ema_daily_revenue,
@@ -814,6 +1026,8 @@ QUERIES = {
 
 ORACLES = {
     "rolling_distinct_users": ROLLING_DISTINCT_USERS_SQL,
+    "holt_linear_forecast": HOLT_SQL,
+    "interval_bucket_overlap": INTERVAL_BUCKET_SQL,
     "acf_daily_revenue": ACF_DAILY_REVENUE_SQL,
     "rolling_ols_slope": ROLLING_OLS_SLOPE_SQL,
     "ema_daily_revenue": EMA_DAILY_REVENUE_SQL,
