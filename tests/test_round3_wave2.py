@@ -322,3 +322,56 @@ def test_zipf_matches_numpy_ols(spark):
     assert m.isclose(r.intercept, intercept, abs_tol=1e-3)
     # natural-ish corpus: slope is negative and meaningfully so
     assert r.zipf_slope < -0.1
+
+
+def test_er_golden_records_matches_union_find(spark):
+    from waterbear_spark.queries.mining import _ER_MAX_DIST, er_golden_records
+
+    rows = table(spark, SF_SMOKE, "part").collect()
+    parts = sorted((r.p_name, r.p_partkey) for r in rows)
+    price = {r.p_partkey: r.p_retailprice for r in rows}
+    name = {r.p_partkey: r.p_name for r in rows}
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for i, (name_a, key_a) in enumerate(parts):
+        for j in range(i + 1, min(i + 1 + _SN_WINDOW, len(parts))):
+            name_b, key_b = parts[j]
+            if _lev(name_a, name_b) <= _ER_MAX_DIST:
+                union(key_a, key_b)
+    clusters = {}
+    for k in parent:
+        clusters.setdefault(find(k), []).append(k)
+    expect = {}
+    for root, members in clusters.items():
+        cid = min(members)
+        golden = min(members, key=lambda k: (-price[k], k))
+        expect[cid] = (
+            len(members),
+            golden,
+            name[golden],
+            round(price[golden], 2),
+            round(max(price[k] for k in members) - min(price[k] for k in members), 2),
+        )
+    got = {
+        r.cluster_id: (
+            r.n_members,
+            r.golden_key,
+            r.golden_name,
+            r.golden_price,
+            r.price_spread,
+        )
+        for r in er_golden_records(spark, SF_SMOKE).collect()
+    }
+    assert got == expect

@@ -135,6 +135,7 @@ _PRIORITY = [
     "holt_linear_forecast",
     "interval_bucket_overlap",
     "zipf_fit_tokens",
+    "er_golden_records",
 ]
 
 

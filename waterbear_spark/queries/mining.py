@@ -21,29 +21,16 @@ from waterbear_spark.queries.tables import table
 
 _SN_WINDOW = 5  # sorted-neighborhood width
 _SN_MAX_DIST = 4  # edit-distance verify threshold
+_ER_MAX_DIST = 2  # tighter match threshold for golden-record clustering
 _PAIR_TOPK = 20
 
 
-def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sorted-neighborhood candidate pairs: rank parts by
-    ``(p_name, p_partkey)``, pair each record with its next
-    {w} neighbors in rank order, keep pairs within edit distance
-    {d}. Returns (key_a, key_b, names, rank gap, distance).
-
-    The global rank is computed DISTRIBUTED: rows partition by the
-    1-char sort-key prefix, rank within each prefix group, then add the
-    broadcast per-group offsets (a prefix-sum over the tiny group-count
-    relation) — no single-partition global window. The neighbor pairing
-    is an equi-join on ``block = (rank-1) div w``: a w-window spans at
-    most two consecutive blocks, so the left side expands to
-    ``{{block, block+1}}`` and every qualifying pair matches exactly
-    once. At larger scale the prefix widens (2-3 chars) to keep groups
-    bounded; the shape is unchanged.
-
-    Scale: two bounded shuffles (rank-within-prefix, block equi-join);
-    the edit-distance verify runs only on the 2w-bounded neighbor set
-    per row — never a pair space.
-    """.format(w=_SN_WINDOW, d=_SN_MAX_DIST)
+def _neighborhood_pairs(
+    spark: SparkSession, sf_dir: str, max_dist: int
+) -> DataFrame:
+    """Shared sorted-neighborhood candidate generation (see
+    ``sorted_neighborhood_pairs`` for the distributed-rank and
+    block-join argument); ``max_dist`` sets the edit-distance verify."""
     parts = table(spark, sf_dir, "part").select("p_partkey", "p_name")
     g = F.substring("p_name", 1, 1)
     counts = parts.groupBy(g.alias("g")).agg(F.count(F.lit(1)).alias("cnt"))
@@ -83,7 +70,7 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("rn_b") <= F.col("rn_a") + _SN_WINDOW)
         )
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= _SN_MAX_DIST)
+        .filter(F.col("dist") <= max_dist)
         .select(
             "key_a",
             "key_b",
@@ -92,7 +79,31 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rn_b") - F.col("rn_a")).alias("rank_gap"),
             "dist",
         )
-        .orderBy("key_a", "key_b")
+    )
+
+
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate pairs: rank parts by
+    ``(p_name, p_partkey)``, pair each record with its next
+    {w} neighbors in rank order, keep pairs within edit distance
+    {d}. Returns (key_a, key_b, names, rank gap, distance).
+
+    The global rank is computed DISTRIBUTED: rows partition by the
+    1-char sort-key prefix, rank within each prefix group, then add the
+    broadcast per-group offsets (a prefix-sum over the tiny group-count
+    relation) — no single-partition global window. The neighbor pairing
+    is an equi-join on ``block = (rank-1) div w``: a w-window spans at
+    most two consecutive blocks, so the left side expands to
+    ``{{block, block+1}}`` and every qualifying pair matches exactly
+    once. At larger scale the prefix widens (2-3 chars) to keep groups
+    bounded; the shape is unchanged.
+
+    Scale: two bounded shuffles (rank-within-prefix, block equi-join);
+    the edit-distance verify runs only on the 2w-bounded neighbor set
+    per row — never a pair space.
+    """.format(w=_SN_WINDOW, d=_SN_MAX_DIST)
+    return _neighborhood_pairs(spark, sf_dir, _SN_MAX_DIST).orderBy(
+        "key_a", "key_b"
     )
 
 
@@ -207,12 +218,117 @@ LIMIT {_PAIR_TOPK}
 """
 
 
+def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: sorted-neighborhood candidate pairs
+    at the tight threshold (edit distance <= {d}) -> connected
+    components via the large-star/small-star transform
+    (``operators/starcc.py``) -> one GOLDEN RECORD per multi-member
+    cluster by survivorship rules (highest retail price wins, ties to
+    the smallest key). Output: cluster id (min member key), member
+    count, the surviving record, and the price spread the merge hides.
+
+    Scale: every stage is bounded — candidate generation is the
+    2w-neighbor block join (never a pair space), the star CC rounds are
+    edge-list shuffles with O(log^2 n) rounds, and survivorship is one
+    window over cluster-sized groups. The oracle rebuilds the clusters
+    with a recursive-CTE closure — two algorithms, one answer, as in
+    [[dedup_clusters_star]].
+    """.format(d=_ER_MAX_DIST)
+    from waterbear_spark.operators.starcc import star_connected_components
+
+    pairs = _neighborhood_pairs(spark, sf_dir, _ER_MAX_DIST).select(
+        "key_a", "key_b"
+    )
+    labels = star_connected_components(pairs, src="key_a", dst="key_b")
+    parts = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    members = parts.join(
+        labels, parts["p_partkey"] == labels["vertex"]
+    ).select("p_partkey", "p_name", "p_retailprice", "component")
+    w = Window.partitionBy("component")
+    w_rk = w.orderBy(F.col("p_retailprice").desc(), "p_partkey")
+    return (
+        members.select(
+            F.col("component").alias("cluster_id"),
+            "p_partkey",
+            "p_name",
+            "p_retailprice",
+            F.row_number().over(w_rk).alias("rk"),
+            F.count(F.lit(1)).over(w).alias("n_members"),
+            F.min("p_retailprice").over(w).alias("min_price"),
+            F.max("p_retailprice").over(w).alias("max_price"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("p_partkey").alias("golden_key"),
+            F.col("p_name").alias("golden_name"),
+            F.round("p_retailprice", 2).alias("golden_price"),
+            F.round(F.col("max_price") - F.col("min_price"), 2).alias(
+                "price_spread"
+            ),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+ER_GOLDEN_SQL = f"""
+WITH RECURSIVE ranked AS (
+    SELECT p_partkey, p_name,
+           ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rn
+    FROM part
+),
+pairs AS (
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+    FROM ranked a
+    JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + {_SN_WINDOW}
+    WHERE levenshtein(a.p_name, b.p_name) <= {_ER_MAX_DIST}
+),
+edges AS (
+    SELECT key_a AS s, key_b AS d FROM pairs
+    UNION
+    SELECT key_b, key_a FROM pairs
+),
+reach AS (
+    SELECT s AS v, d AS r FROM edges
+    UNION
+    SELECT reach.v, edges.d FROM reach JOIN edges ON reach.r = edges.s
+),
+comp AS (
+    SELECT v AS p_partkey, LEAST(v, MIN(r)) AS component FROM reach GROUP BY v
+),
+members AS (
+    SELECT c.component, p.p_partkey, p.p_name, p.p_retailprice
+    FROM comp c JOIN part p USING (p_partkey)
+),
+surv AS (
+    SELECT component, p_partkey, p_name, p_retailprice,
+           ROW_NUMBER() OVER (PARTITION BY component
+                              ORDER BY p_retailprice DESC, p_partkey) AS rk,
+           COUNT(*) OVER (PARTITION BY component) AS n_members,
+           MIN(p_retailprice) OVER (PARTITION BY component) AS min_price,
+           MAX(p_retailprice) OVER (PARTITION BY component) AS max_price
+    FROM members
+)
+SELECT component AS cluster_id, n_members,
+       p_partkey AS golden_key, p_name AS golden_name,
+       ROUND(p_retailprice, 2) AS golden_price,
+       ROUND(max_price - min_price, 2) AS price_spread
+FROM surv WHERE rk = 1
+ORDER BY cluster_id
+"""
+
+
 QUERIES = {
     "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
     "itemset_pair_lift": itemset_pair_lift,
+    "er_golden_records": er_golden_records,
 }
 
 ORACLES = {
     "sorted_neighborhood_pairs": SORTED_NEIGHBORHOOD_SQL,
     "itemset_pair_lift": ITEMSET_PAIR_LIFT_SQL,
+    "er_golden_records": ER_GOLDEN_SQL,
 }
