@@ -25,7 +25,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from waterbear_spark.queries import corpusprep, graph, llm, quality_queries, relational_more, textops
+from waterbear_spark.queries import (
+    corpusprep,
+    graph,
+    llm,
+    mining,
+    quality_queries,
+    relational_more,
+    retrieval,
+    textops,
+    timeseries,
+)
 from waterbear_spark.queries.tables import table
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -57,6 +67,14 @@ HEAVY = {
     "dup_span_census": corpusprep.dup_span_census,
     "dedup_clusters_star": llm.dedup_clusters_star,
     "bpe_pair_counts": corpusprep.bpe_pair_counts,
+    # round-3 wave 2: the block-join pair generators (candidate count
+    # grows with data), the basket self-join, the corpus-scan retrieval
+    # scorer, and the ER pipeline's CC loop on a data-sized pair graph
+    "sorted_neighborhood_pairs": mining.sorted_neighborhood_pairs,
+    "itemset_pair_lift": mining.itemset_pair_lift,
+    "bm25_search": retrieval.bm25_search,
+    "er_golden_records": mining.er_golden_records,
+    "interval_bucket_overlap": timeseries.interval_bucket_overlap,
 }
 
 

@@ -52,6 +52,11 @@ SHOWCASE = {
     "recursive_org_rollup": "genuine WITH RECURSIVE: UnionLoop frontier joins, log10-bounded depth",
     "multimodal_jpeg_dims": "variable-offset JPEG marker walk as a bounded fold — still zero Python, map-only",
     "skew_key_census": "top-k heavy keys via TakeOrderedAndProject: per-partition heaps, window only on k rows",
+    "bm25_search": "ranked retrieval: corpus filtered to query terms before any aggregate; df/avgdl broadcast; TakeOrdered top-k",
+    "sorted_neighborhood_pairs": "ER blocking: distributed prefix-offset rank, block equi-join, verify bounded to 2w neighbors",
+    "itemset_pair_lift": "market-basket pairs: basket-bounded self equi-join on order key, broadcast item supports",
+    "holt_linear_forecast": "2-state recurrence over the aggregated series: the fold is row-local struct math after two key shuffles",
+    "interval_bucket_overlap": "interval→bucket allocation: duration-bounded explode of spanned hours, combinable per-hour sum",
 }
 
 

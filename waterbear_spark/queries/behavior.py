@@ -924,23 +924,29 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("monetary_cents"),
     )
     anchor = per_cust.agg(F.max("last_day").alias("g"))
-    feats = per_cust.crossJoin(F.broadcast(anchor)).select(
-        "o_custkey",
-        F.datediff(F.col("g"), F.col("last_day")).cast("bigint").alias(
-            "recency_days"
-        ),
-        "frequency",
-        "monetary_cents",
-    )
-    tiled = bucketed_ntile(
-        bucketed_ntile(
-            bucketed_ntile(
-                feats, "recency_days", "o_custkey", 5,
-                out_col="r_q", width=16.0,
+    # each bucketed_ntile references its input twice (boundary pass +
+    # assignment join), so the three nested tilings would re-derive the
+    # customer aggregate up to 8x without pinning the fan-out points
+    feats = (
+        per_cust.crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("g"), F.col("last_day")).cast("bigint").alias(
+                "recency_days"
             ),
-            "frequency", "o_custkey", 5, out_col="f_q", width=2.0,
-        ),
-        "monetary_cents", "o_custkey", 5, out_col="m_q", width=1e7,
+            "frequency",
+            "monetary_cents",
+        )
+        .persist()
+    )
+    t1 = bucketed_ntile(
+        feats, "recency_days", "o_custkey", 5, out_col="r_q", width=16.0
+    ).persist()
+    t2 = bucketed_ntile(
+        t1, "frequency", "o_custkey", 5, out_col="f_q", width=2.0
+    ).persist()
+    tiled = bucketed_ntile(
+        t2, "monetary_cents", "o_custkey", 5, out_col="m_q", width=1e7
     )
     return (
         tiled.groupBy("r_q", "f_q", "m_q")

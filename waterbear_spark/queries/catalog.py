@@ -136,6 +136,7 @@ _PRIORITY = [
     "interval_bucket_overlap",
     "zipf_fit_tokens",
     "er_golden_records",
+    "rolling_median_revenue",
 ]
 
 

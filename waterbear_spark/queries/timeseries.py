@@ -914,6 +914,69 @@ ORDER BY m.event_type
 """
 
 
+_MED_WINDOW = 7  # trailing rolling-median width (odd: single-element pick)
+
+
+def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day rolling MEDIAN of daily revenue per event
+    type — the robust smoother a spike-heavy ops series needs where the
+    rolling mean chases outliers. Median has no partial-merge
+    decomposition, so the rewrite collects the (bounded) window into an
+    array and picks the middle element: with an ODD full window the
+    median is a single element — an exact pick, no float interpolation.
+    Partial (ramp-up) windows are excluded.
+
+    Scale: the window runs on the pre-aggregated (type, day)
+    micro-relation, and the collected array is WINDOW-sized (7), not
+    data-sized — per-row cost is O(w log w) on a calendar-bounded
+    relation at any corpus size.
+    """
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(dsum(F.col("value"), "rev"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(_MED_WINDOW - 1), Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("rev").over(w))
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            F.round("rev", 2).alias("rev"),
+            F.when(
+                F.size(arr) == _MED_WINDOW,
+                F.element_at(arr, (_MED_WINDOW + 1) // 2),
+            ).alias("median_7d"),
+        )
+        .filter(F.col("median_7d").isNotNull())
+        .orderBy("event_type", "day")
+    )
+
+
+ROLLING_MEDIAN_SQL = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           {oracle_dsum("value", "rev")}
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+win AS (
+    SELECT event_type, day, ROUND(rev, 2) AS rev,
+           COUNT(*) OVER w AS n_win,
+           (list_sort(list(rev) OVER w))[{(_MED_WINDOW + 1) // 2}] AS med
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN {_MED_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, rev, med AS median_7d
+FROM win WHERE n_win = {_MED_WINDOW}
+ORDER BY event_type, day
+"""
+
+
 _SESSION_GAP_SEC = 1800
 
 
@@ -1001,8 +1064,9 @@ exploded AS (
 )
 SELECT CAST(to_timestamp(hour_idx * 3600) AS TIMESTAMP) AS hour,
        COUNT(*) AS n_sessions,
-       SUM(LEAST(e, (hour_idx + 1) * 3600)
-           - GREATEST(s, hour_idx * 3600)) AS busy_sec
+       -- BIGINT, not DuckDB's HUGEINT sum: bounded by n_sessions * 3600
+       CAST(SUM(LEAST(e, (hour_idx + 1) * 3600)
+                - GREATEST(s, hour_idx * 3600)) AS BIGINT) AS busy_sec
 FROM exploded
 GROUP BY hour_idx
 ORDER BY hour
@@ -1013,6 +1077,7 @@ QUERIES = {
     "rolling_distinct_users": rolling_distinct_users,
     "holt_linear_forecast": holt_linear_forecast,
     "interval_bucket_overlap": interval_bucket_overlap,
+    "rolling_median_revenue": rolling_median_revenue,
     "acf_daily_revenue": acf_daily_revenue,
     "rolling_ols_slope": rolling_ols_slope,
     "ema_daily_revenue": ema_daily_revenue,
@@ -1028,6 +1093,7 @@ ORACLES = {
     "rolling_distinct_users": ROLLING_DISTINCT_USERS_SQL,
     "holt_linear_forecast": HOLT_SQL,
     "interval_bucket_overlap": INTERVAL_BUCKET_SQL,
+    "rolling_median_revenue": ROLLING_MEDIAN_SQL,
     "acf_daily_revenue": ACF_DAILY_REVENUE_SQL,
     "rolling_ols_slope": ROLLING_OLS_SLOPE_SQL,
     "ema_daily_revenue": EMA_DAILY_REVENUE_SQL,
