@@ -57,6 +57,8 @@ NESTED_LOOP_OK = {
     "gapfill_interpolate_daily",
     # digit-total scalar against the 9-row digit relation
     "benford_first_digit",
+    # series-length scalar against the |days| micro-relation
+    "theil_sen_revenue_trend",
 }
 
 

@@ -137,6 +137,7 @@ _PRIORITY = [
     "zipf_fit_tokens",
     "er_golden_records",
     "rolling_median_revenue",
+    "theil_sen_revenue_trend",
 ]
 
 

@@ -914,6 +914,96 @@ ORDER BY m.event_type
 """
 
 
+def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimate of daily order revenue: the
+    MEDIAN of all pairwise slopes ``(rev_j - rev_i)/(day_j - day_i)`` —
+    the estimator that shrugs off up to ~29% outlier days where OLS
+    ([[rolling_ols_slope]]) chases every spike. Revenue is exact integer
+    cents; the median is the same exact interpolated percentile both
+    engines share (``percentile`` == ``quantile_cont``, the
+    [[funnel_time_to_convert]] parity).
+
+    Scale: the pair space is |days|² over the CALENDAR-bounded daily
+    micro-relation (thousands of rows at any corpus size → millions of
+    pairs, trivially partitioned); pairing is an EQUI-join on an
+    exploded index — no theta/nested-loop join — and the heavy corpus
+    work is the combinable daily aggregate underneath.
+    """
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast(DEC)) * 100)
+            .cast("decimal(19,0)")
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    # global index over the micro-relation (|days| rows — the one place
+    # a single-partition window is free by construction, as in the ACF)
+    w = Window.orderBy("day")
+    idx = daily.select("day", "cents", F.row_number().over(w).alias("i"))
+    n = idx.agg(F.max("i").alias("n"))
+    a = (
+        idx.crossJoin(F.broadcast(n))
+        # guard i < n: Spark's sequence(start, stop) runs DESCENDING when
+        # start > stop (the last row would pair backwards); DuckDB's
+        # generate_series is empty there
+        .filter(F.col("i") < F.col("n"))
+        .select(
+            F.col("day").alias("day_a"),
+            F.col("cents").alias("cents_a"),
+            F.explode(F.sequence(F.col("i") + 1, F.col("n"))).alias("j"),
+        )
+    )
+    b = idx.select(
+        F.col("i").alias("j"),
+        F.col("day").alias("day_b"),
+        F.col("cents").alias("cents_b"),
+    )
+    slope = (F.col("cents_b") - F.col("cents_a")) / F.datediff(
+        "day_b", "day_a"
+    )
+    return (
+        a.join(b, "j")
+        .select(slope.alias("slope"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.expr("percentile(slope, 0.5)") / 100.0, 4).alias(
+                "ts_slope_per_day"
+            ),
+        )
+    )
+
+
+THEIL_SEN_SQL = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) * 100
+                AS DECIMAL(19,0)) AS BIGINT) AS cents
+    FROM orders GROUP BY day
+),
+idx AS (
+    SELECT day, cents, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily
+),
+n AS (SELECT MAX(i) AS n FROM idx),
+pairs AS (
+    SELECT a.day AS day_a, a.cents AS cents_a, t.j
+    FROM idx a CROSS JOIN n, unnest(generate_series(a.i + 1, n.n)) AS t(j)
+),
+slopes AS (
+    SELECT CAST(p.cents_b - p2.cents_a AS DOUBLE)
+           / datediff('day', p2.day_a, p.day_b) AS slope
+    FROM (SELECT j, day_a, cents_a FROM pairs) p2
+    JOIN (SELECT i AS j, day AS day_b, cents AS cents_b FROM idx) p
+      USING (j)
+)
+SELECT COUNT(*) AS n_pairs,
+       ROUND(quantile_cont(slope, 0.5) / 100.0, 4) AS ts_slope_per_day
+FROM slopes
+"""
+
+
 _MED_WINDOW = 7  # trailing rolling-median width (odd: single-element pick)
 
 
@@ -1078,6 +1168,7 @@ QUERIES = {
     "holt_linear_forecast": holt_linear_forecast,
     "interval_bucket_overlap": interval_bucket_overlap,
     "rolling_median_revenue": rolling_median_revenue,
+    "theil_sen_revenue_trend": theil_sen_revenue_trend,
     "acf_daily_revenue": acf_daily_revenue,
     "rolling_ols_slope": rolling_ols_slope,
     "ema_daily_revenue": ema_daily_revenue,
@@ -1094,6 +1185,7 @@ ORACLES = {
     "holt_linear_forecast": HOLT_SQL,
     "interval_bucket_overlap": INTERVAL_BUCKET_SQL,
     "rolling_median_revenue": ROLLING_MEDIAN_SQL,
+    "theil_sen_revenue_trend": THEIL_SEN_SQL,
     "acf_daily_revenue": ACF_DAILY_REVENUE_SQL,
     "rolling_ols_slope": ROLLING_OLS_SLOPE_SQL,
     "ema_daily_revenue": EMA_DAILY_REVENUE_SQL,
