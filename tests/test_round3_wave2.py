@@ -375,3 +375,68 @@ def test_er_golden_records_matches_union_find(spark):
         for r in er_golden_records(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_rolling_median_matches_pandas(spark):
+    from pyspark.sql import functions as F
+
+    from waterbear_spark.queries.tables import dsum
+    from waterbear_spark.queries.timeseries import (
+        _MED_WINDOW,
+        rolling_median_revenue,
+    )
+
+    daily = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(dsum(F.col("value"), "rev"))
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.rev))
+    got = {}
+    for r in rolling_median_revenue(spark, SF_SMOKE).collect():
+        got[(r.event_type, r.day)] = r.median_7d
+    n_expected = 0
+    for etype, pts in series.items():
+        vals = [v for _, v in sorted(pts)]
+        days = [d for d, _ in sorted(pts)]
+        for i in range(_MED_WINDOW - 1, len(vals)):
+            window = sorted(vals[i - _MED_WINDOW + 1 : i + 1])
+            n_expected += 1
+            assert got[(etype, days[i])] == window[_MED_WINDOW // 2]
+    assert len(got) == n_expected
+
+
+def test_theil_sen_matches_numpy(spark):
+    import math as m
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from waterbear_spark.queries.tables import DEC
+    from waterbear_spark.queries.timeseries import theil_sen_revenue_trend
+
+    daily = (
+        table(spark, SF_SMOKE, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast(DEC)) * 100)
+            .cast("decimal(19,0)")
+            .cast("bigint")
+            .alias("cents")
+        )
+        .collect()
+    )
+    pts = sorted((r.day, r.cents) for r in daily)
+    slopes = []
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            dd = (pts[j][0] - pts[i][0]).days
+            slopes.append((pts[j][1] - pts[i][1]) / dd)
+    r = theil_sen_revenue_trend(spark, SF_SMOKE).collect()[0]
+    assert r.n_pairs == len(slopes)
+    assert m.isclose(
+        r.ts_slope_per_day, round(float(np.median(slopes)) / 100.0, 4), abs_tol=1e-9
+    )
