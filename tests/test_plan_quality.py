@@ -59,6 +59,8 @@ NESTED_LOOP_OK = {
     "benford_first_digit",
     # series-length scalar against the |days| micro-relation
     "theil_sen_revenue_trend",
+    # sample-size scalars against the per-value cumulative relation
+    "ks_test_order_status",
 }
 
 

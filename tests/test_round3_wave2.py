@@ -440,3 +440,59 @@ def test_theil_sen_matches_numpy(spark):
     assert m.isclose(
         r.ts_slope_per_day, round(float(np.median(slopes)) / 100.0, 4), abs_tol=1e-9
     )
+
+
+def test_ks_stat_matches_pure_python(spark):
+    import math as m
+
+    from waterbear_spark.queries.quality_queries import (
+        _KS_CRIT,
+        ks_test_order_status,
+    )
+
+    rows = table(spark, SF_SMOKE, "orders").collect()
+    f = sorted(round(r.o_totalprice * 100) for r in rows if r.o_orderstatus == "F")
+    o = sorted(round(r.o_totalprice * 100) for r in rows if r.o_orderstatus == "O")
+    n1, n2 = len(f), len(o)
+    values = sorted(set(f) | set(o))
+    import bisect
+
+    d = max(
+        abs(bisect.bisect_right(f, v) * n2 - bisect.bisect_right(o, v) * n1)
+        for v in values
+    )
+    r = ks_test_order_status(spark, SF_SMOKE).collect()[0]
+    assert (r.n_finished, r.n_open) == (n1, n2)
+    assert m.isclose(r.ks_stat, round(d / (n1 * n2), 6), abs_tol=1e-9)
+    crit = _KS_CRIT * m.sqrt((n1 + n2) / (n1 * n2))
+    assert r.distributions_differ == (d / (n1 * n2) > crit)
+
+
+def test_gini_matches_pure_python(spark):
+    import math as m
+
+    from pyspark.sql import functions as F
+
+    from waterbear_spark.queries.behavior import gini_customer_revenue
+    from waterbear_spark.queries.tables import DEC
+
+    cents = [
+        r.c
+        for r in table(spark, SF_SMOKE, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast(DEC)) * 100)
+            .cast("decimal(19,0)")
+            .cast("bigint")
+            .alias("c")
+        )
+        .collect()
+    ]
+    xs = sorted(cents)
+    n, sx = len(xs), sum(xs)
+    six = sum((i + 1) * x for i, x in enumerate(xs))
+    expect = (2 * six - (n + 1) * sx) / (n * sx)
+    r = gini_customer_revenue(spark, SF_SMOKE).collect()[0]
+    assert r.n_customers == n and r.total_cents == sx
+    assert m.isclose(r.gini, round(expect, 6), abs_tol=1e-9)
+    assert 0.0 <= r.gini < 1.0

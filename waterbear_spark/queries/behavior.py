@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from waterbear_spark.queries.tables import epoch_us, table
+from waterbear_spark.queries.tables import DEC, epoch_us, table
 
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
@@ -996,6 +996,99 @@ ORDER BY r_q, f_q, m_q
 """
 
 
+_GINI_BUCKET = 5_000_000  # cents per rank bucket for the distributed sort
+
+
+def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime revenue — the
+    revenue-concentration monitor ("do 20% of customers carry 80% of
+    revenue?"). Uses the exact rank formula
+    ``G = (2*Σ(i*x_i) - (n+1)*Σx) / (n*Σx)`` over cents sorted
+    ascending (ties ranked by custkey, which leaves G unchanged since
+    tied values commute in Σ i*x_i).
+
+    Exactness: revenue is integer cents; the global rank i comes from
+    the distributed bucketed-rank rewrite; Σ(i*x_i) accumulates in
+    decimal128; the only float op is the single closing division.
+
+    Scale: rank-by-value buckets on cents ranges, bucket subtotals
+    prefix-sum on the micro-relation, within-bucket row_number windows
+    partition BY BUCKET — no single-partition sort of the customer
+    relation; everything else is combinable aggregates.
+    """
+    per_cust = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast(DEC)) * 100)
+            .cast("decimal(19,0)")
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    pb = (F.col("cents") - F.pmod(F.col("cents"), _GINI_BUCKET)) / _GINI_BUCKET
+    pc = per_cust.withColumn("pb", pb.cast("long"))
+    bucket = pc.groupBy("pb").agg(F.count(F.lit(1)).alias("bn"))
+    w_off = Window.orderBy("pb").rowsBetween(Window.unboundedPreceding, -1)
+    offs = bucket.select(
+        "pb", F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("pb").orderBy("cents", "o_custkey")
+    ranked = (
+        pc.join(F.broadcast(offs), "pb")
+        .select(
+            "cents",
+            (F.col("off") + F.row_number().over(w_in)).alias("i"),
+        )
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("sx"),
+        F.sum(
+            F.col("i").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)")
+        ).alias("six"),
+    )
+    gini = (
+        (
+            F.lit(2) * F.col("six")
+            - (F.col("n") + 1).cast("decimal(19,0)") * F.col("sx")
+        ).cast("double")
+        / (F.col("n").cast("double") * F.col("sx").cast("double"))
+    )
+    return sums.filter(F.col("n") > 0).select(
+        F.col("n").alias("n_customers"),
+        F.col("sx").cast("bigint").alias("total_cents"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+_GINI_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) * 100
+                AS DECIMAL(19,0)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT cents,
+           ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+    FROM per_cust
+),
+sums AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(cents) AS DECIMAL(38,0)) AS sx,
+           SUM(CAST(i AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) AS six
+    FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(sx AS BIGINT) AS total_cents,
+       ROUND(CAST(2 * six - CAST(n + 1 AS DECIMAL(19,0)) * sx AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
+FROM sums
+WHERE n > 0
+"""
+
+
 QUERIES = {
     "downsample_minmax": downsample_minmax,
     "sequence_pattern_match": sequence_pattern_match,
@@ -1008,6 +1101,7 @@ QUERIES = {
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
     "rfm_segments": rfm_segments,
+    "gini_customer_revenue": gini_customer_revenue,
     "interval_peak_concurrency": interval_peak_concurrency,
     "reservoir_sample_orders": reservoir_sample_orders,
     "event_transition_matrix": event_transition_matrix,
@@ -1025,6 +1119,7 @@ ORACLES = {
     "funnel_conversion": _FUNNEL_SQL,
     "cohort_retention": _COHORT_SQL,
     "rfm_segments": _RFM_SQL,
+    "gini_customer_revenue": _GINI_SQL,
     "interval_peak_concurrency": _CONCURRENCY_SQL,
     "reservoir_sample_orders": _RESERVOIR_SQL,
     "event_transition_matrix": _TRANSITION_SQL,

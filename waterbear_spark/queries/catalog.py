@@ -138,6 +138,8 @@ _PRIORITY = [
     "er_golden_records",
     "rolling_median_revenue",
     "theil_sen_revenue_trend",
+    "ks_test_order_status",
+    "gini_customer_revenue",
 ]
 
 

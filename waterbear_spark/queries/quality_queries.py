@@ -654,9 +654,148 @@ ORDER BY digit
 """
 
 
+_KS_BUCKET = 1_000_000  # cents per rank bucket (values ~0..6e7 cents)
+_KS_CRIT = 1.358  # alpha = 0.05 two-sample critical coefficient
+
+
+def ks_test_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distribution compare: is the
+    order-total distribution of finished ('F') orders the same as open
+    ('O') ones? D = sup|F1 - F2| over the pooled sample, with the
+    alpha=0.05 decision ``D > c * sqrt((n1+n2)/(n1*n2))`` — the
+    distribution-drift monitor that catches shape changes mean/variance
+    monitors miss.
+
+    Exactness: the supremum is computed on INTEGERS — at each distinct
+    value, ``|c1*n2 - c2*n1|`` (cross-multiplied cumulative counts,
+    decimal128 so 1e12-row samples cannot overflow) — and only the
+    final max is divided once; sqrt is the one cross-engine-stable
+    power function.
+
+    Scale: cumulative counts use the distributed-rank rewrite, not a
+    global window — per-value counts bucket by value range, bucket
+    subtotals prefix-sum on the ~|buckets| micro-relation, and the
+    within-bucket cumsum windows partition BY BUCKET. One shuffle on
+    value, one on bucket; nothing funnels through a single partition.
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            cents.alias("v"),
+            (F.col("o_orderstatus") == "F").cast("int").alias("is1"),
+        )
+    )
+    per_value = orders.groupBy("v").agg(
+        F.sum("is1").alias("d1"),
+        F.sum(1 - F.col("is1")).alias("d2"),
+    )
+    pb = (F.col("v") - F.pmod(F.col("v"), _KS_BUCKET)) / _KS_BUCKET
+    pv = per_value.withColumn("pb", pb.cast("long"))
+    bucket = pv.groupBy("pb").agg(
+        F.sum("d1").alias("b1"), F.sum("d2").alias("b2")
+    )
+    w_off = Window.orderBy("pb").rowsBetween(Window.unboundedPreceding, -1)
+    offs = bucket.select(
+        "pb",
+        F.coalesce(F.sum("b1").over(w_off), F.lit(0)).alias("o1"),
+        F.coalesce(F.sum("b2").over(w_off), F.lit(0)).alias("o2"),
+    )
+    w_in = (
+        Window.partitionBy("pb")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = per_value.agg(
+        F.sum("d1").alias("n1"), F.sum("d2").alias("n2")
+    )
+    cum = (
+        pv.join(F.broadcast(offs), "pb")
+        .select(
+            "v",
+            (F.col("o1") + F.sum("d1").over(w_in)).alias("c1"),
+            (F.col("o2") + F.sum("d2").over(w_in)).alias("c2"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            # (19,0) x (19,0) -> (38,0): exact up to 1e12-row samples on
+            # both engines (DuckDB cannot widen past 38, so the factors
+            # must be 19-wide, not 38-wide)
+            F.abs(
+                F.col("c1").cast("decimal(19,0)")
+                * F.col("n2").cast("decimal(19,0)")
+                - F.col("c2").cast("decimal(19,0)")
+                * F.col("n1").cast("decimal(19,0)")
+            ).alias("num"),
+            "n1",
+            "n2",
+        )
+    )
+    d_stat = F.col("max_num").cast("double") / (
+        F.col("n1").cast("double") * F.col("n2")
+    )
+    crit = F.lit(_KS_CRIT) * F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double")
+        / (F.col("n1").cast("double") * F.col("n2"))
+    )
+    return (
+        cum.groupBy("n1", "n2")
+        .agg(F.max("num").alias("max_num"))
+        .select(
+            F.col("n1").alias("n_finished"),
+            F.col("n2").alias("n_open"),
+            F.round(d_stat, 6).alias("ks_stat"),
+            F.round(crit, 6).alias("crit_05"),
+            (d_stat > crit).alias("distributions_differ"),
+        )
+    )
+
+
+_KS_SQL = f"""
+WITH orders2 AS (
+    SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is1
+    FROM orders WHERE o_orderstatus IN ('F', 'O')
+),
+per_value AS (
+    SELECT v, SUM(is1) AS d1, SUM(1 - is1) AS d2
+    FROM orders2 GROUP BY v
+),
+tot AS (SELECT SUM(d1) AS n1, SUM(d2) AS n2 FROM per_value),
+cum AS (
+    SELECT v,
+           SUM(d1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+           SUM(d2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+    FROM per_value
+),
+stat AS (
+    SELECT MAX(ABS(CAST(c1 AS DECIMAL(19,0)) * CAST(t.n2 AS DECIMAL(19,0))
+                   - CAST(c2 AS DECIMAL(19,0)) * CAST(t.n1 AS DECIMAL(19,0))))
+               AS max_num,
+           t.n1, t.n2
+    FROM cum CROSS JOIN tot t
+    GROUP BY t.n1, t.n2
+)
+SELECT CAST(n1 AS BIGINT) AS n_finished,
+       CAST(n2 AS BIGINT) AS n_open,
+       ROUND(CAST(max_num AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * n2), 6) AS ks_stat,
+       ROUND({_KS_CRIT} * SQRT(CAST(n1 + n2 AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * n2)), 6) AS crit_05,
+       CAST(max_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+           > {_KS_CRIT} * SQRT(CAST(n1 + n2 AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * n2)) AS distributions_differ
+FROM stat
+"""
+
+
 QUERIES = {
     "profile_table": profile_table,
     "benford_first_digit": benford_first_digit,
+    "ks_test_order_status": ks_test_order_status,
     "freshness_report": freshness_report,
     "quality_report_event": quality_report_event,
     "quality_report_customer": quality_report_customer,
@@ -670,6 +809,7 @@ QUERIES = {
 ORACLES = {
     "profile_table": _profile_oracle(),
     "benford_first_digit": _BENFORD_SQL,
+    "ks_test_order_status": _KS_SQL,
     "freshness_report": _FRESHNESS_SQL,
     "quality_report_event": _event_report_oracle(),
     "quality_report_customer": _report_oracle(),
