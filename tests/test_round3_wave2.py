@@ -496,3 +496,49 @@ def test_gini_matches_pure_python(spark):
     assert r.n_customers == n and r.total_cents == sx
     assert m.isclose(r.gini, round(expect, 6), abs_tol=1e-9)
     assert 0.0 <= r.gini < 1.0
+
+
+def test_scd2_snapshot_matches_pure_python(spark):
+    from waterbear_spark.queries.timeseries import (
+        _SNAPSHOT_AT,
+        scd2_snapshot_at,
+    )
+    from datetime import datetime
+
+    t = datetime.fromisoformat(_SNAPSHOT_AT)
+    rows = table(spark, SF_SMOKE, "events").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    expect = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        # state changes: first event and every type flip
+        state, since = None, None
+        for ts, _, et in evs:
+            if et != state:
+                state, since = et, ts
+            if ts > t:
+                break
+        # reconstruct state AS OF t: last change at or before t
+        cur, cur_since = None, None
+        prev_state = None
+        for ts, _, et in evs:
+            if et != prev_state:
+                if ts <= t:
+                    cur, cur_since = et, ts
+                prev_state = et
+        if cur is not None:
+            n, ck, age = expect.get(cur, (0, 0, 0))
+            expect[cur] = (
+                n + 1,
+                ck + uid,
+                age + int((t - cur_since).total_seconds() * 1_000_000),
+            )
+    got = {
+        r.event_type: (r.n_users, r.user_checksum, r.mean_age_us)
+        for r in scd2_snapshot_at(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(expect)
+    for et, (n, ck, age_sum) in expect.items():
+        assert got[et] == (n, ck, age_sum // n), et

@@ -140,6 +140,7 @@ _PRIORITY = [
     "theil_sen_revenue_trend",
     "ks_test_order_status",
     "gini_customer_revenue",
+    "scd2_snapshot_at",
 ]
 
 

@@ -914,6 +914,94 @@ ORDER BY m.event_type
 """
 
 
+_SNAPSHOT_AT = "2024-01-15 12:00:00"  # mid-range wall-clock instant
+
+
+def scd2_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal point-in-time query over the SCD2 history built by
+    [[scd2_intervals]]: reconstruct every user's state AS OF a fixed
+    instant (interval containing T: ``valid_from <= T < valid_to``,
+    open intervals unbounded) and report the per-state census — the
+    "what did the dimension look like last Tuesday" query that is the
+    reason SCD2 history exists.
+
+    Scale: identical to the interval build (two windows on one user_id
+    partitioning); the snapshot filter is row-local on the intervals and
+    the census aggregate is combinable. Time math is exact integer
+    microseconds against a wall-clock NTZ literal — no session-timezone
+    dependence.
+    """
+    t_us = epoch_us(F.lit(_SNAPSHOT_AT).cast("timestamp_ntz"))
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_state", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_state").isNull()
+            | (F.col("prev_state") != F.col("event_type"))
+        )
+    )
+    intervals = changed.select(
+        "user_id",
+        "event_type",
+        epoch_us("ts").alias("from_us"),
+        epoch_us(F.lead("ts").over(w)).alias("to_us"),
+    )
+    return (
+        intervals.filter(
+            (F.col("from_us") <= t_us)
+            & (F.col("to_us").isNull() | (F.col("to_us") > t_us))
+        )
+        .withColumn("age_us", t_us - F.col("from_us"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("user_id").cast("bigint").alias("user_checksum"),
+            # mean state age at T: decimal128 sum, exact integer DIV
+            F.expr(
+                "cast(sum(cast(age_us as decimal(38,0))) div count(1)"
+                " as bigint)"
+            ).alias("mean_age_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SCD2_SNAPSHOT_SQL = f"""
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_state
+    FROM events
+),
+changes AS (
+    SELECT user_id, event_type, ts, event_id FROM ordered
+    WHERE prev_state IS NULL OR prev_state <> event_type
+),
+intervals AS (
+    SELECT user_id, event_type,
+           epoch_us(ts) AS from_us,
+           epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               AS to_us
+    FROM changes
+)
+SELECT event_type,
+       COUNT(*) AS n_users,
+       CAST(SUM(user_id) AS BIGINT) AS user_checksum,
+       -- HUGEINT sum + integer //: a DECIMAL(38,0) sum here would make
+       -- // ROUND (DuckDB decimal division), not floor — off-by-one vs
+       -- Spark's div (same discipline as scd2_intervals)
+       CAST(SUM(epoch_us(TIMESTAMP '{_SNAPSHOT_AT}') - from_us)
+            // COUNT(1) AS BIGINT) AS mean_age_us
+FROM intervals
+WHERE from_us <= epoch_us(TIMESTAMP '{_SNAPSHOT_AT}')
+  AND (to_us IS NULL OR to_us > epoch_us(TIMESTAMP '{_SNAPSHOT_AT}'))
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend estimate of daily order revenue: the
     MEDIAN of all pairwise slopes ``(rev_j - rev_i)/(day_j - day_i)`` —
@@ -1169,6 +1257,7 @@ QUERIES = {
     "interval_bucket_overlap": interval_bucket_overlap,
     "rolling_median_revenue": rolling_median_revenue,
     "theil_sen_revenue_trend": theil_sen_revenue_trend,
+    "scd2_snapshot_at": scd2_snapshot_at,
     "acf_daily_revenue": acf_daily_revenue,
     "rolling_ols_slope": rolling_ols_slope,
     "ema_daily_revenue": ema_daily_revenue,
@@ -1186,6 +1275,7 @@ ORACLES = {
     "interval_bucket_overlap": INTERVAL_BUCKET_SQL,
     "rolling_median_revenue": ROLLING_MEDIAN_SQL,
     "theil_sen_revenue_trend": THEIL_SEN_SQL,
+    "scd2_snapshot_at": SCD2_SNAPSHOT_SQL,
     "acf_daily_revenue": ACF_DAILY_REVENUE_SQL,
     "rolling_ols_slope": ROLLING_OLS_SLOPE_SQL,
     "ema_daily_revenue": EMA_DAILY_REVENUE_SQL,
