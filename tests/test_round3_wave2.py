@@ -542,3 +542,44 @@ def test_scd2_snapshot_matches_pure_python(spark):
     assert set(got) == set(expect)
     for et, (n, ck, age_sum) in expect.items():
         assert got[et] == (n, ck, age_sum // n), et
+
+
+def test_mannwhitney_matches_pure_python(spark):
+    import math as m
+
+    from waterbear_spark.queries.quality_queries import (
+        _MW_CRIT,
+        mannwhitney_order_status,
+    )
+
+    rows = table(spark, SF_SMOKE, "orders").collect()
+    f = [round(r.o_totalprice * 100) for r in rows if r.o_orderstatus == "F"]
+    o = [round(r.o_totalprice * 100) for r in rows if r.o_orderstatus == "O"]
+    n1, n2 = len(f), len(o)
+    pooled = sorted((v, 0) for v in f) + sorted((v, 1) for v in o)
+    pooled.sort()
+    # average ranks over tie runs
+    r1 = 0.0
+    i = 0
+    vals = sorted(v for v, _ in pooled)
+    from collections import Counter
+
+    cnt = Counter(vals)
+    cum = 0
+    avg_rank = {}
+    for v in sorted(cnt):
+        c = cnt[v]
+        avg_rank[v] = cum + (c + 1) / 2
+        cum += c
+    r1 = sum(avg_rank[v] for v in f)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    tie = sum(c**3 - c for c in cnt.values())
+    n = n1 + n2
+    var = n1 * n2 / 12 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2) / m.sqrt(var)
+    got = mannwhitney_order_status(spark, SF_SMOKE).collect()[0]
+    assert (got.n_finished, got.n_open) == (n1, n2)
+    assert m.isclose(got.rank_sum_f, r1, abs_tol=1e-6)
+    assert m.isclose(got.u_stat, round(u1, 1), abs_tol=1e-6)
+    assert m.isclose(got.z_score, z, abs_tol=1e-4)
+    assert got.location_shift == (abs(z) > _MW_CRIT)

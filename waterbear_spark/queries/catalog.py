@@ -141,6 +141,7 @@ _PRIORITY = [
     "ks_test_order_status",
     "gini_customer_revenue",
     "scd2_snapshot_at",
+    "mannwhitney_order_status",
 ]
 
 

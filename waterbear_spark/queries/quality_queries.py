@@ -658,26 +658,13 @@ _KS_BUCKET = 1_000_000  # cents per rank bucket (values ~0..6e7 cents)
 _KS_CRIT = 1.358  # alpha = 0.05 two-sample critical coefficient
 
 
-def ks_test_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact two-sample Kolmogorov-Smirnov distribution compare: is the
-    order-total distribution of finished ('F') orders the same as open
-    ('O') ones? D = sup|F1 - F2| over the pooled sample, with the
-    alpha=0.05 decision ``D > c * sqrt((n1+n2)/(n1*n2))`` — the
-    distribution-drift monitor that catches shape changes mean/variance
-    monitors miss.
-
-    Exactness: the supremum is computed on INTEGERS — at each distinct
-    value, ``|c1*n2 - c2*n1|`` (cross-multiplied cumulative counts,
-    decimal128 so 1e12-row samples cannot overflow) — and only the
-    final max is divided once; sqrt is the one cross-engine-stable
-    power function.
-
-    Scale: cumulative counts use the distributed-rank rewrite, not a
-    global window — per-value counts bucket by value range, bucket
-    subtotals prefix-sum on the ~|buckets| micro-relation, and the
-    within-bucket cumsum windows partition BY BUCKET. One shuffle on
-    value, one on bucket; nothing funnels through a single partition.
-    """
+def _pooled_value_cums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared scaffold for the two-sample tests over finished ('F') vs
+    open ('O') order totals: one row per distinct integer-cents value
+    with per-group counts (d1, d2) and INCLUSIVE cumulative counts
+    (c1, c2) in value order — computed with the distributed-rank
+    rewrite (value-range buckets, micro-relation prefix sums,
+    within-bucket windows), never a single-partition sweep."""
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     orders = (
         table(spark, sf_dir, "orders")
@@ -707,17 +694,39 @@ def ks_test_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    tot = per_value.agg(
-        F.sum("d1").alias("n1"), F.sum("d2").alias("n2")
+    return pv.join(F.broadcast(offs), "pb").select(
+        "v",
+        "d1",
+        "d2",
+        (F.col("o1") + F.sum("d1").over(w_in)).alias("c1"),
+        (F.col("o2") + F.sum("d2").over(w_in)).alias("c2"),
     )
+
+
+def ks_test_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distribution compare: is the
+    order-total distribution of finished ('F') orders the same as open
+    ('O') ones? D = sup|F1 - F2| over the pooled sample, with the
+    alpha=0.05 decision ``D > c * sqrt((n1+n2)/(n1*n2))`` — the
+    distribution-drift monitor that catches shape changes mean/variance
+    monitors miss.
+
+    Exactness: the supremum is computed on INTEGERS — at each distinct
+    value, ``|c1*n2 - c2*n1|`` (cross-multiplied cumulative counts,
+    decimal128 so 1e12-row samples cannot overflow) — and only the
+    final max is divided once; sqrt is the one cross-engine-stable
+    power function.
+
+    Scale: cumulative counts use the distributed-rank rewrite, not a
+    global window — per-value counts bucket by value range, bucket
+    subtotals prefix-sum on the ~|buckets| micro-relation, and the
+    within-bucket cumsum windows partition BY BUCKET. One shuffle on
+    value, one on bucket; nothing funnels through a single partition.
+    """
+    pooled = _pooled_value_cums(spark, sf_dir)
+    tot = pooled.agg(F.sum("d1").alias("n1"), F.sum("d2").alias("n2"))
     cum = (
-        pv.join(F.broadcast(offs), "pb")
-        .select(
-            "v",
-            (F.col("o1") + F.sum("d1").over(w_in)).alias("c1"),
-            (F.col("o2") + F.sum("d2").over(w_in)).alias("c2"),
-        )
-        .crossJoin(F.broadcast(tot))
+        pooled.crossJoin(F.broadcast(tot))
         .select(
             # (19,0) x (19,0) -> (38,0): exact up to 1e12-row samples on
             # both engines (DuckDB cannot widen past 38, so the factors
@@ -792,10 +801,119 @@ FROM stat
 """
 
 
+_MW_CRIT = 1.96  # alpha = 0.05 two-sided normal critical value
+
+
+def mannwhitney_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test on the same finished-vs-open order
+    totals as [[ks_test_order_status]] — the location-shift
+    complement to KS's any-shape-difference test (together, the
+    standard nonparametric pair). Ties take AVERAGE ranks with the
+    standard tie-corrected normal approximation.
+
+    Exactness: doubled rank sums stay INTEGER (the average rank of a
+    tie run is a half-integer, so 2x is exact in decimal128), as do the
+    tie-correction Σ(t³-t) and all counts; the z-score is one closing
+    double expression identical on both engines.
+
+    Scale: rides the same distributed cumulative-rank scaffold as KS —
+    per-value counts, bucket prefix sums, within-bucket windows; the
+    final statistic is one combinable aggregate.
+    """
+    pooled = _pooled_value_cums(spark, sf_dir)
+    cnt = F.col("d1") + F.col("d2")
+    cum_before = F.col("c1") + F.col("c2") - cnt
+    # 2 * average pooled rank of the value's tie run (exact integer)
+    two_avg_rank = 2 * cum_before + cnt + 1
+    terms = pooled.select(
+        "d1",
+        "d2",
+        (F.col("d1").cast("decimal(19,0)") * two_avg_rank.cast("decimal(19,0)"))
+        .alias("two_r1_term"),
+        (cnt.cast("decimal(19,0)") * cnt * cnt - cnt).alias("tie_term"),
+    )
+    sums = terms.agg(
+        F.sum("d1").alias("n1"),
+        F.sum("d2").alias("n2"),
+        F.sum("two_r1_term").cast("decimal(38,0)").alias("two_r1"),
+        F.sum("tie_term").cast("decimal(38,0)").alias("tie_sum"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    two_u1 = F.col("two_r1").cast("double") - n1d * (n1d + 1)
+    mean2 = n1d * n2d  # 2 * mu_U
+    var_u = (
+        n1d * n2d / 12.0
+        * ((nd + 1) - F.col("tie_sum").cast("double") / (nd * (nd - 1)))
+    )
+    z = (two_u1 - mean2) / (F.lit(2.0) * F.sqrt(var_u))
+    return sums.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        F.col("n1").alias("n_finished"),
+        F.col("n2").alias("n_open"),
+        (F.col("two_r1").cast("double") / 2.0).alias("rank_sum_f"),
+        F.round((two_u1 / 2.0), 1).alias("u_stat"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > _MW_CRIT).alias("location_shift"),
+    )
+
+
+_MW_SQL = f"""
+WITH orders2 AS (
+    SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is1
+    FROM orders WHERE o_orderstatus IN ('F', 'O')
+),
+per_value AS (
+    SELECT v, SUM(is1) AS d1, SUM(1 - is1) AS d2
+    FROM orders2 GROUP BY v
+),
+cum AS (
+    SELECT d1, d2, d1 + d2 AS cnt,
+           SUM(d1 + d2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - (d1 + d2) AS cum_before
+    FROM per_value
+),
+sums AS (
+    SELECT SUM(d1) AS n1, SUM(d2) AS n2,
+           CAST(SUM(CAST(d1 AS DECIMAL(19,0))
+                * CAST(2 * cum_before + cnt + 1 AS DECIMAL(19,0)))
+             AS DECIMAL(38,0)) AS two_r1,
+           CAST(SUM(CAST(cnt AS DECIMAL(19,0)) * cnt * cnt - cnt)
+             AS DECIMAL(38,0)) AS tie_sum
+    FROM cum
+)
+SELECT CAST(n1 AS BIGINT) AS n_finished,
+       CAST(n2 AS BIGINT) AS n_open,
+       CAST(two_r1 AS DOUBLE) / 2.0 AS rank_sum_f,
+       ROUND((CAST(two_r1 AS DOUBLE)
+              - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1)) / 2.0, 1)
+           AS u_stat,
+       ROUND(((CAST(two_r1 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1))
+              - CAST(n1 AS DOUBLE) * n2)
+             / (2.0 * SQRT(CAST(n1 AS DOUBLE) * n2 / 12.0
+                * ((CAST(n1 AS DOUBLE) + n2 + 1)
+                   - CAST(tie_sum AS DOUBLE)
+                     / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2 - 1))))),
+             6) AS z_score,
+       ABS(((CAST(two_r1 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1))
+            - CAST(n1 AS DOUBLE) * n2)
+           / (2.0 * SQRT(CAST(n1 AS DOUBLE) * n2 / 12.0
+              * ((CAST(n1 AS DOUBLE) + n2 + 1)
+                 - CAST(tie_sum AS DOUBLE)
+                   / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2 - 1))))))
+           > {_MW_CRIT} AS location_shift
+FROM sums
+WHERE n1 > 0 AND n2 > 0
+"""
+
+
 QUERIES = {
     "profile_table": profile_table,
     "benford_first_digit": benford_first_digit,
     "ks_test_order_status": ks_test_order_status,
+    "mannwhitney_order_status": mannwhitney_order_status,
     "freshness_report": freshness_report,
     "quality_report_event": quality_report_event,
     "quality_report_customer": quality_report_customer,
@@ -810,6 +928,7 @@ ORACLES = {
     "profile_table": _profile_oracle(),
     "benford_first_digit": _BENFORD_SQL,
     "ks_test_order_status": _KS_SQL,
+    "mannwhitney_order_status": _MW_SQL,
     "freshness_report": _FRESHNESS_SQL,
     "quality_report_event": _event_report_oracle(),
     "quality_report_customer": _report_oracle(),
