@@ -325,3 +325,55 @@ def test_spark_and_duckdb_agree_on_scalar_expressions(engines, expr):
     assert (
         compare_frames(sdf.columns, s_rows, d_cols, res.fetchall()) == []
     ), f"divergence on: {expr}"
+
+
+# --- aggregate-function family ------------------------------------------------
+# Generated combinations of engine-portable aggregates + HAVING: COUNT,
+# COUNT(DISTINCT), exact MIN/MAX on doubles and timestamps, and the
+# house decimal-sum — any divergence in DISTINCT handling, null
+# treatment, or HAVING evaluation order shows up immediately.
+
+_agg_exprs = st.sampled_from(
+    [
+        "COUNT(*)",
+        "COUNT(DISTINCT o_custkey)",
+        "MIN(o_totalprice)",
+        "MAX(o_totalprice)",
+        "MIN(o_orderdate)",
+        "MAX(o_orderdate)",
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(20,6))), 2) AS DOUBLE)",
+        "CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)",
+    ]
+)
+
+_AGG_QUERY = """
+SELECT o_orderpriority AS pk, {a1} AS agg1, {a2} AS agg2
+FROM orders_diff
+WHERE {where}
+GROUP BY o_orderpriority
+HAVING COUNT(*) > {h}
+ORDER BY pk
+"""
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a1=_agg_exprs,
+    a2=_agg_exprs,
+    where=_predicates(),
+    h=st.integers(min_value=0, max_value=50),
+)
+def test_spark_and_duckdb_agree_on_aggregates(engines, a1, a2, where, h):
+    spark, con = engines
+    sql = _AGG_QUERY.format(a1=a1, a2=a2, where=where, h=h)
+    sdf = spark.sql(sql)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(sql)
+    d_cols = [d[0] for d in res.description]
+    assert (
+        compare_frames(sdf.columns, s_rows, d_cols, res.fetchall()) == []
+    ), f"divergence on: {sql}"
