@@ -61,6 +61,10 @@ NESTED_LOOP_OK = {
     "theil_sen_revenue_trend",
     # sample-size scalars against the per-value cumulative relation
     "ks_test_order_status",
+    # global max-date scalar against the per-customer lifetime relation
+    "kaplan_meier_risk",
+    # vote-total scalar against the |nations| micro-relation
+    "largest_remainder_allocation",
 }
 
 

@@ -26,6 +26,7 @@ from waterbear_spark.queries import (
     timeseries,
     tpch_more,
     tpch_rest,
+    wave3,
 )
 
 QUERIES = {
@@ -48,6 +49,7 @@ QUERIES = {
     **timeseries.QUERIES,
     **retrieval.QUERIES,
     **mining.QUERIES,
+    **wave3.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -73,6 +75,7 @@ ORACLE_SQL = {
     **timeseries.ORACLES,
     **retrieval.ORACLES,
     **mining.ORACLES,
+    **wave3.ORACLES,
     **udfs.ORACLES,
 }
 
