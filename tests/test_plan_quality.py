@@ -65,6 +65,8 @@ NESTED_LOOP_OK = {
     "kaplan_meier_risk",
     # vote-total scalar against the |nations| micro-relation
     "largest_remainder_allocation",
+    # census assembly: four 1-row aggregates joined into one output row
+    "bloom_prune_join",
 }
 
 

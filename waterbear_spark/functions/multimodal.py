@@ -295,3 +295,88 @@ def attach_fake_media(docs: DataFrame, kind: str = "image") -> DataFrame:
             F.lit(None).cast("int").alias("sample_rate"),
         ).alias("meta"),
     )
+
+
+_MP4_MAX_BOXES = 6
+_FTYP_HEX = "66747970"  # 'ftyp'
+_MOOV_HEX = "6D6F6F76"  # 'moov'
+_MDAT_HEX = "6D646174"  # 'mdat'
+
+
+def mp4_box_walk(df: DataFrame, data_col: str = "data") -> DataFrame:
+    """REAL metadata extraction #5: ISO-BMFF (MP4) top-level box walk.
+    MP4 files are a sequence of boxes — big-endian u32 size, 4-char type,
+    payload — so, like the JPEG marker chain, nothing sits at a fixed
+    offset past the first box. The walk is a bounded fold over
+    ``_MP4_MAX_BOXES`` steps carrying (offset, brand, duration,
+    mdat_bytes, n_boxes): each step reads the box header at the current
+    offset, captures the ftyp major brand, the mvhd duration (version-0
+    layout: moov payload at +4 flags, +4 timescale, then u32 duration),
+    and the mdat payload size, then hops ``size`` forward; it freezes on
+    a malformed header (size < 8 or overrunning the buffer). A payload
+    whose first box is not ``ftyp`` is not an MP4: all fields null.
+    Entirely JVM-side binary slicing — no codec, no Python.
+
+    Scale: <= 6 header reads of <= 4 bytes per row, map-only; payload
+    bytes (mdat can be gigabytes in real files) are never touched, so
+    triage cost is independent of media size — the property that makes
+    header-level routing viable at 100 TB.
+    """
+
+    def be32(pos):
+        return F.conv(F.hex(F.substr(F.col(data_col), pos, F.lit(4))), 16, 10)
+
+    first_type = F.hex(F.substring(F.col(data_col), 5, 4))
+    sig_ok = first_type == F.lit(_FTYP_HEX)
+
+    def step(acc, _):
+        live = acc.off.isNotNull()
+        size = be32(acc.off).cast("long")
+        type_hex = F.hex(F.substr(F.col(data_col), acc.off + 4, F.lit(4)))
+        fits = (
+            live
+            & (size >= 8)
+            & (acc.off + size <= F.length(data_col).cast("long") + 1)
+        )
+        return F.struct(
+            F.when(fits, acc.off + size).alias("off"),
+            F.when(acc.brand.isNotNull(), acc.brand)
+            .when(
+                fits & (type_hex == _FTYP_HEX),
+                F.decode(F.substr(F.col(data_col), acc.off + 8, F.lit(4)), "UTF-8"),
+            )
+            .alias("brand"),
+            F.when(acc.dur.isNotNull(), acc.dur)
+            .when(
+                fits & (type_hex == _MOOV_HEX),
+                be32(acc.off + 16).cast("int"),
+            )
+            .alias("dur"),
+            F.when(acc.mdat.isNotNull(), acc.mdat)
+            .when(fits & (type_hex == _MDAT_HEX), (size - 8).cast("int"))
+            .alias("mdat"),
+            (acc.n + F.when(fits, 1).otherwise(0)).alias("n"),
+        )
+
+    walked = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_MP4_MAX_BOXES)),
+        F.struct(
+            F.lit(1).cast("long").alias("off"),
+            F.lit(None).cast("string").alias("brand"),
+            F.lit(None).cast("int").alias("dur"),
+            F.lit(None).cast("int").alias("mdat"),
+            F.lit(0).alias("n"),
+        ),
+        step,
+    )
+    return (
+        df.withColumn("_mw", F.when(sig_ok, walked))
+        .select(
+            "*",
+            F.col("_mw.brand").alias("mp4_brand"),
+            F.col("_mw.dur").alias("mp4_duration"),
+            F.col("_mw.mdat").alias("mp4_mdat_bytes"),
+            F.col("_mw.n").alias("mp4_n_boxes"),
+        )
+        .drop("_mw")
+    )

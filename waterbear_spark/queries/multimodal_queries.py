@@ -323,12 +323,104 @@ ORDER BY is_jpeg
 """
 
 
+def multimodal_mp4_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-offset parsing proof for the ISO-BMFF box walk: build
+    MP4 payloads as ftyp + variable-size free + moov(mvhd stub) + mdat
+    boxes — the free box's doc-dependent padding shifts every later box,
+    so only a real walk recovers the moov duration and mdat size — mix
+    in junk rows, and parse with ``mp4_box_walk``. The oracle recomputes
+    the census from doc_id arithmetic alone. Zero Python.
+    """
+    from waterbear_spark.functions.multimodal import mp4_box_walk
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < _DOC_LIMIT)
+    )
+    dur = (F.col("doc_id") % 3600 + 1).cast("int")
+    mdat_n = (F.col("doc_id") % 25).cast("int")
+    pad = (F.col("doc_id") % 19).cast("int")
+    brand = F.when(F.col("doc_id") % 2 == 0, "isom").otherwise("mp42")
+
+    def be32(col):
+        return F.unhex(F.lpad(F.hex(col.cast("int")), 8, "0"))
+
+    ftyp = F.concat(
+        be32(F.lit(16)),
+        F.unhex(F.lit("66747970")),  # 'ftyp'
+        F.encode(brand, "UTF-8"),
+        be32(F.lit(0)),
+    )
+    free = F.concat(
+        be32(pad + 8),
+        F.unhex(F.lit("66726565")),  # 'free'
+        F.unhex(F.repeat(F.lit("00"), pad)),
+    )
+    moov = F.concat(
+        be32(F.lit(24)),
+        F.unhex(F.lit("6D6F6F76")),  # 'moov'
+        be32(F.lit(0)),              # version/flags
+        be32(F.lit(1000)),           # timescale
+        be32(dur),
+        be32(F.lit(0)),              # reserved
+    )
+    mdat = F.concat(
+        be32(mdat_n + 8),
+        F.unhex(F.lit("6D646174")),  # 'mdat'
+        F.substr(F.unhex(F.repeat(F.md5("text"), 2)), F.lit(1), mdat_n),
+    )
+    junk = F.unhex(F.md5("text"))
+    media = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, junk)
+        .otherwise(F.concat(ftyp, free, moov, mdat))
+        .alias("data"),
+    )
+    parsed = mp4_box_walk(media)
+    return (
+        parsed.groupBy(F.col("mp4_brand").isNotNull().alias("is_mp4"))
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("mp4_duration").alias("sum_duration"),
+            F.sum("mp4_mdat_bytes").alias("sum_mdat_bytes"),
+            F.count_distinct("mp4_brand").alias("n_brands"),
+            F.max("mp4_n_boxes").alias("max_boxes"),
+        )
+        .orderBy("is_mp4")
+    )
+
+
+_MP4_SQL = f"""
+WITH media AS (
+    SELECT doc_id,
+           doc_id % 7 <> 0 AS is_mp4,
+           CASE WHEN doc_id % 7 <> 0 THEN doc_id % 3600 + 1 END AS dur,
+           CASE WHEN doc_id % 7 <> 0 THEN doc_id % 25 END AS mdat_n,
+           CASE WHEN doc_id % 7 <> 0 THEN
+                CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END
+           END AS brand
+    FROM documents WHERE doc_id < {_DOC_LIMIT}
+)
+SELECT is_mp4,
+       COUNT(*) AS n_media,
+       CAST(SUM(dur) AS BIGINT) AS sum_duration,
+       CAST(SUM(mdat_n) AS BIGINT) AS sum_mdat_bytes,
+       CAST(COUNT(DISTINCT brand) AS BIGINT) AS n_brands,
+       CASE WHEN is_mp4 THEN 4 END AS max_boxes
+FROM media
+GROUP BY is_mp4
+ORDER BY is_mp4
+"""
+
+
 QUERIES = {
     "multimodal_decode_stats": multimodal_decode_stats,
     "multimodal_jpeg_dims": multimodal_jpeg_dims,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_header_triage": multimodal_header_triage,
     "multimodal_gif_dims": multimodal_gif_dims,
+    "multimodal_mp4_walk": multimodal_mp4_walk,
 }
 ORACLES = {
     "multimodal_decode_stats": _DECODE_STATS_SQL,
@@ -336,4 +428,5 @@ ORACLES = {
     "multimodal_frame_sample": _FRAME_SQL,
     "multimodal_header_triage": _HEADER_SQL,
     "multimodal_gif_dims": _GIF_SQL,
+    "multimodal_mp4_walk": _MP4_SQL,
 }

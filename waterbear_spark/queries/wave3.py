@@ -1,7 +1,8 @@
 """Round-3 wave-3 operators: survival analysis, apportionment, lagged
-cross-correlation, and winnowing fingerprints.
+cross-correlation, winnowing fingerprints, Bloom-filter join pruning,
+count-min heavy hitters, and Adamic-Adar link prediction.
 
-Four operator families the catalog didn't cover yet:
+Operator families the catalog didn't cover yet:
 
 * ``kaplan_meier_risk`` — right-censored survival (Kaplan-Meier risk
   table) over customer order lifetimes; the standard churn/retention
@@ -18,6 +19,13 @@ Four operator families the catalog didn't cover yet:
   SIGMOD'03): select the minimum k-gram hash in every sliding window of
   w hashes; the guarantee-bearing local fingerprinting scheme used for
   plagiarism/near-dup detection.
+* ``bloom_prune_join`` — the runtime-filter semi-join reduction pattern
+  (build a Bloom filter on the small side, prune the probe scan), with
+  the filter's exact false-positive census as the output.
+* ``count_min_heavy_hitters`` — the classic bounded-memory frequency
+  sketch, with the one-sided error visible next to exact counts.
+* ``adamic_adar_links`` — common-neighbor link prediction with the
+  degree-discounted Adamic-Adar score.
 
 Float determinism follows the house rules in ``tables.py``.
 """
@@ -486,11 +494,391 @@ ORDER BY p.source
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning (runtime-filter / semi-join reduction pattern)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 16384  # m: filter size in bits (512 32-bit words (bit 31 max keeps the shift overflow-free on both engines))
+_BLOOM_K = 2         # hash functions
+
+
+def _bloom_pos(key, i: int):
+    """Deterministic bloom bit position i for a bigint key: md5-derived,
+    so DuckDB reproduces the identical filter bit-for-bit."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bf{i}|"), key.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _BLOOM_BITS
+    )
+
+
+def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter (Bloom) semi-join reduction, the pattern Spark's
+    own `spark.sql.optimizer.runtimeFilter.bloomFilter.enabled` applies
+    to big joins: build a {_BLOOM_BITS}-bit / k={_BLOOM_K} Bloom filter
+    over the build side's join keys (customers with an urgent order),
+    reduce the probe side (all customers) to filter-passing candidates,
+    then verify with the exact join. The census reports build keys,
+    Bloom candidates, true matches, and false positives — the filter's
+    real selectivity, exact on both engines because the hash is md5.
+
+    Scale: the filter is built by a hash aggregate on word index (512
+    rows regardless of build size) and BROADCAST to the probe — this is
+    exactly how a runtime filter prunes a 100 TB probe scan down to the
+    semi-join survivors before the shuffle join; the probe never
+    shuffles non-candidates. The final verify join runs only to measure
+    the false-positive rate.
+    """
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    build = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    hashes = F.array(
+        *[_bloom_pos(F.col("o_custkey"), i) for i in range(_BLOOM_K)]
+    )
+    words = (
+        build.select(F.explode(hashes).alias("pos"))
+        .select(
+            F.expr("pos div 32").alias("word"),
+            F.pmod(F.col("pos"), F.lit(32)).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(1L, CAST(bit AS INT))")).alias("bits"))
+    )
+    probe = cust.select("c_custkey").select(
+        "c_custkey",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    _bloom_pos(F.col("c_custkey"), i).alias("pos"),
+                )
+                for i in range(_BLOOM_K)
+            ])
+        ).alias("h"),
+    ).select(
+        "c_custkey",
+        F.col("h.i").alias("i"),
+        F.expr("h.pos div 32").alias("word"),
+        F.pmod(F.col("h.pos"), F.lit(32)).alias("bit"),
+    )
+    candidates = (
+        probe.join(F.broadcast(words), "word")
+        .filter(F.expr("(bits & shiftleft(1L, CAST(bit AS INT))) != 0"))
+        .groupBy("c_custkey")
+        .agg(F.count_distinct("i").alias("n_hit"))
+        .filter(F.col("n_hit") == _BLOOM_K)
+        .select("c_custkey")
+    )
+    truth = cust.join(
+        build, cust.c_custkey == build.o_custkey, "left_semi"
+    ).select("c_custkey")
+    n_build = build.agg(F.count(F.lit(1)).alias("n_build_keys"))
+    n_cand = candidates.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_matches"))
+    n_fp = (
+        candidates.join(truth, "c_custkey", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_false_pos"))
+    )
+    return (
+        n_build.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(n_fp))
+    )
+
+
+def _bloom_pos_sql(key: str, i: int) -> str:
+    return (
+        f"CAST(('0x' || SUBSTR(md5('bf{i}|' || CAST({key} AS VARCHAR)), 1, 15))"
+        f" AS UBIGINT)::BIGINT % {_BLOOM_BITS}"
+    )
+
+
+BLOOM_PRUNE_JOIN_SQL = f"""
+WITH build AS (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+),
+positions AS (
+    SELECT {_bloom_pos_sql("o_custkey", 0)} AS pos FROM build
+    UNION ALL
+    SELECT {_bloom_pos_sql("o_custkey", 1)} AS pos FROM build
+),
+words AS (
+    SELECT pos // 32 AS word,
+           BIT_OR(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+    FROM positions GROUP BY 1
+),
+probe AS (
+    SELECT c_custkey, 0 AS i, {_bloom_pos_sql("c_custkey", 0)} AS pos
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 1 AS i, {_bloom_pos_sql("c_custkey", 1)} AS pos
+    FROM customer
+),
+candidates AS (
+    SELECT c_custkey
+    FROM probe p JOIN words w ON p.pos // 32 = w.word
+    WHERE (w.bits & (1::BIGINT << CAST(p.pos % 32 AS INT))) <> 0
+    GROUP BY c_custkey
+    HAVING COUNT(DISTINCT i) = {_BLOOM_K}
+),
+truth AS (
+    SELECT c_custkey FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM build)
+)
+SELECT (SELECT COUNT(*) FROM build) AS n_build_keys,
+       (SELECT COUNT(*) FROM candidates) AS n_candidates,
+       (SELECT COUNT(*) FROM truth) AS n_true_matches,
+       (SELECT COUNT(*) FROM candidates
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM truth))
+           AS n_false_pos
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4   # d: independent hash rows
+_CMS_WIDTH = 512  # w: counters per row
+_CMS_TOPK = 10
+
+
+def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters over order customers: a d={_CMS_DEPTH}
+    x w={_CMS_WIDTH} counter sketch (md5-derived bucket per row), point
+    estimates as the min across rows, top-{_CMS_TOPK} keys by estimate
+    (ties by key), with the exact count alongside so the one-sided error
+    guarantee (estimate >= exact) is visible in the result itself.
+
+    Scale: the sketch build is one hash aggregate producing at most
+    d*w = {_CMS_DEPTH * _CMS_WIDTH} rows no matter the input size — the
+    whole point of the sketch: it is merged map-side (partial aggregation)
+    and broadcast back for the estimate join, so heavy-hitter detection
+    over 100 TB shuffles only the 2k-row sketch plus one row per distinct
+    candidate key. The exact-count verification column is a second
+    aggregate over the same scan, shuffled on the key.
+    """
+    orders = table(spark, sf_dir, "orders")
+
+    def bucket(key, r: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cms{r}|"), key.cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_WIDTH
+        )
+
+    rows = orders.select(
+        "o_custkey",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    bucket(F.col("o_custkey"), r).alias("b"),
+                )
+                for r in range(_CMS_DEPTH)
+            ])
+        ).alias("h"),
+    ).select("o_custkey", F.col("h.r").alias("r"), F.col("h.b").alias("b"))
+    sketch = rows.groupBy("r", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    keyed = exact.select(
+        "o_custkey",
+        "exact_count",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    bucket(F.col("o_custkey"), r).alias("b"),
+                )
+                for r in range(_CMS_DEPTH)
+            ])
+        ).alias("h"),
+    ).select(
+        "o_custkey", "exact_count",
+        F.col("h.r").alias("r"), F.col("h.b").alias("b"),
+    )
+    est = (
+        keyed.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("o_custkey", "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return (
+        est.orderBy(F.desc("cms_estimate"), F.asc("o_custkey"))
+        .limit(_CMS_TOPK)
+        .select("o_custkey", "cms_estimate", "exact_count")
+    )
+
+
+def _cms_bucket_sql(key: str, r: int) -> str:
+    return (
+        f"CAST(('0x' || SUBSTR(md5('cms{r}|' || CAST({key} AS VARCHAR)), 1, 15))"
+        f" AS UBIGINT)::BIGINT % {_CMS_WIDTH}"
+    )
+
+
+COUNT_MIN_HEAVY_HITTERS_SQL = f"""
+WITH rows_h AS (
+    {" UNION ALL ".join(
+        f"SELECT o_custkey, {r} AS r, {_cms_bucket_sql('o_custkey', r)} AS b FROM orders"
+        for r in range(_CMS_DEPTH)
+    )}
+),
+sketch AS (
+    SELECT r, b, COUNT(*) AS cnt FROM rows_h GROUP BY r, b
+),
+exact AS (
+    SELECT o_custkey, COUNT(*) AS exact_count FROM orders GROUP BY o_custkey
+),
+keyed AS (
+    {" UNION ALL ".join(
+        f"SELECT o_custkey, exact_count, {r} AS r,"
+        f" {_cms_bucket_sql('o_custkey', r)} AS b FROM exact"
+        for r in range(_CMS_DEPTH)
+    )}
+),
+est AS (
+    SELECT o_custkey, exact_count, MIN(cnt) AS cms_estimate
+    FROM keyed JOIN sketch USING (r, b)
+    GROUP BY o_custkey, exact_count
+)
+SELECT o_custkey,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(exact_count AS BIGINT) AS exact_count
+FROM est
+ORDER BY cms_estimate DESC, o_custkey
+LIMIT {_CMS_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction
+# ---------------------------------------------------------------------------
+
+_AA_TOPK = 20
+
+
+def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the bipartite customer-part
+    purchase graph (edges = distinct (customer, part) from orders x
+    lineitem, pruned to one part family to bound the pair space): for
+    the top-{_AA_TOPK} part pairs by shared-customer count, the AA score
+    sum(1/ln(deg(c))) over shared customers c — common neighbors
+    discounted by how promiscuous they are. Degrees are >= 2 for every
+    shared customer by construction (it bought both parts), so ln never
+    hits zero. The float fold runs over the SORTED degree list on both
+    engines (house determinism rule), making the rounded score exact.
+
+    Scale: the pair space is sum of per-customer degree^2 — linear in
+    customers at fixed basket width; pair counting is one equi-join on
+    the customer key plus a hash aggregate on the pair; only the
+    top-{_AA_TOPK} relation (TakeOrderedAndProject, no global sort)
+    proceeds to the score pass, which re-joins two edge scans against a
+    {_AA_TOPK}-row broadcast.
+    """
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_partkey") % 10 == 0)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.select("c", F.col("p").alias("p1"))
+    e2 = edges.select(F.col("c").alias("c2"), F.col("p").alias("p2"))
+    pairs = (
+        e1.join(e2, (e1.c == e2.c2) & (e1.p1 < e2.p2))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    top = pairs.orderBy(
+        F.desc("n_common"), F.asc("p1"), F.asc("p2")
+    ).limit(_AA_TOPK)
+    e2b = edges.select(F.col("c").alias("c2"), F.col("p").alias("p2b"))
+    shared = (
+        F.broadcast(top)
+        .join(e1, "p1")
+        .join(
+            e2b,
+            (F.col("c") == F.col("c2")) & (F.col("p2") == F.col("p2b")),
+        )
+        .join(deg, "c")
+    )
+    score = F.aggregate(
+        F.array_sort(F.collect_list(F.col("d").cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + 1.0 / F.log(x),
+    )
+    return (
+        shared.groupBy("p1", "p2", "n_common")
+        .agg(F.round(score, 6).alias("aa_score"))
+        .orderBy(F.desc("n_common"), F.asc("p1"), F.asc("p2"))
+    )
+
+
+ADAMIC_ADAR_LINKS_SQL = f"""
+WITH edges AS (
+    SELECT DISTINCT o_custkey AS c, l_partkey AS p
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_partkey % 10 = 0
+),
+deg AS (
+    SELECT c, COUNT(*) AS d FROM edges GROUP BY c
+),
+pairs AS (
+    SELECT e1.p AS p1, e2.p AS p2, COUNT(*) AS n_common
+    FROM edges e1 JOIN edges e2 ON e1.c = e2.c AND e1.p < e2.p
+    GROUP BY 1, 2
+),
+top AS (
+    SELECT * FROM pairs ORDER BY n_common DESC, p1, p2 LIMIT {_AA_TOPK}
+),
+shared AS (
+    SELECT t.p1, t.p2, t.n_common, d.d
+    FROM top t
+    JOIN edges e1 ON e1.p = t.p1
+    JOIN edges e2 ON e2.p = t.p2 AND e2.c = e1.c
+    JOIN deg d ON d.c = e1.c
+)
+SELECT p1, p2, n_common,
+       ROUND(list_reduce(
+           list_prepend(0.0, list_transform(
+               list_sort(list(CAST(d AS DOUBLE))), x -> 1.0 / ln(x))),
+           (a, b) -> a + b), 6) AS aa_score
+FROM shared
+GROUP BY p1, p2, n_common
+ORDER BY n_common DESC, p1, p2
+"""
+
+
 QUERIES = {
     "kaplan_meier_risk": kaplan_meier_risk,
     "largest_remainder_allocation": largest_remainder_allocation,
     "xcorr_lagged_revenue": xcorr_lagged_revenue,
     "winnowing_fingerprints": winnowing_fingerprints,
+    "bloom_prune_join": bloom_prune_join,
+    "count_min_heavy_hitters": count_min_heavy_hitters,
+    "adamic_adar_links": adamic_adar_links,
 }
 
 ORACLES = {
@@ -498,4 +886,7 @@ ORACLES = {
     "largest_remainder_allocation": LARGEST_REMAINDER_ALLOCATION_SQL,
     "xcorr_lagged_revenue": XCORR_LAGGED_REVENUE_SQL,
     "winnowing_fingerprints": WINNOWING_FINGERPRINTS_SQL,
+    "bloom_prune_join": BLOOM_PRUNE_JOIN_SQL,
+    "count_min_heavy_hitters": COUNT_MIN_HEAVY_HITTERS_SQL,
+    "adamic_adar_links": ADAMIC_ADAR_LINKS_SQL,
 }
