@@ -26,6 +26,8 @@ Operator families the catalog didn't cover yet:
   sketch, with the one-sided error visible next to exact counts.
 * ``adamic_adar_links`` — common-neighbor link prediction with the
   degree-discounted Adamic-Adar score.
+* ``haversine_nearest_hub`` — geospatial nearest-facility assignment by
+  exact great-circle distance, argmin as an in-row array fold.
 
 Float determinism follows the house rules in ``tables.py``.
 """
@@ -871,6 +873,147 @@ ORDER BY n_common DESC, p1, p2
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Haversine nearest-hub assignment (geospatial)
+# ---------------------------------------------------------------------------
+
+_N_HUBS = 8
+_EARTH_KM = 6371.0
+
+
+def _pseudo_deg(key, salt: str, span: int):
+    """Deterministic pseudo-coordinate in [-span/2, span/2) degrees with
+    1e-4 degree resolution, md5-derived so DuckDB reproduces it exactly."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        % (span * 10000)
+    ) / 10000.0 - span / 2.0
+
+
+def _pseudo_deg_sql(key: str, salt: str, span: int) -> str:
+    return (
+        f"(CAST(('0x' || SUBSTR(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 12))"
+        f" AS UBIGINT)::BIGINT % {span * 10000}) / 10000.0 - {span / 2.0}"
+    )
+
+
+def haversine_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial nearest-facility assignment: every customer gets a
+    deterministic pseudo lat/lon (md5 of the key — the engine-neutral
+    stand-in for geocoded addresses), {_N_HUBS} fixed hubs likewise, and
+    each customer is assigned to its nearest hub by exact great-circle
+    (haversine) distance; ties break to the lowest hub id. The census
+    per hub reports customer count, mean and max distance (km). The
+    trig expression has the identical shape on both engines, so the
+    doubles agree bit-for-bit and the decimal-summed mean is exact.
+
+    Scale: the hub table is a constant-size broadcast; distance + argmin
+    run map-side inside one aggregate per customer (no shuffle of the
+    customer x hub fan-out — it is an in-row array fold); the only
+    shuffle is the final census on hub id. The classic pattern for
+    nearest-of-K-facilities at 100 TB — for huge K one would grid-bucket
+    first ([[grid_neighbor_join]]).
+    """
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _pseudo_deg(F.col("c_custkey"), "lat|", 180).alias("lat"),
+        _pseudo_deg(F.col("c_custkey"), "lon|", 360).alias("lon"),
+    )
+
+    def hub_coord(salt: str, span: int) -> str:
+        return (
+            f"(cast(conv(substring(md5(concat('{salt}', cast(i as string))),"
+            f" 1, 12), 16, 10) as bigint) % {span * 10000}) / 10000.0"
+            f" - {span / 2.0}"
+        )
+
+    # the hub table is a CONSTANT: materialize it as an in-row array and
+    # pick the argmin with one array_sort — no join, no 8x row fan-out,
+    # no re-shuffle on c_custkey; the distance math runs inside
+    # whole-stage codegen per customer row
+    nearest = cust.select(
+        "c_custkey",
+        F.element_at(
+            F.expr(
+                f"""
+                array_sort(transform(sequence(0, {_N_HUBS - 1}),
+                  i -> named_struct(
+                    'dist_km',
+                    round(2 * {_EARTH_KM} * asin(sqrt(
+                      pow(sin(radians(({hub_coord("hlat|", 180)}) - lat) / 2), 2)
+                      + cos(radians(lat))
+                        * cos(radians({hub_coord("hlat|", 180)}))
+                        * pow(sin(radians(({hub_coord("hlon|", 360)}) - lon) / 2), 2)
+                    )), 6),
+                    'hub_id', cast(i as bigint))))
+                """
+            ),
+            1,
+        ).alias("best"),
+    ).select(
+        "c_custkey",
+        F.col("best.hub_id").alias("hub_id"),
+        F.col("best.dist_km").alias("dist_km"),
+    )
+    return (
+        nearest.groupBy("hub_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("dist_km").cast("decimal(20,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_dist_km"),
+            F.round(F.max("dist_km"), 4).alias("max_dist_km"),
+        )
+        .orderBy("hub_id")
+    )
+
+
+HAVERSINE_NEAREST_HUB_SQL = f"""
+WITH cust AS (
+    SELECT c_custkey,
+           {_pseudo_deg_sql("c_custkey", "lat|", 180)} AS lat,
+           {_pseudo_deg_sql("c_custkey", "lon|", 360)} AS lon
+    FROM customer
+),
+hubs AS (
+    SELECT hub_id,
+           {_pseudo_deg_sql("hub_id", "hlat|", 180)} AS hlat,
+           {_pseudo_deg_sql("hub_id", "hlon|", 360)} AS hlon
+    FROM (SELECT UNNEST(generate_series(0, {_N_HUBS - 1})) AS hub_id)
+),
+pairs AS (
+    SELECT c_custkey, hub_id,
+           ROUND(2 * {_EARTH_KM} * ASIN(SQRT(
+               POW(SIN(RADIANS(hlat - lat) / 2), 2)
+               + COS(RADIANS(lat)) * COS(RADIANS(hlat))
+                 * POW(SIN(RADIANS(hlon - lon) / 2), 2)
+           )), 6) AS dist_km
+    FROM cust CROSS JOIN hubs
+),
+nearest AS (
+    SELECT c_custkey,
+           (ARRAY_AGG(hub_id ORDER BY dist_km, hub_id))[1] AS hub_id,
+           MIN(dist_km) AS dist_km
+    FROM pairs GROUP BY c_custkey
+)
+SELECT hub_id,
+       COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(CAST(dist_km AS DECIMAL(20,6))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_dist_km,
+       ROUND(MAX(dist_km), 4) AS max_dist_km
+FROM nearest
+GROUP BY hub_id
+ORDER BY hub_id
+"""
+
+
 QUERIES = {
     "kaplan_meier_risk": kaplan_meier_risk,
     "largest_remainder_allocation": largest_remainder_allocation,
@@ -879,6 +1022,7 @@ QUERIES = {
     "bloom_prune_join": bloom_prune_join,
     "count_min_heavy_hitters": count_min_heavy_hitters,
     "adamic_adar_links": adamic_adar_links,
+    "haversine_nearest_hub": haversine_nearest_hub,
 }
 
 ORACLES = {
@@ -889,4 +1033,5 @@ ORACLES = {
     "bloom_prune_join": BLOOM_PRUNE_JOIN_SQL,
     "count_min_heavy_hitters": COUNT_MIN_HEAVY_HITTERS_SQL,
     "adamic_adar_links": ADAMIC_ADAR_LINKS_SQL,
+    "haversine_nearest_hub": HAVERSINE_NEAREST_HUB_SQL,
 }
