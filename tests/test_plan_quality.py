@@ -67,6 +67,8 @@ NESTED_LOOP_OK = {
     "largest_remainder_allocation",
     # census assembly: four 1-row aggregates joined into one output row
     "bloom_prune_join",
+    # month-spine × segment grid (1-row bounds explode, 5-row broadcast)
+    "semi_additive_balance",
 }
 
 

@@ -27,6 +27,7 @@ from waterbear_spark.queries import (
     tpch_more,
     tpch_rest,
     wave3,
+    wave4,
 )
 
 QUERIES = {
@@ -50,6 +51,7 @@ QUERIES = {
     **retrieval.QUERIES,
     **mining.QUERIES,
     **wave3.QUERIES,
+    **wave4.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -76,6 +78,7 @@ ORACLE_SQL = {
     **retrieval.ORACLES,
     **mining.ORACLES,
     **wave3.ORACLES,
+    **wave4.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -145,6 +148,14 @@ _PRIORITY = [
     "gini_customer_revenue",
     "scd2_snapshot_at",
     "mannwhitney_order_status",
+    # round-3 wave 3/4 additions (never driver-verified)
+    "kcore_decomposition",
+    "haversine_nearest_hub",
+    "bool_bit_aggs",
+    "hypothetical_rank",
+    "semi_additive_balance",
+    "feature_hashing",
+    "status_streaks",
 ]
 
 
