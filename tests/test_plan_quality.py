@@ -69,6 +69,10 @@ NESTED_LOOP_OK = {
     "bloom_prune_join",
     # month-spine × segment grid (1-row bounds explode, 5-row broadcast)
     "semi_additive_balance",
+    # global-prior scalar against the 5-row category relation
+    "target_encoding",
+    # sketch report assembly: three 1-row relations joined into one row
+    "kmv_set_ops",
 }
 
 

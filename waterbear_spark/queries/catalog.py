@@ -28,6 +28,7 @@ from waterbear_spark.queries import (
     tpch_rest,
     wave3,
     wave4,
+    wave5,
 )
 
 QUERIES = {
@@ -52,6 +53,7 @@ QUERIES = {
     **mining.QUERIES,
     **wave3.QUERIES,
     **wave4.QUERIES,
+    **wave5.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -79,6 +81,7 @@ ORACLE_SQL = {
     **mining.ORACLES,
     **wave3.ORACLES,
     **wave4.ORACLES,
+    **wave5.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -156,6 +159,11 @@ _PRIORITY = [
     "semi_additive_balance",
     "feature_hashing",
     "status_streaks",
+    "target_encoding",
+    "point_in_polygon",
+    "rake_keywords",
+    "mase_forecast_accuracy",
+    "kmv_set_ops",
 ]
 
 
