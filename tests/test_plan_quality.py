@@ -73,6 +73,13 @@ NESTED_LOOP_OK = {
     "target_encoding",
     # sketch report assembly: three 1-row relations joined into one row
     "kmv_set_ops",
+    # replicate report x 1-row full-mean scalar
+    "bootstrap_ci_mean",
+    # two 1-row arm aggregates joined into one readout row
+    "ab_test_proportions",
+    # ntile boundaries: one broadcast array row against the facts
+    # (same operator as quantile_normalize_lengths)
+    "decile_lift_table",
 }
 
 

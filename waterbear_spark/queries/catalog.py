@@ -29,6 +29,7 @@ from waterbear_spark.queries import (
     wave3,
     wave4,
     wave5,
+    wave6,
 )
 
 QUERIES = {
@@ -54,6 +55,7 @@ QUERIES = {
     **wave3.QUERIES,
     **wave4.QUERIES,
     **wave5.QUERIES,
+    **wave6.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -82,6 +84,7 @@ ORACLE_SQL = {
     **wave3.ORACLES,
     **wave4.ORACLES,
     **wave5.ORACLES,
+    **wave6.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -164,6 +167,11 @@ _PRIORITY = [
     "rake_keywords",
     "mase_forecast_accuracy",
     "kmv_set_ops",
+    "bootstrap_ci_mean",
+    "ab_test_proportions",
+    "harmonic_centrality",
+    "containment_join",
+    "decile_lift_table",
 ]
 
 
