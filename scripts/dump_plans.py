@@ -57,6 +57,14 @@ SHOWCASE = {
     "itemset_pair_lift": "market-basket pairs: basket-bounded self equi-join on order key, broadcast item supports",
     "holt_linear_forecast": "2-state recurrence over the aggregated series: the fold is row-local struct math after two key shuffles",
     "interval_bucket_overlap": "interval→bucket allocation: duration-bounded explode of spanned hours, combinable per-hour sum",
+    "bootstrap_ci_mean": "Poisson bootstrap: 32x row-local explode, replicate means combine map-side, 32-row closing fold",
+    "kmv_set_ops": "KMV sketch algebra: two-phase k-min (bucket-local rank then global), estimates on one-row relations",
+    "point_in_polygon": "geofence census: 5-edge crossing fold fully in-row, broadcast nation dim, one bounded aggregate",
+    "semi_additive_balance": "dense ledger: spine broadcast onto month-grain aggregates, carry-forward window on state rows",
+    "containment_join": "containment dedup: rare-shingle block + >=3-shared gate, exact intersection by (shingle,doc) equi-join",
+    "status_streaks": "equal-run islands: both windows share one customer Exchange, then a bounded run aggregate",
+    "feature_hashing": "hashing trick: 3 tokens/row map-side, one 64-bucket aggregate — vocabulary never materializes",
+    "decile_lift_table": "lift/gains: distributed exact NTILE (no global sort), closing window on 10 rows",
 }
 
 
