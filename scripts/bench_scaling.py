@@ -77,6 +77,21 @@ HEAVY = {
     "interval_bucket_overlap": timeseries.interval_bucket_overlap,
 }
 
+# round-3 waves 4-6: the shingle-blocked containment join (candidate
+# count grows with data), the 32x bootstrap fan-out, the all-pairs
+# min-plus loop, the k-core peel, and the two-shuffle RAKE pipeline
+from waterbear_spark.queries import wave5, wave6  # noqa: E402
+
+HEAVY.update(
+    {
+        "containment_join": wave6.containment_join,
+        "bootstrap_ci_mean": wave6.bootstrap_ci_mean,
+        "harmonic_centrality": wave6.harmonic_centrality,
+        "kcore_decomposition": graph.kcore_decomposition,
+        "rake_keywords": wave5.rake_keywords,
+    }
+)
+
 
 def run_all(spark, sf_dir, iters=2):
     # min over iterations: the first pass pays one-off codegen and file

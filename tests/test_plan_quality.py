@@ -80,6 +80,11 @@ NESTED_LOOP_OK = {
     # ntile boundaries: one broadcast array row against the facts
     # (same operator as quantile_normalize_lengths)
     "decile_lift_table",
+    # date-span midpoint: broadcast 1-row scalar against the facts
+    "psi_stability",
+    "diff_in_diff",
+    # DCG x 1-row IDCG relation
+    "retrieval_eval_ndcg",
 }
 
 

@@ -30,6 +30,7 @@ from waterbear_spark.queries import (
     wave4,
     wave5,
     wave6,
+    wave7,
 )
 
 QUERIES = {
@@ -56,6 +57,7 @@ QUERIES = {
     **wave4.QUERIES,
     **wave5.QUERIES,
     **wave6.QUERIES,
+    **wave7.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -85,6 +87,7 @@ ORACLE_SQL = {
     **wave4.ORACLES,
     **wave5.ORACLES,
     **wave6.ORACLES,
+    **wave7.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -172,6 +175,11 @@ _PRIORITY = [
     "harmonic_centrality",
     "containment_join",
     "decile_lift_table",
+    "roc_auc_exact",
+    "psi_stability",
+    "diff_in_diff",
+    "retrieval_eval_ndcg",
+    "fellegi_sunter_weights",
 ]
 
 
