@@ -85,6 +85,8 @@ NESTED_LOOP_OK = {
     "diff_in_diff",
     # DCG x 1-row IDCG relation
     "retrieval_eval_ndcg",
+    # order-count scalar against the top-k triple relation
+    "frequent_triples",
 }
 
 

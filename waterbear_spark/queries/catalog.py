@@ -31,6 +31,7 @@ from waterbear_spark.queries import (
     wave5,
     wave6,
     wave7,
+    wave8,
 )
 
 QUERIES = {
@@ -58,6 +59,7 @@ QUERIES = {
     **wave5.QUERIES,
     **wave6.QUERIES,
     **wave7.QUERIES,
+    **wave8.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -88,6 +90,7 @@ ORACLE_SQL = {
     **wave5.ORACLES,
     **wave6.ORACLES,
     **wave7.ORACLES,
+    **wave8.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -180,6 +183,11 @@ _PRIORITY = [
     "diff_in_diff",
     "retrieval_eval_ndcg",
     "fellegi_sunter_weights",
+    "grid_dbscan",
+    "rolling_origin_backtest",
+    "frequent_triples",
+    "event_trigrams",
+    "late_arrival_census",
 ]
 
 
