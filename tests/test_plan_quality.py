@@ -87,6 +87,9 @@ NESTED_LOOP_OK = {
     "retrieval_eval_ndcg",
     # order-count scalar against the top-k triple relation
     "frequent_triples",
+    # ntile boundaries broadcast against the facts (same operator as
+    # decile_lift_table)
+    "calibration_brier",
 }
 
 

@@ -32,6 +32,7 @@ from waterbear_spark.queries import (
     wave6,
     wave7,
     wave8,
+    wave9,
 )
 
 QUERIES = {
@@ -60,6 +61,7 @@ QUERIES = {
     **wave6.QUERIES,
     **wave7.QUERIES,
     **wave8.QUERIES,
+    **wave9.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -91,6 +93,7 @@ ORACLE_SQL = {
     **wave6.ORACLES,
     **wave7.ORACLES,
     **wave8.ORACLES,
+    **wave9.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -188,6 +191,11 @@ _PRIORITY = [
     "frequent_triples",
     "event_trigrams",
     "late_arrival_census",
+    "filter_clause_aggs",
+    "set_ops_all",
+    "group_order_by_all",
+    "calibration_brier",
+    "holt_winters_seasonal",
 ]
 
 
