@@ -90,6 +90,13 @@ NESTED_LOOP_OK = {
     # ntile boundaries broadcast against the facts (same operator as
     # decile_lift_table)
     "calibration_brier",
+    # dual suppression census: 1-row scalar against released groups
+    "ldiversity_release",
+    # prediction x 1-row actual-count confirmation
+    "join_size_product_sum",
+    # unigram-total scalar against the vocabulary relation (same
+    # pattern as lm_quality_score)
+    "bigram_backoff_perplexity",
 }
 
 

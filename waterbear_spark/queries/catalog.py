@@ -33,6 +33,7 @@ from waterbear_spark.queries import (
     wave7,
     wave8,
     wave9,
+    wave10,
 )
 
 QUERIES = {
@@ -62,6 +63,7 @@ QUERIES = {
     **wave7.QUERIES,
     **wave8.QUERIES,
     **wave9.QUERIES,
+    **wave10.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -94,6 +96,7 @@ ORACLE_SQL = {
     **wave7.ORACLES,
     **wave8.ORACLES,
     **wave9.ORACLES,
+    **wave10.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -196,6 +199,11 @@ _PRIORITY = [
     "group_order_by_all",
     "calibration_brier",
     "holt_winters_seasonal",
+    "ldiversity_release",
+    "trajectory_length",
+    "join_size_product_sum",
+    "bigram_backoff_perplexity",
+    "rrf_fusion",
 ]
 
 
