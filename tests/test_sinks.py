@@ -346,3 +346,78 @@ def test_entity_datasource_streams_with_replayable_offsets(spark, tmp_path):
     assert len(first) == 120
     second = sorted(r["id"] for r in run("entity_stream_b"))
     assert first == second
+
+
+def test_delete_where(spark, tmp_path):
+    from waterbear_spark.sources.sinks import delete_where
+
+    target = str(tmp_path / "gdpr")
+    spark.createDataFrame(
+        [(i, f"u{i % 3}") for i in range(100)], "id long, owner string"
+    ).write.parquet(target)
+
+    n = delete_where(spark, target, "owner = 'u1'")
+    assert n == 33
+    left = spark.read.parquet(target)
+    assert left.count() == 67
+    assert left.filter("owner = 'u1'").count() == 0
+    # deleting nothing is a no-op (no rewrite)
+    import os
+
+    mtime = max(
+        os.path.getmtime(os.path.join(target, f)) for f in os.listdir(target)
+    )
+    assert delete_where(spark, target, "owner = 'zzz'") == 0
+    assert (
+        max(
+            os.path.getmtime(os.path.join(target, f))
+            for f in os.listdir(target)
+        )
+        == mtime
+    )
+
+
+def test_overwrite_partitions_touches_only_written_days(spark, tmp_path):
+    import os
+
+    from waterbear_spark.sources.sinks import overwrite_partitions
+
+    target = str(tmp_path / "daily")
+    spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 3}") for i in range(90)], "id long, day string"
+    ).write.partitionBy("day").parquet(target)
+    untouched = os.path.join(target, "day=2024-01-01")
+    before = sorted(os.listdir(untouched))
+
+    # re-derive ONLY day 3 with different rows
+    redo = spark.createDataFrame(
+        [(1000 + i, "2024-01-03") for i in range(5)], "id long, day string"
+    )
+    overwrite_partitions(redo, target, ["day"])
+
+    got = spark.read.parquet(target)
+    assert got.filter("day = '2024-01-03'").count() == 5
+    assert got.filter("day = '2024-01-01'").count() == 30
+    assert got.filter("day = '2024-01-02'").count() == 30
+    # day 1's files were not rewritten
+    assert sorted(os.listdir(untouched)) == before
+
+
+def test_delete_where_preserves_partition_layout(spark, tmp_path):
+    import os
+
+    from waterbear_spark.sources.sinks import delete_where
+
+    target = str(tmp_path / "part_gdpr")
+    spark.createDataFrame(
+        [(i, f"d{i % 2}") for i in range(40)], "id long, day string"
+    ).write.partitionBy("day").parquet(target)
+
+    n = delete_where(spark, target, "id < 4", partition_cols=["day"])
+    assert n == 4
+    dirs = {d for d in os.listdir(target) if d.startswith("day=")}
+    assert dirs == {"day=d0", "day=d1"}
+    got = spark.read.parquet(target)
+    assert got.count() == 36
+    # partition pruning still works on the rewritten table
+    assert got.filter("day = 'd0'").count() == 18

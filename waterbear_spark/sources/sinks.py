@@ -284,3 +284,67 @@ def scd2_apply(
     os.rename(staging, target_path)
     shutil.rmtree(backup)
     return spark.read.format(fmt).load(target_path)
+
+
+def delete_where(
+    spark: SparkSession,
+    target_path: str,
+    predicate: str,
+    fmt: str | None = None,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """GDPR-style conditional DELETE: remove every row matching
+    ``predicate`` from the table at ``target_path``. Returns the number
+    of rows deleted.
+
+    Delta available -> a transactional file-pruned DELETE. Parquet
+    fallback -> keep-side rewrite (filter NOT predicate) with the same
+    staged-write + directory-swap discipline as ``merge_upsert``.
+    At scale the expensive path is the keep-side rewrite of only the
+    files that CONTAIN matches — which is exactly what Delta's file
+    pruning buys; the fallback rewrites the whole table and is the
+    single-writer/small-table variant. Pass ``partition_cols`` when the
+    table is hive-partitioned so the rewrite preserves the layout.
+    """
+    fmt = fmt or ("delta" if HAS_DELTA else "parquet")
+    if fmt == "delta" and HAS_DELTA:  # pragma: no cover - delta not in env
+        target = DeltaTable.forPath(spark, target_path)
+        before = spark.read.format("delta").load(target_path).count()
+        target.delete(predicate)
+        return before - spark.read.format("delta").load(target_path).count()
+
+    df = spark.read.format(fmt).load(target_path)
+    n_dead = df.filter(predicate).count()
+    if n_dead == 0:
+        return 0
+    kept = df.filter(f"NOT ({predicate})")
+    staging = f"{target_path}__staging_{uuid.uuid4().hex[:8]}"
+    writer = kept.write.mode("overwrite").format(fmt)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(staging)
+    backup = f"{target_path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(target_path, backup)
+    os.rename(staging, target_path)
+    shutil.rmtree(backup)
+    return n_dead
+
+
+def overwrite_partitions(
+    df: DataFrame, target_path: str, partition_cols: list[str]
+) -> None:
+    """Selective partition overwrite (Delta ``replaceWhere`` semantics on
+    plain parquet): rewrite ONLY the hive partitions present in ``df``,
+    leaving every other partition's files untouched — Spark's dynamic
+    partitionOverwriteMode, pinned here per-write so the session default
+    (STATIC, which would truncate the whole table) can't leak in.
+
+    This is the incremental-backfill primitive: re-deriving one day of a
+    partitioned table must not rewrite (or even list) the other days.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(target_path)
+    )
