@@ -97,6 +97,12 @@ NESTED_LOOP_OK = {
     # unigram-total scalar against the vocabulary relation (same
     # pattern as lm_quality_score)
     "bigram_backoff_perplexity",
+    # 1-row node/reached censuses against the 1-row conflict report
+    "bipartite_check",
+    # weight-total and shortfall scalars against the strata relation
+    "neyman_allocation",
+    # two 1-row cell aggregates joined into one readout row
+    "welch_ttest_segments",
 }
 
 

@@ -34,6 +34,7 @@ from waterbear_spark.queries import (
     wave8,
     wave9,
     wave10,
+    wave11,
 )
 
 QUERIES = {
@@ -64,6 +65,7 @@ QUERIES = {
     **wave8.QUERIES,
     **wave9.QUERIES,
     **wave10.QUERIES,
+    **wave11.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -97,6 +99,7 @@ ORACLE_SQL = {
     **wave8.ORACLES,
     **wave9.ORACLES,
     **wave10.ORACLES,
+    **wave11.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -204,6 +207,11 @@ _PRIORITY = [
     "join_size_product_sum",
     "bigram_backoff_perplexity",
     "rrf_fusion",
+    "percentile_sla_by_type",
+    "bipartite_check",
+    "neyman_allocation",
+    "anova_oneway_dow",
+    "welch_ttest_segments",
 ]
 
 
