@@ -65,6 +65,11 @@ SHOWCASE = {
     "status_streaks": "equal-run islands: both windows share one customer Exchange, then a bounded run aggregate",
     "feature_hashing": "hashing trick: 3 tokens/row map-side, one 64-bucket aggregate — vocabulary never materializes",
     "decile_lift_table": "lift/gains: distributed exact NTILE (no global sort), closing window on 10 rows",
+    "percentile_sla_by_type": "exact per-group p50/p90/p99: value-bucket prefix sums, no per-group sort anywhere",
+    "welch_ttest_segments": "two-sample test: one pass builds both cells' exact moments, closed-form readout",
+    "trajectory_length": "sequential geospatial: one user shuffle, row-local haversine, decimal sums, TakeOrdered",
+    "grid_dbscan": "cell-DBSCAN: density on the cell relation, star-CC merge — no point epsilon-join in the plan",
+    "holt_winters_seasonal": "3-state seasonal recurrence: day-grain fold after one combinable daily aggregate",
 }
 
 
