@@ -77,6 +77,11 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries r x #partitions tiny rows no matter the fact count.
     The replicate relation (32 rows) is then folded driver-free into
     one report row. r is the knob: wider CIs need r~200, still flat.
+
+    The md5 draw is the cross-engine-deterministic choice for the
+    oracle harness; a production build swaps in ``F.xxhash64(key, b)``
+    for the same inverse-CDF draw at a fraction of the hash cost (the
+    r x |rows| hashing IS this operator's whole budget).
     """.format(r=_BOOT_R)
     o = table(spark, sf_dir, "orders")
     rep = o.select(
