@@ -1,0 +1,271 @@
+#!/usr/bin/env python
+"""Strategy A/B bench: time the engine's physical rewrites against the
+naive formulation of the same result, on the same data, in one session.
+
+SCALE.md argues each rewrite; the plan-lint proves the SHAPE; this
+script proves the WIN in seconds — "measure, don't guess" as an
+artifact. Each case computes the identical result both ways (asserted)
+and reports min-of-2 wall times plus the speedup.
+
+Cases:
+  ntile          exact NTILE(10): single-partition global window vs the
+                 two-pass bucketed order statistics (operators/ntile.py)
+  skew_agg       heavy-hitter groupBy: plain vs salted two-phase
+  rolling_dist   trailing-7d COUNT(DISTINCT): windowed self-join vs the
+                 contribution-expansion rewrite
+  broadcast_join fact-dim join: shuffle-hint vs broadcast-hint
+  topk           global top 100: orderBy.limit (TakeOrdered) vs
+                 row_number over a global window
+
+Prints one JSON line; committed as STRATEGY_BENCH.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def timed(df):
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def best2(spark, build):
+    times = []
+    for _ in range(2):
+        spark.catalog.clearCache()
+        times.append(timed(build()))
+    return round(min(times), 3)
+
+
+def fingerprint(df):
+    cols = sorted(df.columns)
+    return (
+        df.select(*cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.xxhash64(c).cast("decimal(38,0)")).alias(f"h_{c}")
+                for c in cols
+            ],
+        )
+        .collect()[0]
+    )
+
+
+def main():
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("strategy-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").persist()
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").persist()
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet").persist()
+    orders.count(), events.count(), customer.count()
+
+    out = {}
+
+    # --- exact NTILE ------------------------------------------------------
+    from waterbear_spark.operators.ntile import bucketed_ntile
+
+    def ntile_naive():
+        w = Window.orderBy("o_totalprice", "o_orderkey")
+        return orders.select(
+            "o_orderkey", F.ntile(10).over(w).alias("tile")
+        )
+
+    def ntile_engine():
+        return bucketed_ntile(
+            orders.select("o_orderkey", "o_totalprice"),
+            "o_totalprice",
+            "o_orderkey",
+            10,
+            out_col="tile",
+            width=1024.0,
+        ).select("o_orderkey", "tile")
+
+    assert fingerprint(ntile_naive()) == fingerprint(ntile_engine())
+    out["ntile"] = {"naive": best2(spark, ntile_naive), "engine": best2(spark, ntile_engine)}
+
+    # --- skewed aggregate --------------------------------------------------
+    # synthetic 90%-one-key skew over events
+    skewed = events.select(
+        F.when(F.col("event_id") % 10 < 9, F.lit(0))
+        .otherwise(F.col("event_id") % 1000)
+        .alias("k"),
+        "value",
+    ).persist()
+    skewed.count()
+
+    def agg_plain():
+        return skewed.groupBy("k").agg(
+            F.sum(F.col("value").cast("decimal(20,6)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    def agg_salted():
+        part = skewed.withColumn("salt", F.pmod(F.xxhash64("value"), F.lit(32)))
+        partial = part.groupBy("k", "salt").agg(
+            F.sum(F.col("value").cast("decimal(20,6)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        return partial.groupBy("k").agg(
+            F.sum("s").alias("s"), F.sum("n").alias("n")
+        )
+
+    assert fingerprint(agg_plain()) == fingerprint(agg_salted())
+    out["skew_agg"] = {"naive": best2(spark, agg_plain), "engine": best2(spark, agg_salted)}
+
+    # --- trailing-7d rolling distinct --------------------------------------
+    daily = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct().persist()
+    daily.count()
+
+    def rdist_naive():
+        a = daily.select(F.col("day").alias("d"), F.col("user_id").alias("u"))
+        days = daily.select("day").distinct()
+        j = days.join(
+            a,
+            (F.col("d") <= F.col("day"))
+            & (F.col("d") >= F.date_sub(F.col("day"), 6)),
+        )
+        return j.groupBy("day").agg(F.countDistinct("u").alias("n7"))
+
+    def rdist_engine():
+        contrib = daily.select(
+            "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "day"
+        ).select("user_id", F.date_add("day", F.col("off")).alias("day"))
+        max_day = daily.agg(F.max("day").alias("mx"))
+        return (
+            contrib.join(F.broadcast(max_day), F.col("day") <= F.col("mx"))
+            .select("day", "user_id")
+            .distinct()
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n7"))
+        )
+
+    # the naive variant only produces days present in the data; align
+    naive_fp = fingerprint(rdist_naive())
+    eng = rdist_engine().join(daily.select("day").distinct(), "day")
+    assert naive_fp == fingerprint(eng)
+    out["rolling_distinct"] = {
+        "naive": best2(spark, rdist_naive),
+        "engine": best2(
+            spark, lambda: rdist_engine().join(daily.select("day").distinct(), "day")
+        ),
+    }
+
+    # --- broadcast vs shuffle dim join -------------------------------------
+    cust_nat = customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+
+    def join_shuffle():
+        return orders.join(
+            customer.hint("shuffle_hash"), orders.o_custkey == customer.c_custkey
+        ).groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+
+    def join_broadcast():
+        return orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        ).groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+
+    assert fingerprint(join_shuffle()) == fingerprint(join_broadcast())
+    out["dim_join"] = {
+        "naive": best2(spark, join_shuffle),
+        "engine": best2(spark, join_broadcast),
+    }
+
+    # --- exact median: single-partition sort-pick vs bucketed two-pass -----
+    def median_naive():
+        w = Window.orderBy("o_totalprice", "o_orderkey")
+        n = orders.count()
+        mid = (n + 1) // 2
+        return (
+            orders.select("o_totalprice", "o_orderkey")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == mid)
+            .select(F.col("o_totalprice").alias("median"))
+        )
+
+    def median_engine():
+        # two-pass bucketed order statistic: bucket counts locate the
+        # crossing bucket; only that bucket sorts
+        n = orders.count()
+        mid = (n + 1) // 2
+        b = orders.select(
+            F.floor(F.col("o_totalprice") / 1024.0).alias("pb"),
+            "o_totalprice",
+            "o_orderkey",
+        )
+        counts = b.groupBy("pb").agg(F.count(F.lit(1)).alias("c"))
+        w_off = Window.orderBy("pb").rowsBetween(Window.unboundedPreceding, -1)
+        hit = (
+            counts.select(
+                "pb", F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"), "c"
+            )
+            .filter((F.col("off") < mid) & (F.col("off") + F.col("c") >= mid))
+            .select("pb", "off")
+        )
+        w_in = Window.partitionBy("pb").orderBy("o_totalprice", "o_orderkey")
+        return (
+            b.join(F.broadcast(hit), "pb")
+            .withColumn("rn", F.row_number().over(w_in) + F.col("off"))
+            .filter(F.col("rn") == mid)
+            .select(F.col("o_totalprice").alias("median"))
+        )
+
+    assert fingerprint(median_naive()) == fingerprint(median_engine())
+    out["exact_median"] = {
+        "naive": best2(spark, median_naive),
+        "engine": best2(spark, median_engine),
+    }
+
+    # --- global top-k -------------------------------------------------------
+    def topk_window():
+        w = Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        return (
+            orders.select("o_orderkey", "o_totalprice")
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn <= 100")
+            .drop("rn")
+        )
+
+    def topk_takeordered():
+        return (
+            orders.select("o_orderkey", "o_totalprice")
+            .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+            .limit(100)
+        )
+
+    assert fingerprint(topk_window()) == fingerprint(topk_takeordered())
+    out["global_topk"] = {
+        "naive": best2(spark, topk_window),
+        "engine": best2(spark, topk_takeordered),
+    }
+
+    for k, v in out.items():
+        v["speedup"] = round(v["naive"] / v["engine"], 2) if v["engine"] else None
+    print(json.dumps({"metric": "strategy_ab", "unit": "sec", "sf_dir": SF_DIR, "cases": out}))
+
+
+if __name__ == "__main__":
+    main()
