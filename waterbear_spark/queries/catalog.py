@@ -126,32 +126,77 @@ assert set(ORACLE_SQL) <= set(QUERIES), "oracle without query"
 # CORRECTNESS_LOCAL.json (scripts/check_oracle.py, full catalog) remains
 # the per-round local certification on top.
 _PRIORITY = [
-    # round-3 semantics fixes: max-tie earliest pick, floor-div blocking,
-    # zero-size NTILE tiles (prior evidence predates the fix)
+    # --- driver window (exactly 50): round-2 verdict item 1 ---
+    # 4 round-3 semantics fixes whose prior evidence predates the fix
+    # (max-tie earliest pick, floor-div blocking, zero-size NTILE tiles,
+    # try_* census error paths):
     "downsample_minmax",
     "key_islands",
     "equidepth_histogram",
-    # changed AFTER its r02 hash-match: the try_* census error paths are
-    # now rare (different counts), so the r02 evidence predates it
     "ansi_safe_arithmetic",
-    # new this round (never driver-verified; pinned ahead of the stale
-    # tail so first-round evidence lands immediately)
+    # the 37 queries never driver-verified as of round 2 (VERDICT.md
+    # 'What's missing' #1: the llm dedup/ANN family, graph.py, textops,
+    # pandas/UDTF surface, profile/diff/checksum, q22, quality trio):
+    "ann_hyperplane_buckets",
+    "ann_ivf_kmeans",
+    "approx_distinct",
+    "bfs_shortest_paths",
+    "checksum_orders",
+    "decontaminate_overlap",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "deterministic_split",
+    "doc_chunking",
+    "doc_fingerprint",
+    "doc_quality",
+    "embedding_knn_label",
+    "embedding_topk",
+    "fuzzy_join_parts",
+    "label_propagation_communities",
+    "lang_id",
+    "ngram_jaccard_pairs",
+    "pagerank_bipartite",
+    "pandas_median_chars",
+    "pandas_zscore_chars",
+    "pii_redaction",
+    "profile_table",
+    "q22_idle_customers",
+    "quality_quarantine_customer",
+    "quality_report_customer",
+    "quality_report_event",
+    "repetition_signals",
+    "simhash_near_dup",
+    "table_diff_orders",
+    "text_stats",
+    "token_counting",
+    "triangle_count_nations",
+    "udtf_tokenize",
+    "vocab_top_terms",
+    # 9 flagship round-3 additions: the measured-recall report
+    # (verdict item 3), the streaming batch-twins (verdict item 8), and
+    # the headline new operators:
+    "dedup_recall_report",
+    "session_metrics_user",
+    "dedup_stream_replay",
     "sentence_dedup_c4",
+    "dedup_clusters_star",
+    "bm25_search",
+    "multimodal_jpeg_dims",
+    "leakage_free_split",
+    "skew_key_census",
+    # --- past the window: remaining round-3 additions, never driver-
+    # verified, so they outrank the long-validated tail in rounds 4+ ---
     "dup_span_census",
     "bpe_pair_counts",
     "temperature_mix_weights",
     "acf_daily_revenue",
     "rolling_ols_slope",
-    "skew_key_census",
-    "dedup_clusters_star",
     "recursive_org_rollup",
     "lateral_top_orders",
-    "multimodal_jpeg_dims",
     "freshness_report",
-    "leakage_free_split",
     "rfm_segments",
-    # round-3 wave 2 (retrieval / mining / time-series additions)
-    "bm25_search",
     "inverted_index_postings",
     "sorted_neighborhood_pairs",
     "itemset_pair_lift",
@@ -169,7 +214,6 @@ _PRIORITY = [
     "gini_customer_revenue",
     "scd2_snapshot_at",
     "mannwhitney_order_status",
-    # round-3 wave 3/4 additions (never driver-verified)
     "kcore_decomposition",
     "haversine_nearest_hub",
     "bool_bit_aggs",
