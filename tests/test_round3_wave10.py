@@ -106,32 +106,52 @@ def test_join_size_identity(spark):
 
 
 def test_backoff_scores_below_seen_bigrams(spark):
-    """Every reported doc's mean log-prob must be <= 0, and the backoff
-    construction must reproduce in Python on the worst doc."""
+    """Every reported doc's mean log-prob must be <= 0, the held-out
+    construction must reproduce in Python on the worst doc, and the
+    backoff branch must actually execute (the model is fit on the train
+    split, so held-out docs contain unseen bigrams)."""
+    import hashlib
+
     got = bigram_backoff_perplexity(spark, SF_SMOKE).collect()
     assert got and all(r.mean_lp < 0 for r in got)
+    # unreachable-branch guard: at least one reported doc hit backoff
+    assert any(r.n_backoff > 0 for r in got)
+
+    def is_train(doc_id):
+        h = hashlib.md5(f"split|{doc_id}".encode()).hexdigest()
+        return int(h[:15], 16) % 100 < 80
+
     docs = {
         r.doc_id: [t for t in r.text.lower().split() if t]
         for r in table(spark, SF_SMOKE, "documents").collect()
     }
-    uni = Counter(t for ts in docs.values() for t in ts)
+    train = {d: ts for d, ts in docs.items() if is_train(d)}
+    uni = Counter(t for ts in train.values() for t in ts)
     total = sum(uni.values())
     big = Counter(
         (ts[i], ts[i + 1])
-        for ts in docs.values()
+        for ts in train.values()
         if len(ts) >= 2
         for i in range(len(ts) - 1)
     )
     worst = got[0]
+    assert not is_train(worst.doc_id)
     ts = docs[worst.doc_id]
-    lp = 0
+    lp, n_backoff, n_oov = 0, 0, 0
     for i in range(len(ts) - 1):
         pair = (ts[i], ts[i + 1])
         if pair in big:
             lp += math.floor(math.log(big[pair] / uni[ts[i]]) * 1e6)
-        else:
+        elif ts[i + 1] in uni:
+            n_backoff += 1
             lp += math.floor(math.log(_BB_BACKOFF * uni[ts[i + 1]] / total) * 1e6)
+        else:
+            n_backoff += 1
+            n_oov += 1
+            lp += math.floor(math.log(_BB_BACKOFF / total) * 1e6)
     assert worst.n_bigrams == len(ts) - 1
+    assert worst.n_backoff == n_backoff
+    assert worst.n_oov == n_oov
     assert abs(worst.mean_lp - lp / (len(ts) - 1) / 1e6) < 1e-5
 
 

@@ -126,7 +126,17 @@ assert set(ORACLE_SQL) <= set(QUERIES), "oracle without query"
 # CORRECTNESS_LOCAL.json (scripts/check_oracle.py, full catalog) remains
 # the per-round local certification on top.
 _PRIORITY = [
-    # --- driver window (exactly 50): round-2 verdict item 1 ---
+    # --- driver window (first 50 of this list): round-2 verdict item 1,
+    # with late-round-3 semantics changes prepended per the policy above
+    # (the last 3 pre-change window entries — multimodal_jpeg_dims,
+    # leakage_free_split, skew_key_census — shift just past the window
+    # and lead the round-4 rotation) ---
+    # 3 late-round-3 semantics changes (held-out backoff LM with a
+    # reachable backoff branch + n_backoff/n_oov columns, Neyman `capped`
+    # cap-surplus flag, bipartite empty-graph phantom-node guard):
+    "bigram_backoff_perplexity",
+    "neyman_allocation",
+    "bipartite_check",
     # 4 round-3 semantics fixes whose prior evidence predates the fix
     # (max-tie earliest pick, floor-div blocking, zero-size NTILE tiles,
     # try_* census error paths):
@@ -183,11 +193,13 @@ _PRIORITY = [
     "sentence_dedup_c4",
     "dedup_clusters_star",
     "bm25_search",
+    # --- past the window from here (entries 51+): first in line for the
+    # round-4 rotation, ahead of the remaining round-3 additions ---
     "multimodal_jpeg_dims",
     "leakage_free_split",
     "skew_key_census",
-    # --- past the window: remaining round-3 additions, never driver-
-    # verified, so they outrank the long-validated tail in rounds 4+ ---
+    # remaining round-3 additions, never driver-verified, so they
+    # outrank the long-validated tail in rounds 4+:
     "dup_span_census",
     "bpe_pair_counts",
     "temperature_mix_weights",
@@ -249,11 +261,8 @@ _PRIORITY = [
     "ldiversity_release",
     "trajectory_length",
     "join_size_product_sum",
-    "bigram_backoff_perplexity",
     "rrf_fusion",
     "percentile_sla_by_type",
-    "bipartite_check",
-    "neyman_allocation",
     "anova_oneway_dow",
     "welch_ttest_segments",
 ]

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from waterbear_spark.queries.tables import DEC, dsum, oracle_dsum, table
+from waterbear_spark.queries.tables import DEC, table
 
 
 # ---------------------------------------------------------------------------
@@ -281,24 +281,43 @@ _BB_BACKOFF = 0.4  # stupid-backoff discount
 
 
 def bigram_backoff_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram language-model scoring with stupid backoff (Brants et
-    al., 2007): score(w2|w1) = c(w1 w2)/c(w1) when the bigram was seen,
-    else {b} * c(w2)/total. Per-doc mean log-prob in exact integer
-    micro-nats ([[lm_quality_score]]'s determinism discipline, one ln
-    per distinct bigram/unigram); bottom {k} docs = the least
-    language-like (the corpus-filter signal a unigram model misses:
-    scrambled word ORDER).
+    """Held-out bigram language-model scoring with stupid backoff
+    (Brants et al., 2007): the model (bigram + unigram counts) is fit on
+    the md5-hash train split (bucket < 80, the exact
+    [[deterministic_split]] assignment) and scores the HELD-OUT docs, so
+    unseen bigrams and OOV words genuinely occur and every branch of
+    score(w2|w1) executes: c(w1 w2)/c(w1) when the bigram was seen in
+    train, else {b} * c(w2)/total (backoff), else {b} * 1/total (OOV
+    floor, count-1). Per-doc mean log-prob in exact integer micro-nats
+    ([[lm_quality_score]]'s determinism discipline, one ln per distinct
+    bigram/unigram); bottom {k} docs = the least language-like (the
+    corpus-filter signal a unigram model misses: scrambled word ORDER).
+    n_backoff / n_oov per doc make the branch coverage observable.
 
-    Scale: two vocabulary-sized aggregates (bigram, unigram — both
+    Scale: two vocabulary-sized aggregates over the train split (both
     heavily combinable), one broadcast-able logprob join back onto the
-    exploded corpus. No pair space.
+    exploded held-out corpus. No pair space.
     """.format(b=_BB_BACKOFF, k=_BB_BOTTOM_K)
     from waterbear_spark.queries.llm import _tokens
 
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", _tokens(F.col("text")).alias("toks")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
     )
-    big = docs.filter(F.size("toks") >= 2).select(
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("toks"), (bucket < 80).alias("is_train")
+    )
+    train = docs.filter(F.col("is_train"))
+    held = docs.filter(~F.col("is_train"))
+    big = held.filter(F.size("toks") >= 2).select(
         "doc_id",
         F.explode(
             F.transform(
@@ -311,9 +330,20 @@ def bigram_backoff_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     big = big.persist()
-    bg_cnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    tr_big = train.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("w1"),
+                    F.element_at(F.col("toks"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bg_cnt = tr_big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     uni = (
-        docs.select(F.explode("toks").alias("w"))
+        train.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
@@ -344,19 +374,39 @@ def bigram_backoff_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lp_big"),
     )
+    lp_oov = (
+        F.floor(
+            F.log(F.lit(_BB_BACKOFF) / F.col("total").cast("double")) * 1e6
+        )
+        .cast("bigint")
+        .alias("lp_oov")
+    )
     scored = (
         big.join(bg_lp, ["w1", "w2"], "left")
-        .join(uni_lp, "w2")
+        .join(uni_lp, "w2", "left")
+        .crossJoin(F.broadcast(total))
         .select(
-            "doc_id", F.coalesce(F.col("lp_big"), F.col("lp_back")).alias("lp")
+            "doc_id",
+            F.coalesce(F.col("lp_big"), F.col("lp_back"), lp_oov).alias("lp"),
+            F.col("lp_big").isNull().cast("bigint").alias("is_backoff"),
+            (F.col("lp_big").isNull() & F.col("lp_back").isNull())
+            .cast("bigint")
+            .alias("is_oov"),
         )
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp").alias("lp_sum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("is_backoff").alias("n_backoff"),
+            F.sum("is_oov").alias("n_oov"),
+            F.sum("lp").alias("lp_sum"),
+        )
     )
     return (
         scored.select(
             "doc_id",
             "n_bigrams",
+            "n_backoff",
+            "n_oov",
             F.round(
                 F.col("lp_sum").cast("double")
                 / (F.col("n_bigrams").cast("double") * 1e6),
@@ -372,19 +422,32 @@ def _bb_sql() -> str:
     from waterbear_spark.queries.llm import TOKENS_SQL
 
     return f"""
-WITH toked AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+WITH toked AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks,
+           CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                AS UBIGINT)::BIGINT % 100 < 80 AS is_train
+    FROM documents
+),
 big AS (
     SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2
     FROM (
         SELECT doc_id,
                UNNEST(list_transform(generate_series(1, len(toks) - 1),
                    i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS bg
-        FROM toked WHERE len(toks) >= 2
+        FROM toked WHERE len(toks) >= 2 AND NOT is_train
     )
 ),
-bg_cnt AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+tr_big AS (
+    SELECT bg['w1'] AS w1, bg['w2'] AS w2
+    FROM (
+        SELECT UNNEST(list_transform(generate_series(1, len(toks) - 1),
+                   i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS bg
+        FROM toked WHERE len(toks) >= 2 AND is_train
+    )
+),
+bg_cnt AS (SELECT w1, w2, COUNT(*) AS c12 FROM tr_big GROUP BY w1, w2),
 uni AS (
-    SELECT UNNEST(toks) AS w FROM toked
+    SELECT UNNEST(toks) AS w FROM toked WHERE is_train
 ),
 uni_cnt AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY w),
 tot AS (SELECT SUM(c1) AS total FROM uni_cnt),
@@ -403,13 +466,20 @@ bg_lp AS (
 ),
 scored AS (
     SELECT big.doc_id, COUNT(*) AS n_bigrams,
-           CAST(SUM(COALESCE(bl.lp_big, ul.lp_back)) AS BIGINT) AS lp_sum
+           CAST(SUM(CASE WHEN bl.lp_big IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_backoff,
+           CAST(SUM(CASE WHEN bl.lp_big IS NULL AND ul.lp_back IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(COALESCE(bl.lp_big, ul.lp_back,
+               CAST(FLOOR(LN({_BB_BACKOFF}
+                             / CAST((SELECT total FROM tot) AS DOUBLE)) * 1e6)
+                    AS BIGINT))) AS BIGINT) AS lp_sum
     FROM big
     LEFT JOIN bg_lp bl ON big.w1 = bl.w1 AND big.w2 = bl.w2
-    JOIN uni_lp ul ON big.w2 = ul.w2
+    LEFT JOIN uni_lp ul ON big.w2 = ul.w2
     GROUP BY big.doc_id
 )
-SELECT doc_id, n_bigrams,
+SELECT doc_id, n_bigrams, n_backoff, n_oov,
        ROUND(CAST(lp_sum AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1e6), 6)
            AS mean_lp
 FROM scored
@@ -439,16 +509,11 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both lists are TakeOrdered top-{n} — the fusion runs on
     2x{n} rows regardless of corpus size.
     """.format(n=_RRF_LIST, k=_RRF_K)
-    from waterbear_spark.queries.wave7 import _EVAL_TERMS
+    from waterbear_spark.queries.llm import _tokens
+    from waterbear_spark.queries.wave7 import _eval_scores
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
-    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
-
-    def count_term(term: str):
-        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
-
-    score = sum(count_term(t) for t in _EVAL_TERMS)
-    cover = sum(F.array_contains(toks, t).cast("int") for t in _EVAL_TERMS)
+    score, cover = _eval_scores(_tokens(F.col("text")))
     scored = docs.select(
         "doc_id", score.alias("score"), cover.alias("cover"), "n_chars"
     ).persist()
@@ -486,19 +551,13 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rrf_sql() -> str:
-    from waterbear_spark.queries.wave7 import _EVAL_TERMS
+    from waterbear_spark.queries.llm import TOKENS_SQL
+    from waterbear_spark.queries.wave7 import _eval_scores_sql
 
-    score = " + ".join(
-        f"len(list_filter(toks, t -> t = '{term}'))" for term in _EVAL_TERMS
-    )
-    cover = " + ".join(
-        f"CAST(list_contains(toks, '{term}') AS INT)" for term in _EVAL_TERMS
-    )
+    score, cover = _eval_scores_sql()
     return f"""
 WITH toked AS (
-    SELECT doc_id, n_chars,
-           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
-               AS toks
+    SELECT doc_id, n_chars, {TOKENS_SQL} AS toks
     FROM documents
 ),
 scored AS (

@@ -126,7 +126,14 @@ def bipartite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from waterbear_spark.queries.graph import _und_edges
 
     und = _und_edges(spark, sf_dir).persist()
-    dist = und.agg(F.min("src").alias("node")).withColumn("d", F.lit(0))
+    # the isNotNull guard drops MIN(src)'s one all-NULL row on an empty
+    # edge list, so an empty graph reports n_reached = 0, not a phantom
+    # NULL-keyed node riding through every BFS round
+    dist = (
+        und.agg(F.min("src").alias("node"))
+        .filter(F.col("node").isNotNull())
+        .withColumn("d", F.lit(0))
+    )
     for _ in range(_BP_ROUNDS):
         dist = dist.localCheckpoint(eager=True)
         prop = (
@@ -186,7 +193,8 @@ def _bipartite_sql() -> str:
         prev = f"d{i}"
     return f"""
 WITH {_EDGES_CTE},
-d0 AS (SELECT MIN(src) AS node, 0 AS d FROM und),
+d0 AS (SELECT node, 0 AS d FROM (SELECT MIN(src) AS node FROM und)
+       WHERE node IS NOT NULL),
 {",".join(ctes)},
 color AS (SELECT node, d % 2 AS c FROM {prev}),
 conf AS (
@@ -216,10 +224,13 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neyman-optimal stratified sample allocation: n_h proportional to
     N_h * sigma_h over order-priority strata (sigma from exact
     integer-cents moments), integerized by the largest-remainder rule
-    ([[largest_remainder_allocation]]) so the budget of {b} is spent
-    EXACTLY. The how-many-rows-per-stratum decision every distributed
-    profiler/sampler makes; allocations are capped at N_h (a stratum
-    can't give more rows than it has).
+    ([[largest_remainder_allocation]]), which apportions the budget of
+    {b} exactly. Each allocation is then capped at N_h (a stratum can't
+    give more rows than it has); a binding cap leaves its surplus
+    unspent rather than silently re-spreading it — single-pass semantics
+    a distributed profiler can honor in one shuffle — and is flagged in
+    the ``capped`` column so the caller can see exactly where and why
+    sum(n_sample) < budget.
 
     Determinism: sigma uses decimal(38,0) cents moments and one sqrt;
     the weight shares quantize to integer parts-per-million BEFORE the
@@ -266,6 +277,11 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + (F.row_number().over(wr) <= F.col("short")).cast("bigint"),
                 F.col("n_pop"),
             ).alias("n_sample"),
+            (
+                F.col("floor_n")
+                + (F.row_number().over(wr) <= F.col("short")).cast("bigint")
+                > F.col("n_pop")
+            ).alias("capped"),
         )
         .orderBy("o_orderpriority")
     )
@@ -301,7 +317,10 @@ short AS (SELECT {_NEY_BUDGET} - SUM(floor_n) AS short FROM quota)
 SELECT o_orderpriority, n_pop, sigma,
        LEAST(floor_n + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, o_orderpriority)
                                  <= (SELECT short FROM short)
-                            THEN 1 ELSE 0 END, n_pop) AS n_sample
+                            THEN 1 ELSE 0 END, n_pop) AS n_sample,
+       floor_n + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, o_orderpriority)
+                           <= (SELECT short FROM short)
+                      THEN 1 ELSE 0 END > n_pop AS capped
 FROM quota
 ORDER BY o_orderpriority
 """

@@ -426,6 +426,33 @@ _EVAL_TERMS = ("spark", "merge", "window")
 _DISCOUNTS = tuple(1.0 / __import__("math").log2(r + 1) for r in range(1, _EVAL_K + 1))
 
 
+def _eval_scores(toks):
+    """(total query-term frequency, distinct-term coverage) over a token
+    array — the one scorer shared by [[retrieval_eval_ndcg]] and
+    [[rrf_fusion]], so a term or tokenizer change can't silently diverge
+    between the eval and the fusion queries."""
+
+    def count_term(term: str):
+        # NB: a 2-arg lambda (e.g. via a default arg) would make F.filter
+        # pass (element, index) — capture the term in a closure instead
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    score = sum(count_term(term) for term in _EVAL_TERMS)
+    cover = sum(F.array_contains(toks, term).cast("int") for term in _EVAL_TERMS)
+    return score, cover
+
+
+def _eval_scores_sql() -> tuple[str, str]:
+    """DuckDB twin of :func:`_eval_scores` over a ``toks`` column."""
+    score = " + ".join(
+        f"len(list_filter(toks, t -> t = '{term}'))" for term in _EVAL_TERMS
+    )
+    cover = " + ".join(
+        f"CAST(list_contains(toks, '{term}') AS INT)" for term in _EVAL_TERMS
+    )
+    return score, cover
+
+
 def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nDCG@{k} and MRR of a term-frequency ranker against graded
     term-coverage relevance: score(doc) = total occurrences of the
@@ -439,18 +466,10 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     both top-{k} selections are TakeOrdered; the DCG folds run over
     {k}-row relations. MRR is the first rank with rel > 0.
     """.format(k=_EVAL_K, t=len(_EVAL_TERMS))
+    from waterbear_spark.queries.llm import _tokens
+
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
-
-    def count_term(term: str):
-        # NB: a 2-arg lambda (e.g. via a default arg) would make F.filter
-        # pass (element, index) — capture the term in a closure instead
-        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
-
-    score = sum(count_term(term) for term in _EVAL_TERMS)
-    rel = sum(
-        F.array_contains(toks, term).cast("int") for term in _EVAL_TERMS
-    )
+    score, rel = _eval_scores(_tokens(F.col("text")))
     scored = docs.select(
         "doc_id", score.alias("score"), rel.alias("rel")
     ).persist()
@@ -521,18 +540,13 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _eval_sql() -> str:
+    from waterbear_spark.queries.llm import TOKENS_SQL
+
     disc_list = ", ".join(repr(d) for d in _DISCOUNTS)
-    score = " + ".join(
-        f"len(list_filter(toks, t -> t = '{term}'))" for term in _EVAL_TERMS
-    )
-    rel = " + ".join(
-        f"CAST(list_contains(toks, '{term}') AS INT)" for term in _EVAL_TERMS
-    )
+    score, rel = _eval_scores_sql()
     return f"""
 WITH toked AS (
-    SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
-               AS toks
+    SELECT doc_id, {TOKENS_SQL} AS toks
     FROM documents
 ),
 scored AS (
