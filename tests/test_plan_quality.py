@@ -94,8 +94,8 @@ NESTED_LOOP_OK = {
     "ldiversity_release",
     # prediction x 1-row actual-count confirmation
     "join_size_product_sum",
-    # unigram-total scalar against the vocabulary relation (same
-    # pattern as lm_quality_score)
+    # 1-row train-total scalar broadcast onto the exploded held-out
+    # bigrams (OOV floor needs the total on every row)
     "bigram_backoff_perplexity",
     # 1-row node/reached censuses against the 1-row conflict report
     "bipartite_check",
