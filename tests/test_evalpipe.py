@@ -80,3 +80,39 @@ def test_model_eval_matches_python_replay(spark):
     if report.threshold != -1.0:
         top = [r for r in test if scores[r[0]] >= report.threshold - 1e-9]
         assert len(top) <= len(test) / 5 + 1
+
+
+def _write_eval_tables(spark, sf_dir, orders, customers):
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderpriority string, o_orderstatus string",
+    ).write.parquet(f"{sf_dir}/orders.parquet")
+    spark.createDataFrame(
+        customers, "c_custkey long, c_mktsegment string"
+    ).write.parquet(f"{sf_dir}/customer.parquet")
+
+
+def test_unseen_test_category_scores_at_prior(spark, tmp_path):
+    """A test row whose category never appears in train must stay in
+    n_test and score at the train prior, not be dropped by the encoder
+    join (ADVICE round 3)."""
+    train_keys = [k for k in range(1, 400) if _bucket(k) < _TRAIN_PCT][:20]
+    test_key = next(k for k in range(1, 400) if _bucket(k) >= _TRAIN_PCT)
+
+    orders = [
+        (k, 1 + (i % 2), "P1" if i % 2 else "P2", "F" if i % 3 else "O")
+        for i, k in enumerate(train_keys)
+    ]
+    # the lone test row carries a priority AND a segment train never saw
+    orders.append((test_key, 99, "RARE", "F"))
+    customers = [(1, "SEGA"), (2, "SEGB"), (99, "SEGZ")]
+    _write_eval_tables(spark, str(tmp_path), orders, customers)
+
+    report, scored = model_eval(spark, str(tmp_path))
+    assert report.n_test == 1
+    prior = sum(1 for o in orders[:-1] if o[3] == "F") / len(train_keys)
+    got = scored.collect()[0]
+    assert abs(got["score"] - prior) < 1e-9
+    # single-row test split is single-class: AUC guard, no ZeroDivisionError
+    assert report.auc == 0.5
+    assert abs(report.brier - (prior - 1) ** 2) < 1e-9

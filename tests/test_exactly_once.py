@@ -44,6 +44,28 @@ def test_uncommitted_half_write_is_invisible(spark, tmp_path):
     assert {r.id for r in read_committed(spark, target).collect()} == {1, 2}
 
 
+def test_batch_ids_sort_numerically_and_empty_ledger_is_typed(spark, tmp_path):
+    import pytest
+
+    target = str(tmp_path / "sink")
+    # empty ledger: typed return with schema, hard error without
+    empty = read_committed(spark, target, schema="id long, v string")
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id", "v", "batch_id"]
+    with pytest.raises(FileNotFoundError):
+        read_committed(spark, target)
+
+    # 11 batches: lexicographic id order would read 0,1,10,2,... — the
+    # committed frame must carry ids 0..10 and union cleanly with the
+    # pre-commit empty frame (same schema)
+    for bid in range(11):
+        b = spark.createDataFrame([(bid, "x")], "id long, v string")
+        assert idempotent_append(b, bid, target) is True
+    got = read_committed(spark, target)
+    assert sorted(r["batch_id"] for r in got.collect()) == list(range(11))
+    assert empty.unionByName(got).count() == 11
+
+
 def test_streaming_foreachbatch_integration(spark, tmp_path):
     """Drive it through a real writeStream.foreachBatch, then re-run the
     same batches manually to prove replay safety end to end."""

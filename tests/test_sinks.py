@@ -377,6 +377,24 @@ def test_delete_where(spark, tmp_path):
     )
 
 
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    # SQL DELETE semantics: a NULL predicate ('v > 5' with NULL v) is
+    # not TRUE, so the row must survive the delete — not vanish from
+    # both the kept side and the deleted count
+    from waterbear_spark.sources.sinks import delete_where
+
+    target = str(tmp_path / "null_gdpr")
+    spark.createDataFrame(
+        [(1, 10), (2, None), (3, 3)], "id long, v int"
+    ).write.parquet(target)
+
+    n = delete_where(spark, target, "v > 5")
+    assert n == 1
+    left = spark.read.parquet(target)
+    assert {r["id"] for r in left.collect()} == {2, 3}
+    assert left.filter("v IS NULL").count() == 1
+
+
 def test_overwrite_partitions_touches_only_written_days(spark, tmp_path):
     import os
 

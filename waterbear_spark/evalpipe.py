@@ -84,14 +84,25 @@ def model_eval(spark: SparkSession, sf_dir: str) -> tuple[EvalReport, DataFrame]
 
     enc_p = _fit_encoder(train, "o_orderpriority")
     enc_s = _fit_encoder(train, "c_mktsegment")
+    # the train prior is the m-estimate's zero-evidence limit, so it is
+    # the score for a test category the train split never saw; LEFT
+    # joins + coalesce keep such rows in n_test/AUC/Brier instead of
+    # silently dropping them (inner joins would)
+    prior = train.agg(
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("p")
+    ).collect()[0]["p"]
     scored = (
-        test.join(F.broadcast(enc_p), "o_orderpriority")
-        .join(F.broadcast(enc_s), "c_mktsegment")
+        test.join(F.broadcast(enc_p), "o_orderpriority", "left")
+        .join(F.broadcast(enc_s), "c_mktsegment", "left")
         .select(
             "o_orderkey",
             "y",
             (
-                (F.col("enc_o_orderpriority") + F.col("enc_c_mktsegment")) / 2.0
+                (
+                    F.coalesce("enc_o_orderpriority", F.lit(prior))
+                    + F.coalesce("enc_c_mktsegment", F.lit(prior))
+                )
+                / 2.0
             ).alias("score"),
         )
     ).persist()
@@ -126,7 +137,12 @@ def model_eval(spark: SparkSession, sf_dir: str) -> tuple[EvalReport, DataFrame]
         F.sum("cnt").alias("n_test"),
     ).collect()[0]
     n_pos, n_neg, n_test = agg["n_pos"], agg["n_neg"], agg["n_test"]
-    auc = (float(agg["two_r1"]) - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg)
+    if n_pos and n_neg:
+        auc = (float(agg["two_r1"]) - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg)
+    else:
+        # single-class test split: AUC is undefined; 0.5 (the no-skill
+        # value) keeps the report finite instead of dividing by zero
+        auc = 0.5
 
     base_rate = n_pos / n_test
     brier = scored.agg(

@@ -301,6 +301,11 @@ _MP4_MAX_BOXES = 6
 _FTYP_HEX = "66747970"  # 'ftyp'
 _MOOV_HEX = "6D6F6F76"  # 'moov'
 _MDAT_HEX = "6D646174"  # 'mdat'
+_MVHD_HEX = "6D766864"  # 'mvhd'
+# how far into the moov payload the mvhd child is searched for: mvhd is
+# conventionally moov's first child, but ISO-BMFF does not require it,
+# so a bounded scan (not a fixed offset) locates it
+_MVHD_SCAN_BYTES = 256
 
 
 def mp4_box_walk(df: DataFrame, data_col: str = "data") -> DataFrame:
@@ -310,24 +315,52 @@ def mp4_box_walk(df: DataFrame, data_col: str = "data") -> DataFrame:
     offset past the first box. The walk is a bounded fold over
     ``_MP4_MAX_BOXES`` steps carrying (offset, brand, duration,
     mdat_bytes, n_boxes): each step reads the box header at the current
-    offset, captures the ftyp major brand, the mvhd duration (version-0
-    layout: moov payload at +4 flags, +4 timescale, then u32 duration),
-    and the mdat payload size, then hops ``size`` forward; it freezes on
-    a malformed header (size < 8 or overrunning the buffer). A payload
+    offset, captures the ftyp major brand, the movie duration, and the
+    mdat payload size, then hops ``size`` forward; it freezes on a
+    malformed header (size < 8 or overrunning the buffer). A payload
     whose first box is not ``ftyp`` is not an MP4: all fields null.
-    Entirely JVM-side binary slicing — no codec, no Python.
 
-    Scale: <= 6 header reads of <= 4 bytes per row, map-only; payload
-    bytes (mdat can be gigabytes in real files) are never touched, so
-    triage cost is independent of media size — the property that makes
-    header-level routing viable at 100 TB.
+    The duration lives in the ``mvhd`` FullBox NESTED inside ``moov``
+    (moov is a pure container): the walk scans the first
+    ``_MVHD_SCAN_BYTES`` of the moov payload for the mvhd header
+    (byte-aligned hex search), then branches on the mvhd version —
+    v0: u32 duration at mvhd offset +24 (after 8-byte header,
+    version/flags, creation, modification, timescale); v1: u64 at +32
+    (the timestamps widen to u64). An unlocatable or misaligned mvhd
+    yields NULL duration, never a garbage read. Entirely JVM-side
+    binary slicing — no codec, no Python.
+
+    Scale: <= 6 header reads of <= 4 bytes per row plus one bounded
+    256-byte scan, map-only; payload bytes (mdat can be gigabytes in
+    real files) are never touched, so triage cost is independent of
+    media size — the property that makes header-level routing viable
+    at 100 TB.
     """
 
     def be32(pos):
         return F.conv(F.hex(F.substr(F.col(data_col), pos, F.lit(4))), 16, 10)
 
+    def be64(pos):
+        return F.conv(F.hex(F.substr(F.col(data_col), pos, F.lit(8))), 16, 10)
+
     first_type = F.hex(F.substring(F.col(data_col), 5, 4))
     sig_ok = first_type == F.lit(_FTYP_HEX)
+
+    def mvhd_duration(moov_off):
+        """Scan the moov payload for the mvhd child; parse per version."""
+        window = F.hex(
+            F.substr(F.col(data_col), moov_off + 8, F.lit(_MVHD_SCAN_BYTES))
+        )
+        hit = F.instr(window, F.lit(_MVHD_HEX))  # 1-based in hex chars
+        # a hit at an even hex position straddles a byte boundary — not
+        # a real type field; (hit-1)/2 is then the byte offset of 'mvhd'
+        # within the payload, and the box header starts 4 bytes earlier
+        aligned = (hit > 0) & (hit % 2 == 1)
+        byte_off = ((hit - 1) / 2).cast("long")  # exact: hit is odd here
+        s = moov_off + 8 + byte_off - 4  # mvhd box start (1-based)
+        version = F.conv(F.hex(F.substr(F.col(data_col), s + 8, F.lit(1))), 16, 10)
+        dur = F.when(version == 1, be64(s + 32)).otherwise(be32(s + 24))
+        return F.when(aligned, dur.cast("long"))
 
     def step(acc, _):
         live = acc.off.isNotNull()
@@ -347,10 +380,7 @@ def mp4_box_walk(df: DataFrame, data_col: str = "data") -> DataFrame:
             )
             .alias("brand"),
             F.when(acc.dur.isNotNull(), acc.dur)
-            .when(
-                fits & (type_hex == _MOOV_HEX),
-                be32(acc.off + 16).cast("int"),
-            )
+            .when(fits & (type_hex == _MOOV_HEX), mvhd_duration(acc.off))
             .alias("dur"),
             F.when(acc.mdat.isNotNull(), acc.mdat)
             .when(fits & (type_hex == _MDAT_HEX), (size - 8).cast("int"))
@@ -363,7 +393,7 @@ def mp4_box_walk(df: DataFrame, data_col: str = "data") -> DataFrame:
         F.struct(
             F.lit(1).cast("long").alias("off"),
             F.lit(None).cast("string").alias("brand"),
-            F.lit(None).cast("int").alias("dur"),
+            F.lit(None).cast("long").alias("dur"),
             F.lit(None).cast("int").alias("mdat"),
             F.lit(0).alias("n"),
         ),

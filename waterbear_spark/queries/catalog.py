@@ -126,145 +126,17 @@ assert set(ORACLE_SQL) <= set(QUERIES), "oracle without query"
 # CORRECTNESS_LOCAL.json (scripts/check_oracle.py, full catalog) remains
 # the per-round local certification on top.
 _PRIORITY = [
-    # --- driver window (first 50 of this list): round-2 verdict item 1,
-    # with late-round-3 semantics changes prepended per the policy above
-    # (the last 3 pre-change window entries — multimodal_jpeg_dims,
-    # leakage_free_split, skew_key_census — shift just past the window
-    # and lead the round-4 rotation) ---
-    # 3 late-round-3 semantics changes (held-out backoff LM with a
-    # reachable backoff branch + n_backoff/n_oov columns, Neyman `capped`
-    # cap-surplus flag, bipartite empty-graph phantom-node guard):
-    "bigram_backoff_perplexity",
-    "neyman_allocation",
-    "bipartite_check",
-    # 4 round-3 semantics fixes whose prior evidence predates the fix
-    # (max-tie earliest pick, floor-div blocking, zero-size NTILE tiles,
-    # try_* census error paths):
-    "downsample_minmax",
-    "key_islands",
-    "equidepth_histogram",
-    "ansi_safe_arithmetic",
-    # the 37 queries never driver-verified as of round 2 (VERDICT.md
-    # 'What's missing' #1: the llm dedup/ANN family, graph.py, textops,
-    # pandas/UDTF surface, profile/diff/checksum, q22, quality trio):
-    "ann_hyperplane_buckets",
-    "ann_ivf_kmeans",
-    "approx_distinct",
-    "bfs_shortest_paths",
-    "checksum_orders",
-    "decontaminate_overlap",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_near_minhash",
-    "deterministic_split",
-    "doc_chunking",
-    "doc_fingerprint",
-    "doc_quality",
-    "embedding_knn_label",
-    "embedding_topk",
-    "fuzzy_join_parts",
-    "label_propagation_communities",
-    "lang_id",
-    "ngram_jaccard_pairs",
-    "pagerank_bipartite",
-    "pandas_median_chars",
-    "pandas_zscore_chars",
-    "pii_redaction",
-    "profile_table",
-    "q22_idle_customers",
-    "quality_quarantine_customer",
-    "quality_report_customer",
-    "quality_report_event",
-    "repetition_signals",
-    "simhash_near_dup",
-    "table_diff_orders",
-    "text_stats",
-    "token_counting",
-    "triangle_count_nations",
-    "udtf_tokenize",
-    "vocab_top_terms",
-    # 9 flagship round-3 additions: the measured-recall report
-    # (verdict item 3), the streaming batch-twins (verdict item 8), and
-    # the headline new operators:
-    "dedup_recall_report",
-    "session_metrics_user",
-    "dedup_stream_replay",
-    "sentence_dedup_c4",
-    "dedup_clusters_star",
-    "bm25_search",
-    # --- past the window from here (entries 51+): first in line for the
-    # round-4 rotation, ahead of the remaining round-3 additions ---
-    "multimodal_jpeg_dims",
-    "leakage_free_split",
-    "skew_key_census",
-    # remaining round-3 additions, never driver-verified, so they
-    # outrank the long-validated tail in rounds 4+:
-    "dup_span_census",
-    "bpe_pair_counts",
-    "temperature_mix_weights",
-    "acf_daily_revenue",
-    "rolling_ols_slope",
-    "recursive_org_rollup",
-    "lateral_top_orders",
-    "freshness_report",
-    "rfm_segments",
-    "inverted_index_postings",
-    "sorted_neighborhood_pairs",
-    "itemset_pair_lift",
-    "cusum_changepoints",
-    "stl_decompose_daily",
-    "gapfill_interpolate_daily",
-    "benford_first_digit",
-    "holt_linear_forecast",
-    "interval_bucket_overlap",
-    "zipf_fit_tokens",
-    "er_golden_records",
-    "rolling_median_revenue",
-    "theil_sen_revenue_trend",
-    "ks_test_order_status",
-    "gini_customer_revenue",
-    "scd2_snapshot_at",
-    "mannwhitney_order_status",
+    # --- round 4: only semantics-changed queries are pinned; everything
+    # else is handled by the least-recently-verified rotation below (the
+    # ~100 never-driver-verified round-3 additions sort as round 0 and
+    # fill the rest of the window automatically) ---
+    # k-core now peels to a true fixpoint (was 4 fixed rounds) and its
+    # oracle unrolls 6 materialized rounds:
     "kcore_decomposition",
-    "haversine_nearest_hub",
-    "bool_bit_aggs",
-    "hypothetical_rank",
-    "semi_additive_balance",
-    "feature_hashing",
-    "status_streaks",
-    "target_encoding",
-    "point_in_polygon",
-    "rake_keywords",
-    "mase_forecast_accuracy",
-    "kmv_set_ops",
-    "bootstrap_ci_mean",
-    "ab_test_proportions",
-    "harmonic_centrality",
-    "containment_join",
-    "decile_lift_table",
-    "roc_auc_exact",
-    "psi_stability",
-    "diff_in_diff",
-    "retrieval_eval_ndcg",
-    "fellegi_sunter_weights",
-    "grid_dbscan",
-    "rolling_origin_backtest",
-    "frequent_triples",
-    "event_trigrams",
-    "late_arrival_census",
-    "filter_clause_aggs",
-    "set_ops_all",
-    "group_order_by_all",
-    "calibration_brier",
-    "holt_winters_seasonal",
-    "ldiversity_release",
-    "trajectory_length",
-    "join_size_product_sum",
-    "rrf_fusion",
-    "percentile_sla_by_type",
-    "anova_oneway_dow",
-    "welch_ttest_segments",
+    # mvhd duration now parsed from the REAL nested FullBox layout
+    # (v0/v1 branch, bounded child scan) and the synthetic payloads
+    # carry that layout:
+    "multimodal_mp4_walk",
 ]
 
 

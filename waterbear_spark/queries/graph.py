@@ -97,7 +97,7 @@ def _pagerank_sql() -> str:
     prev = "r0"
     for i in range(1, _ITERS + 1):
         iter_ctes.append(
-            f"""r{i} AS (
+            f"""r{i} AS MATERIALIZED (
     SELECT dst AS node,
            (SELECT ({_SCALE} * {_DAMP_DEN - _DAMP_NUM}) // {_DAMP_DEN} // c FROM n)
            + (SUM({prev}.r // deg.deg) * {_DAMP_NUM}) // {_DAMP_DEN} AS r
@@ -201,7 +201,7 @@ def triangle_count_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRIANGLE_SQL = f"""
-WITH pair_rev AS (
+WITH pair_rev AS MATERIALIZED (
     SELECT LEAST(n1.n_name, n2.n_name) AS a,
            GREATEST(n1.n_name, n2.n_name) AS b,
            SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS rev
@@ -316,7 +316,7 @@ def _lpa_sql() -> str:
     prev = "l0"
     for i in range(1, _LPA_ROUNDS + 1):
         ctes.append(
-            f"""l{i} AS (
+            f"""l{i} AS MATERIALIZED (
     SELECT src AS node, label FROM (
         SELECT u.src, {prev}.label,
                ROW_NUMBER() OVER (
@@ -330,7 +330,7 @@ def _lpa_sql() -> str:
         )
         prev = f"l{i}"
     return f"""
-WITH pair_rev AS (
+WITH pair_rev AS MATERIALIZED (
     SELECT LEAST(n1.n_name, n2.n_name) AS a,
            GREATEST(n1.n_name, n2.n_name) AS b,
            SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS rev
@@ -343,13 +343,13 @@ WITH pair_rev AS (
     WHERE n1.n_name <> n2.n_name
     GROUP BY 1, 2
 ),
-edges AS (
+edges AS MATERIALIZED (
     SELECT a, b FROM (
         SELECT a, b, ROW_NUMBER() OVER (ORDER BY rev DESC, a, b) AS rk
         FROM pair_rev
     ) WHERE rk <= {_TOP_EDGES}
 ),
-und AS (
+und AS MATERIALIZED (
     SELECT a AS src, b AS dst FROM edges
     UNION ALL
     SELECT b AS src, a AS dst FROM edges
@@ -365,8 +365,13 @@ ORDER BY n_members DESC, community
 
 _BFS_ROUNDS = 4
 
+# AS MATERIALIZED throughout the chained-CTE oracles: DuckDB inlines
+# plain CTEs, so a round that references its predecessor m times costs
+# m^rounds re-evaluations of this whole star join (the 3-ref k-core
+# unroll at 8 rounds exhausted file descriptors re-opening the parquet
+# 6561 times). Materialization makes every unroll linear.
 _EDGES_CTE = f"""
-pair_rev AS (
+pair_rev AS MATERIALIZED (
     SELECT LEAST(n1.n_name, n2.n_name) AS a,
            GREATEST(n1.n_name, n2.n_name) AS b,
            SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS rev
@@ -379,13 +384,13 @@ pair_rev AS (
     WHERE n1.n_name <> n2.n_name
     GROUP BY 1, 2
 ),
-edges AS (
+edges AS MATERIALIZED (
     SELECT a, b FROM (
         SELECT a, b, ROW_NUMBER() OVER (ORDER BY rev DESC, a, b) AS rk
         FROM pair_rev
     ) WHERE rk <= {_TOP_EDGES}
 ),
-und AS (
+und AS MATERIALIZED (
     SELECT a AS src, b AS dst FROM edges
     UNION ALL
     SELECT b AS src, a AS dst FROM edges
@@ -466,7 +471,7 @@ def _bfs_sql() -> str:
     prev = "d0"
     for i in range(1, _BFS_ROUNDS + 1):
         ctes.append(
-            f"""d{i} AS (
+            f"""d{i} AS MATERIALIZED (
     SELECT node, MIN(d) AS d FROM (
         SELECT node, d FROM {prev}
         UNION ALL
@@ -487,37 +492,64 @@ SELECT node, d FROM {prev} ORDER BY d, node
 
 
 _KCORE_K = 3
-_KCORE_ROUNDS = 4
+# loop guard only — peeling runs to a FIXPOINT (a round that drops no
+# edge), never to a fixed round count: on adversarial shapes (a path
+# graph peels one node per round) truncation would return nodes whose
+# degree is still < k, i.e. not a k-core at all (ADVICE round 3)
+_KCORE_MAX_ROUNDS = 64
+# the oracle unrolls this many peel rounds; past the fixpoint extra
+# rounds are identities, so it is exact as long as the test data
+# converges within the unroll (measured: sf0.01 converges by round 4 —
+# rounds 4 and 6 return identical cores; and the Spark side runs to a
+# true fixpoint, so a dataset needing more rounds diverges loudly in
+# the differential check rather than silently truncating both engines)
+_KCORE_SQL_ROUNDS = 6
 
 
 def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (k=3) of the nation trade graph by
     synchronous peeling: each round drops every node whose degree in the
     surviving subgraph is below k, then drops edges touching dropped
-    nodes; four rounds bound the peel depth (the graph is ~50 nodes, and
-    at any scale the peel converges in O(diameter)-ish rounds). The
-    output is the surviving core's per-node degree — the standard
-    graph-sampling/community-seed primitive. Integer degrees only, so
-    the chained-CTE oracle is bit-identical.
+    nodes, iterating until a round drops nothing — the fixpoint is what
+    makes the survivors a true k-core (every remaining node has degree
+    >= k IN the surviving subgraph). The output is the core's per-node
+    degree — the standard graph-sampling/community-seed primitive.
+    Integer degrees only, so the chained-CTE oracle is bit-identical.
 
     Scale: same Pregel loop discipline as [[bfs_shortest_paths]] — per
     round one degree aggregate (|nodes| rows) broadcast back onto the
-    edge list; state linear in nodes, edge list shuffled never (the
-    semi-joins broadcast the tiny survivor set).
+    edge list plus one count for the convergence test; state linear in
+    nodes, edge list shuffled never (the semi-joins broadcast the tiny
+    survivor set). Peel depth is data-dependent (O(nodes) worst case on
+    a path graph); ``_KCORE_MAX_ROUNDS`` is a runaway guard, and hitting
+    it raises instead of returning a non-core.
     """
-    alive = _und_edges(spark, sf_dir)
-    for _ in range(_KCORE_ROUNDS):
+    alive = peel_kcore(_und_edges(spark, sf_dir), _KCORE_K)
+    return (
+        alive.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy("node")
+    )
+
+
+def peel_kcore(edges: DataFrame, k: int) -> DataFrame:
+    """Peel a symmetric (both-directions) edge list to its k-core
+    fixpoint; returns the surviving edges."""
+    alive = edges.localCheckpoint(eager=True)
+    n_edges = alive.count()
+    for _ in range(_KCORE_MAX_ROUNDS):
+        if n_edges == 0:
+            break
+        keep = (
+            alive.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+        )
         # truncate lineage each round: `alive` feeds both the degree
         # census and the semi-joins, so without a checkpoint the plan
         # tree doubles per round (exponential analysis cost — measured
         # 28 s of pure planning on a 100-edge graph)
-        alive = alive.localCheckpoint(eager=True)
-        keep = (
-            alive.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= _KCORE_K)
-            .select(F.col("src").alias("node"))
-        )
         alive = (
             alive.join(
                 F.broadcast(keep), alive["src"] == keep["node"], "left_semi"
@@ -527,24 +559,29 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("dst") == F.col("node2"),
                 "left_semi",
             )
+            .localCheckpoint(eager=True)
         )
-    return (
-        alive.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).alias("core_degree"))
-        .orderBy("node")
-    )
+        n_next = alive.count()
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    else:
+        raise RuntimeError(
+            f"k-core peel did not converge in {_KCORE_MAX_ROUNDS} rounds"
+        )
+    return alive
 
 
 def _kcore_sql() -> str:
     ctes = []
     prev = "e0"
-    for i in range(1, _KCORE_ROUNDS + 1):
+    for i in range(1, _KCORE_SQL_ROUNDS + 1):
         ctes.append(
-            f"""k{i} AS (
+            f"""k{i} AS MATERIALIZED (
     SELECT src AS node FROM {prev}
     GROUP BY src HAVING COUNT(*) >= {_KCORE_K}
 ),
-e{i} AS (
+e{i} AS MATERIALIZED (
     SELECT e.src, e.dst FROM {prev} e
     JOIN k{i} a ON e.src = a.node
     JOIN k{i} b ON e.dst = b.node
@@ -553,7 +590,7 @@ e{i} AS (
         prev = f"e{i}"
     return f"""
 WITH {_EDGES_CTE},
-e0 AS (SELECT src, dst FROM und),
+e0 AS MATERIALIZED (SELECT src, dst FROM und),
 {",".join(ctes)}
 SELECT src AS node, COUNT(*) AS core_degree
 FROM {prev} GROUP BY src ORDER BY node

@@ -325,11 +325,14 @@ ORDER BY is_jpeg
 
 def multimodal_mp4_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variable-offset parsing proof for the ISO-BMFF box walk: build
-    MP4 payloads as ftyp + variable-size free + moov(mvhd stub) + mdat
-    boxes — the free box's doc-dependent padding shifts every later box,
-    so only a real walk recovers the moov duration and mdat size — mix
-    in junk rows, and parse with ``mp4_box_walk``. The oracle recomputes
-    the census from doc_id arithmetic alone. Zero Python.
+    REAL-layout MP4 payloads — ftyp + variable-size free + moov
+    CONTAINING an mvhd FullBox child (v0 for even doc_ids, v1 with u64
+    timestamps for odd; every fifth doc also gets a 'free' child BEFORE
+    mvhd, so the mvhd offset inside moov varies too) + mdat. The outer
+    free box's doc-dependent padding shifts every later box, so only a
+    real walk recovers the duration and mdat size — mix in junk rows,
+    and parse with ``mp4_box_walk``. The oracle recomputes the census
+    from doc_id arithmetic alone. Zero Python.
     """
     from waterbear_spark.functions.multimodal import mp4_box_walk
 
@@ -346,6 +349,9 @@ def multimodal_mp4_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def be32(col):
         return F.unhex(F.lpad(F.hex(col.cast("int")), 8, "0"))
 
+    def zeros(n):
+        return F.unhex(F.repeat(F.lit("00"), F.lit(n)))
+
     ftyp = F.concat(
         be32(F.lit(16)),
         F.unhex(F.lit("66747970")),  # 'ftyp'
@@ -357,13 +363,50 @@ def multimodal_mp4_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(F.lit("66726565")),  # 'free'
         F.unhex(F.repeat(F.lit("00"), pad)),
     )
-    moov = F.concat(
-        be32(F.lit(24)),
-        F.unhex(F.lit("6D6F6F76")),  # 'moov'
-        be32(F.lit(0)),              # version/flags
+    # mvhd v0 (108 bytes): header, ver/flags=0, creation, modification,
+    # timescale, u32 duration, then 80 bytes (rate/volume/reserved/
+    # matrix/predefined/next_track_id — zeros suffice for the walk)
+    mvhd_v0 = F.concat(
+        be32(F.lit(108)),
+        F.unhex(F.lit("6D766864")),  # 'mvhd'
+        be32(F.lit(0)),              # version 0 + flags
+        be32(F.lit(3600)),           # creation_time
+        be32(F.lit(3601)),           # modification_time
         be32(F.lit(1000)),           # timescale
-        be32(dur),
-        be32(F.lit(0)),              # reserved
+        be32(dur),                   # duration (u32)
+        zeros(80),
+    )
+    # mvhd v1 (120 bytes): u64 creation/modification, u32 timescale,
+    # u64 duration (low word carries the value)
+    mvhd_v1 = F.concat(
+        be32(F.lit(120)),
+        F.unhex(F.lit("6D766864")),
+        F.unhex(F.lit("01000000")),  # version 1 + flags
+        zeros(8),                    # creation_time (u64)
+        zeros(8),                    # modification_time (u64)
+        be32(F.lit(1000)),           # timescale
+        zeros(4),                    # duration high word
+        be32(dur),                   # duration low word
+        zeros(80),
+    )
+    mvhd = F.when(F.col("doc_id") % 2 == 0, mvhd_v0).otherwise(mvhd_v1)
+    mvhd_size = F.when(F.col("doc_id") % 2 == 0, F.lit(108)).otherwise(
+        F.lit(120)
+    )
+    # every fifth doc: a 12-byte free child ahead of mvhd, so mvhd is
+    # NOT moov's first child and a fixed-offset parse would misread it
+    inner_free = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(be32(F.lit(12)), F.unhex(F.lit("66726565")), zeros(4)),
+    ).otherwise(F.lit(b""))
+    inner_free_size = F.when(F.col("doc_id") % 5 == 0, F.lit(12)).otherwise(
+        F.lit(0)
+    )
+    moov = F.concat(
+        be32(mvhd_size + inner_free_size + 8),
+        F.unhex(F.lit("6D6F6F76")),  # 'moov'
+        inner_free,
+        mvhd,
     )
     mdat = F.concat(
         be32(mdat_n + 8),

@@ -297,9 +297,16 @@ def delete_where(
     ``predicate`` from the table at ``target_path``. Returns the number
     of rows deleted.
 
+    SQL DELETE semantics (what Delta's DELETE does): a row is removed
+    only when the predicate evaluates to TRUE — rows where it evaluates
+    to NULL (e.g. ``v > 5`` on a NULL ``v``) are KEPT, not silently
+    dropped, so the keep-side is ``NOT pred OR pred IS NULL`` rather
+    than the naive ``NOT pred`` (which would lose NULL-predicate rows
+    from both sides — data a GDPR delete must not touch).
+
     Delta available -> a transactional file-pruned DELETE. Parquet
-    fallback -> keep-side rewrite (filter NOT predicate) with the same
-    staged-write + directory-swap discipline as ``merge_upsert``.
+    fallback -> keep-side rewrite with the same staged-write +
+    directory-swap discipline as ``merge_upsert``.
     At scale the expensive path is the keep-side rewrite of only the
     files that CONTAIN matches — which is exactly what Delta's file
     pruning buys; the fallback rewrites the whole table and is the
@@ -314,10 +321,11 @@ def delete_where(
         return before - spark.read.format("delta").load(target_path).count()
 
     df = spark.read.format(fmt).load(target_path)
-    n_dead = df.filter(predicate).count()
+    dead = F.coalesce(F.expr(predicate), F.lit(False))
+    n_dead = df.filter(dead).count()
     if n_dead == 0:
         return 0
-    kept = df.filter(f"NOT ({predicate})")
+    kept = df.filter(~dead)
     staging = f"{target_path}__staging_{uuid.uuid4().hex[:8]}"
     writer = kept.write.mode("overwrite").format(fmt)
     if partition_cols:

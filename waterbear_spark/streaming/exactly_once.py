@@ -42,12 +42,29 @@ def idempotent_append(batch: DataFrame, batch_id: int, target: str) -> bool:
     return True
 
 
-def read_committed(spark: SparkSession, target: str) -> DataFrame:
+def read_committed(
+    spark: SparkSession, target: str, schema: str | None = None
+) -> DataFrame:
     """Read ONLY committed batch directories (a crashed half-write has
-    no marker and is skipped)."""
+    no marker and is skipped). Batch ids sort numerically (lexicographic
+    would put '10' before '2' and break any order-sensitive consumer).
+
+    ``schema`` (DDL string) types the empty-ledger return so downstream
+    unions/selects against a populated sink keep working before the
+    first commit; without it an empty ledger is an error rather than a
+    silently wrong placeholder schema."""
     committed_dir = os.path.join(target, "_committed")
-    ids = sorted(os.listdir(committed_dir)) if os.path.isdir(committed_dir) else []
+    ids = (
+        sorted(os.listdir(committed_dir), key=int)
+        if os.path.isdir(committed_dir)
+        else []
+    )
     if not ids:
-        return spark.createDataFrame([], "batch_id bigint")
+        if schema is None:
+            raise FileNotFoundError(
+                f"no committed batches under {target}; pass schema= to "
+                "get a typed empty DataFrame instead"
+            )
+        return spark.createDataFrame([], f"{schema}, batch_id int")
     paths = [os.path.join(target, f"batch_id={i}") for i in ids]
     return spark.read.option("basePath", target).parquet(*paths)
