@@ -103,6 +103,11 @@ NESTED_LOOP_OK = {
     "neyman_allocation",
     # two 1-row cell aggregates joined into one readout row
     "welch_ttest_segments",
+    # census self-join on a theta condition (q1 < q2) over the bounded
+    # (quantity x discount) value domain, plus 1-row tie/total scalars
+    "kendall_tau_qty_disc",
+    # two 1-row distinct-set counts joined into one readout row
+    "ngram_novelty_rate",
 }
 
 

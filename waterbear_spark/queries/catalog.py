@@ -35,6 +35,7 @@ from waterbear_spark.queries import (
     wave9,
     wave10,
     wave11,
+    wave12,
 )
 
 QUERIES = {
@@ -66,6 +67,7 @@ QUERIES = {
     **wave9.QUERIES,
     **wave10.QUERIES,
     **wave11.QUERIES,
+    **wave12.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -100,6 +102,7 @@ ORACLE_SQL = {
     **wave9.ORACLES,
     **wave10.ORACLES,
     **wave11.ORACLES,
+    **wave12.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -137,6 +140,17 @@ _PRIORITY = [
     # (v0/v1 branch, bounded child scan) and the synthetic payloads
     # carry that layout:
     "multimodal_mp4_walk",
+    # the wave-12 additions (new this round, no evidence yet):
+    "kendall_tau_qty_disc",
+    "hhi_supplier_concentration",
+    "lorenz_curve_deciles",
+    "sparse_cosine_topk",
+    "ngram_novelty_rate",
+    "copurchase_projection",
+    "bpe_merge_rounds",
+    "markov_conditional_entropy",
+    "pearson_matrix",
+    "join_fanout_histogram",
 ]
 
 
