@@ -108,6 +108,8 @@ NESTED_LOOP_OK = {
     "kendall_tau_qty_disc",
     # two 1-row distinct-set counts joined into one readout row
     "ngram_novelty_rate",
+    # grand-total/shape scalar (n, r, c) against the contingency cells
+    "cramers_v_lang_source",
 }
 
 

@@ -36,6 +36,7 @@ from waterbear_spark.queries import (
     wave10,
     wave11,
     wave12,
+    wave13,
 )
 
 QUERIES = {
@@ -68,6 +69,7 @@ QUERIES = {
     **wave10.QUERIES,
     **wave11.QUERIES,
     **wave12.QUERIES,
+    **wave13.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -103,6 +105,7 @@ ORACLE_SQL = {
     **wave10.ORACLES,
     **wave11.ORACLES,
     **wave12.ORACLES,
+    **wave13.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -151,6 +154,15 @@ _PRIORITY = [
     "markov_conditional_entropy",
     "pearson_matrix",
     "join_fanout_histogram",
+    # the wave-13 additions (new this round, no evidence yet):
+    "weighted_sssp",
+    "graph_jaccard_links",
+    "wilcoxon_signed_rank",
+    "interval_coverage_user",
+    "cramers_v_lang_source",
+    "rendezvous_sharding",
+    "typo_dedup_vocab",
+    "dow_mad_anomalies",
 ]
 
 

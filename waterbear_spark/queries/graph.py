@@ -400,6 +400,14 @@ und AS MATERIALIZED (
 def _und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetrized top-100 nation trade edge list (src, dst) — the shared
     graph behind triangle counting, label propagation, and BFS."""
+    return und_edges_weighted(spark, sf_dir).select("src", "dst")
+
+
+def und_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized top-100 nation trade edges with an integer weight
+    (src, dst, w): w is the edge's revenue RANK (1 = heaviest pair), so
+    weighted traversals are fully integer/deterministic — the shared
+    weighted graph behind Bellman-Ford and neighborhood similarity."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     supp = table(spark, sf_dir, "supplier")
@@ -435,10 +443,37 @@ def _und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy(F.col("rev").desc(), F.col("a"), F.col("b"))
         ),
     )
-    edges = ranked.filter(F.col("rk") <= _TOP_EDGES).select("a", "b")
-    return edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    edges = ranked.filter(F.col("rk") <= _TOP_EDGES).select("a", "b", "rk")
+    return edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.col("rk").alias("w")
+    ).unionAll(
+        edges.select(
+            F.col("b").alias("src"), F.col("a").alias("dst"), F.col("rk").alias("w")
+        )
     )
+
+
+# weighted twin of _EDGES_CTE: undw carries the revenue-rank weight
+_WEDGES_CTE = (
+    _EDGES_CTE.replace(
+        """edges AS MATERIALIZED (
+    SELECT a, b FROM (""",
+        """edges AS MATERIALIZED (
+    SELECT a, b, rk FROM (""",
+    ).replace(
+        """und AS MATERIALIZED (
+    SELECT a AS src, b AS dst FROM edges
+    UNION ALL
+    SELECT b AS src, a AS dst FROM edges
+)""",
+        """undw AS MATERIALIZED (
+    SELECT a AS src, b AS dst, rk AS w FROM edges
+    UNION ALL
+    SELECT b AS src, a AS dst, rk AS w FROM edges
+),
+und AS MATERIALIZED (SELECT src, dst FROM undw)""",
+    )
+)
 
 
 def bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -142,7 +142,7 @@ tq AS (SELECT SUM(CAST(t AS DECIMAL(19,0)) * (t - 1)) AS t1
 td AS (SELECT SUM(CAST(t AS DECIMAL(19,0)) * (t - 1)) AS t2
        FROM (SELECT SUM(n) AS t FROM cells GROUP BY d)),
 nt AS (SELECT SUM(n) AS n FROM cells)
-SELECT n AS n_rows,
+SELECT CAST(n AS BIGINT) AS n_rows,
        CAST(c AS DOUBLE) AS concordant,
        CAST(dd AS DOUBLE) AS discordant,
        ROUND(2.0 * CAST(c - dd AS DOUBLE)
@@ -472,7 +472,7 @@ dots AS (
       ON a.term = b.term AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
-SELECT doc_a, doc_b, dot,
+SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
        ROUND(dot / (SQRT(na.ss) * SQRT(nb.ss)), 6) AS cosine
 FROM dots
 JOIN norms na ON na.doc_id = doc_a
@@ -738,7 +738,9 @@ w{i} AS MATERIALIZED (
     FROM {prev}
 )"""
         )
-        selects.append(f"SELECT {i} AS merge_round, pair, n FROM b{i}")
+        selects.append(
+            f"SELECT {i} AS merge_round, pair, CAST(n AS BIGINT) AS n FROM b{i}"
+        )
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -820,7 +822,7 @@ terms AS (
     FROM trans t JOIN tot USING (cur)
 )
 SELECT cur AS event_type,
-       SUM(n) AS n_transitions,
+       CAST(SUM(n) AS BIGINT) AS n_transitions,
        COUNT(*) AS n_next_types,
        ROUND(list_aggregate(list(term ORDER BY nxt), 'sum'), 8)
            AS cond_entropy
