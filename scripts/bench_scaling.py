@@ -92,6 +92,24 @@ HEAVY.update(
     }
 )
 
+# round-4 waves 12-13: the corpus-scaled joiners (postings self-join,
+# deletion-neighborhood join, order-keyed co-occurrence self-join), the
+# iterative BPE loop over a Heaps-law vocabulary, and the rank scaffolds
+# (customer census deciles, |diff| census, per-user interval windows)
+from waterbear_spark.queries import wave12, wave13  # noqa: E402
+
+HEAVY.update(
+    {
+        "sparse_cosine_topk": wave12.sparse_cosine_topk,
+        "typo_dedup_vocab": wave13.typo_dedup_vocab,
+        "bpe_merge_rounds": wave12.bpe_merge_rounds,
+        "copurchase_projection": wave12.copurchase_projection,
+        "lorenz_curve_deciles": wave12.lorenz_curve_deciles,
+        "wilcoxon_signed_rank": wave13.wilcoxon_signed_rank,
+        "interval_coverage_user": wave13.interval_coverage_user,
+    }
+)
+
 
 def run_all(spark, sf_dir, iters=2):
     # min over iterations: the first pass pays one-off codegen and file

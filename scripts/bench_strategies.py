@@ -262,6 +262,128 @@ def main():
         "engine": best2(spark, topk_takeordered),
     }
 
+    # --- Lorenz deciles: global row window vs value-census scaffold --------
+    from waterbear_spark.queries import wave12
+
+    def lorenz_naive():
+        rev = orders.groupBy("o_custkey").agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("v")
+        )
+        w = Window.orderBy("v", "o_custkey")
+        n = rev.count()
+        ranked = rev.withColumn("p", F.row_number().over(w))
+        per = (
+            ranked.select(
+                (F.floor((10 * (F.col("p") - 1)) / n) + 1).alias("decile"), "v"
+            )
+            .groupBy("decile")
+            .agg(
+                F.count(F.lit(1)).alias("n_cust"),
+                F.sum(F.col("v").cast("decimal(38,0)")).alias("rev"),
+            )
+        )
+        tot = F.sum("rev").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+        return per.select(
+            "decile",
+            "n_cust",
+            F.round(F.col("rev").cast("double") / tot.cast("double"), 8).alias(
+                "rev_share"
+            ),
+            F.round(
+                F.sum("rev").over(wc).cast("double") / tot.cast("double"), 8
+            ).alias("cum_share"),
+        )
+
+    def lorenz_engine():
+        return wave12.lorenz_curve_deciles(spark, SF_DIR)
+
+    assert fingerprint(lorenz_naive()) == fingerprint(lorenz_engine())
+    out["lorenz_deciles"] = {
+        "naive": best2(spark, lorenz_naive),
+        "engine": best2(spark, lorenz_engine),
+    }
+
+    # --- sparse cosine top-k: doc cross join vs inverted-index join --------
+    from waterbear_spark.queries.llm import _tokens
+    from waterbear_spark.queries.wave12 import _SC_MAXDF, _SC_TERMS, _SC_TOPK
+
+    documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tf = (
+        documents.select(
+            "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    keepw = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), "term")
+    pruned = (
+        tf.withColumn("rk", F.row_number().over(keepw))
+        .filter(F.col("rk") <= _SC_TERMS)
+        .drop("rk")
+        .join(
+            tf.withColumn("rk", F.row_number().over(keepw))
+            .filter(F.col("rk") <= _SC_TERMS)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= _SC_MAXDF)
+            .select("term"),
+            "term",
+        )
+        .persist()
+    )
+    pruned.count()
+
+    def cosine_naive():
+        vecs = pruned.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "tf"))
+            ).alias("m"),
+            F.sum(F.col("tf") * F.col("tf")).alias("ss"),
+        )
+        a = vecs.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("m").alias("ma"),
+            F.col("ss").alias("ssa"),
+        )
+        b = vecs.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("m").alias("mb"),
+            F.col("ss").alias("ssb"),
+        )
+        pairs = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+        dot = F.aggregate(
+            F.map_entries("ma"),
+            F.lit(0).cast("bigint"),
+            lambda acc, e: acc
+            + e["value"] * F.coalesce(F.element_at("mb", e["key"]), F.lit(0)),
+        )
+        return (
+            pairs.select("doc_a", "doc_b", dot.alias("dot"), "ssa", "ssb")
+            .filter(F.col("dot") > 0)
+            .select(
+                "doc_a",
+                "doc_b",
+                "dot",
+                F.round(
+                    F.col("dot") / (F.sqrt("ssa") * F.sqrt("ssb")), 6
+                ).alias("cosine"),
+            )
+            .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
+            .limit(_SC_TOPK)
+        )
+
+    def cosine_engine():
+        return wave12.sparse_cosine_topk(spark, SF_DIR)
+
+    assert fingerprint(cosine_naive()) == fingerprint(cosine_engine())
+    out["sparse_cosine_topk"] = {
+        "naive": best2(spark, cosine_naive),
+        "engine": best2(spark, cosine_engine),
+    }
+
     for k, v in out.items():
         v["speedup"] = round(v["naive"] / v["engine"], 2) if v["engine"] else None
     print(json.dumps({"metric": "strategy_ab", "unit": "sec", "sf_dir": SF_DIR, "cases": out}))

@@ -70,6 +70,13 @@ SHOWCASE = {
     "trajectory_length": "sequential geospatial: one user shuffle, row-local haversine, decimal sums, TakeOrdered",
     "grid_dbscan": "cell-DBSCAN: density on the cell relation, star-CC merge — no point epsilon-join in the plan",
     "holt_winters_seasonal": "3-state seasonal recurrence: day-grain fold after one combinable daily aggregate",
+    "kendall_tau_qty_disc": "tau-b on the value census: one combinable cell aggregate, |cells|^2 broadcast theta join",
+    "sparse_cosine_topk": "sparse cosine: capped postings (per-doc window), df-pruned inverted-index equi self-join, TakeOrdered",
+    "lorenz_curve_deciles": "Lorenz deciles: two-level bucket prefix sums, 10-way census explode — no global row sort",
+    "typo_dedup_vocab": "deletion-neighborhood blocking: vocab-sized variant explode, equi-join on variant, levenshtein verify",
+    "weighted_sssp": "Bellman-Ford round: broadcast distance vector onto edges, min-aggregate on dst, lineage checkpointed",
+    "interval_coverage_user": "interval union: per-user windows share one Exchange, islands from running max-end",
+    "rendezvous_sharding": "HRW sharding: in-row 10/11-element argmax, two bounded shard censuses, full outer on shard",
 }
 
 
