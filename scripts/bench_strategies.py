@@ -274,7 +274,12 @@ def main():
         ranked = rev.withColumn("p", F.row_number().over(w))
         per = (
             ranked.select(
-                (F.floor((10 * (F.col("p") - 1)) / n) + 1).alias("decile"), "v"
+                # cast to int: xxhash64 is type-sensitive and the engine
+                # side's decile comes from an int sequence explode
+                (F.floor((10 * (F.col("p") - 1)) / n) + 1)
+                .cast("int")
+                .alias("decile"),
+                "v",
             )
             .groupBy("decile")
             .agg(
