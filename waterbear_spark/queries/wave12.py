@@ -109,6 +109,9 @@ def kendall_tau_qty_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n_tot)
     )
     t0 = (F.col("n").cast(_D19) * (F.col("n") - 1)).cast(_D38)
+    # empty input seeds one all-NULL row from the ungrouped aggregates;
+    # tau-b also needs >= 2 rows to have any pair at all
+    joined = joined.filter(F.col("n").isNotNull() & (F.col("n") >= 2))
     return joined.select(
         F.col("n").alias("n_rows"),
         F.col("c").cast("double").alias("concordant"),
@@ -150,6 +153,7 @@ SELECT CAST(n AS BIGINT) AS n_rows,
                     * CAST(CAST(n AS DECIMAL(19,0)) * (n - 1) - t2 AS DOUBLE)),
              6) AS tau_b
 FROM cd, tq, td, nt
+WHERE n IS NOT NULL AND n >= 2
 """
 
 
@@ -534,6 +538,9 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         test.agg(F.count(F.lit(1)).alias("n_test_grams"))
         .crossJoin(novel.agg(F.count(F.lit(1)).alias("n_novel")))
+        # an empty test split has no denominator: report nothing rather
+        # than a NULL-rate row
+        .filter(F.col("n_test_grams") > 0)
         .select(
             "n_test_grams",
             "n_novel",
@@ -558,13 +565,15 @@ shingles AS MATERIALIZED (
     FROM toks WHERE len(toks) >= 3
 ),
 train AS (SELECT DISTINCT g FROM shingles WHERE is_train),
-test AS (SELECT DISTINCT g FROM shingles WHERE NOT is_train)
-SELECT (SELECT COUNT(*) FROM test) AS n_test_grams,
-       (SELECT COUNT(*) FROM test WHERE g NOT IN (SELECT g FROM train))
-           AS n_novel,
-       ROUND(CAST((SELECT COUNT(*) FROM test
-                   WHERE g NOT IN (SELECT g FROM train)) AS DOUBLE)
-             / (SELECT COUNT(*) FROM test), 6) AS novelty_rate
+test AS (SELECT DISTINCT g FROM shingles WHERE NOT is_train),
+agg AS (
+    SELECT (SELECT COUNT(*) FROM test) AS n_test_grams,
+           (SELECT COUNT(*) FROM test WHERE g NOT IN (SELECT g FROM train))
+               AS n_novel
+)
+SELECT n_test_grams, n_novel,
+       ROUND(CAST(n_novel AS DOUBLE) / n_test_grams, 6) AS novelty_rate
+FROM agg WHERE n_test_grams > 0
 """
 
 
@@ -671,13 +680,16 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("pair"),
         )
-        best = (
+        top = (
             pairs.groupBy("pair")
             .agg(F.sum("f").alias("n"))
             .orderBy(F.col("n").desc(), "pair")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not top:  # vocabulary exhausted (or empty corpus): no pair left
+            break
+        best = top[0]
         rules.append((rnd, best["pair"], best["n"]))
         a_b = " " + best["pair"].replace(" ", "  ") + " "
         ab = " " + best["pair"].replace(" ", "") + " "

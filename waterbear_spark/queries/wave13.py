@@ -73,8 +73,12 @@ def weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     returning non-shortest paths.
     """
     undw = und_edges_weighted(spark, sf_dir).persist()
+    # isNotNull: MIN(src) on an empty edge list seeds one all-NULL row
+    # that would otherwise ride through every relaxation round (the
+    # [[bipartite_check]] phantom-node lesson)
     dist = (
         undw.agg(F.min("src").alias("node"))
+        .filter(F.col("node").isNotNull())
         .withColumn("d", F.lit(0).cast("long"))
         .localCheckpoint(eager=True)
     )
@@ -122,7 +126,8 @@ def _sssp_sql() -> str:
         prev = f"s{i}"
     return f"""
 WITH {_WEDGES_CTE},
-s0 AS (SELECT (SELECT MIN(src) FROM undw) AS node, CAST(0 AS BIGINT) AS d),
+s0 AS (SELECT node, CAST(0 AS BIGINT) AS d
+       FROM (SELECT MIN(src) AS node FROM undw) WHERE node IS NOT NULL),
 {",".join(ctes)}
 SELECT node, d FROM {prev} ORDER BY d, node
 """
@@ -279,7 +284,9 @@ def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     ) / 48.0
     z = (F.col("two_wp").cast("double") - two_mean) / (2.0 * F.sqrt(var_w))
-    return sums.select(
+    # n IS NULL (no pairs at all) would otherwise seed one all-NULL
+    # readout row from the ungrouped aggregate
+    return sums.filter(F.col("n").isNotNull() & (F.col("n") > 0)).select(
         F.col("n").alias("n_pairs"),
         F.col("n_pos").alias("n_increased"),
         (F.col("two_wp").cast("double") / 2.0).alias("w_plus"),
@@ -331,6 +338,7 @@ SELECT CAST(n AS BIGINT) AS n_pairs,
                          - CAST(tie_sum AS DOUBLE) / 48.0))) > {_WX_CRIT}
            AS spend_shifted
 FROM sums
+WHERE n IS NOT NULL AND n > 0
 """
 
 
@@ -478,12 +486,16 @@ def cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_docs"),
         ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
         "chi2",
-        F.round(
-            F.sqrt(
-                F.col("chi2")
-                / (F.col("n") * (F.least("r", "c") - F.lit(1)))
+        # V is undefined (NULL, not a 0/0) for a 1xk table
+        F.when(
+            F.least("r", "c") > 1,
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n") * (F.least("r", "c") - F.lit(1)))
+                ),
+                6,
             ),
-            6,
         ).alias("cramers_v"),
     )
 
@@ -512,7 +524,9 @@ agg AS (
 SELECT CAST(n AS BIGINT) AS n_docs,
        CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
        chi2,
-       ROUND(SQRT(chi2 / (n * (LEAST(r, c) - 1))), 6) AS cramers_v
+       CASE WHEN LEAST(r, c) > 1
+            THEN ROUND(SQRT(chi2 / (n * (LEAST(r, c) - 1))), 6) END
+           AS cramers_v
 FROM agg
 """
 
