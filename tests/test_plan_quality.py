@@ -110,6 +110,8 @@ NESTED_LOOP_OK = {
     "ngram_novelty_rate",
     # grand-total/shape scalar (n, r, c) against the contingency cells
     "cramers_v_lang_source",
+    # 1-row triangle count joined onto the 1-row wedge census
+    "clustering_coefficient",
 }
 
 

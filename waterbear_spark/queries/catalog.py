@@ -37,6 +37,7 @@ from waterbear_spark.queries import (
     wave11,
     wave12,
     wave13,
+    wave14,
 )
 
 QUERIES = {
@@ -70,6 +71,7 @@ QUERIES = {
     **wave11.QUERIES,
     **wave12.QUERIES,
     **wave13.QUERIES,
+    **wave14.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -106,6 +108,7 @@ ORACLE_SQL = {
     **wave11.ORACLES,
     **wave12.ORACLES,
     **wave13.ORACLES,
+    **wave14.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -163,6 +166,11 @@ _PRIORITY = [
     "rendezvous_sharding",
     "typo_dedup_vocab",
     "dow_mad_anomalies",
+    # the wave-14 additions (new this round, no evidence yet):
+    "attribution_multitouch",
+    "clustering_coefficient",
+    "asof_tolerance_join",
+    "embedding_centroid_drift",
 ]
 
 
