@@ -123,7 +123,9 @@ def main():
     if not only:
         artifact = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "CORRECTNESS_LOCAL.json",
+            # override for sweeps at non-default scale factors, so the
+            # canonical sf0.01 artifact isn't clobbered
+            os.environ.get("SPARK_GRAFT_CORRECTNESS_OUT", "CORRECTNESS_LOCAL.json"),
         )
         with open(artifact, "w") as fh:
             json.dump(

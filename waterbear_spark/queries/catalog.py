@@ -38,6 +38,7 @@ from waterbear_spark.queries import (
     wave12,
     wave13,
     wave14,
+    wave15,
 )
 
 QUERIES = {
@@ -72,6 +73,7 @@ QUERIES = {
     **wave12.QUERIES,
     **wave13.QUERIES,
     **wave14.QUERIES,
+    **wave15.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -109,6 +111,7 @@ ORACLE_SQL = {
     **wave12.ORACLES,
     **wave13.ORACLES,
     **wave14.ORACLES,
+    **wave15.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -171,6 +174,10 @@ _PRIORITY = [
     "clustering_coefficient",
     "asof_tolerance_join",
     "embedding_centroid_drift",
+    # the wave-15 additions (new this round, no evidence yet):
+    "dedup_cross_modal",
+    "markov_next_event_accuracy",
+    "lang_metadata_mismatch",
 ]
 
 

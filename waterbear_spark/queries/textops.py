@@ -183,37 +183,53 @@ ORDER BY doc_a, doc_b
 SIMHASH_SQL = _simhash_oracle_sql()
 
 
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID from stopword-profile hit counts, argmax with
-    alphabetical tie-break. A real deployment swaps the profiles for
-    char-n-gram models; the operator shape (per-row scoring in codegen,
-    no shuffle) is the point.
-    """
-    profiles = {
-        "de": ("der", "die", "und", "das", "ist", "nicht"),
-        "en": ("the", "a", "of", "and", "to", "is"),
-        "es": ("el", "la", "de", "que", "y", "en"),
-        "fr": ("le", "la", "de", "et", "les", "est"),
-    }
-    docs = table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+LANG_PROFILES = {
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "es": ("el", "la", "de", "que", "y", "en"),
+    "fr": ("le", "la", "de", "et", "les", "est"),
+}
+
+
+def lang_scores(toks) -> dict:
+    """Per-language stopword hit counts over a token-array column —
+    the shared scoring core of [[lang_id]] and the metadata-mismatch
+    census."""
 
     def hits(words):
         # closure, not a default-arg lambda (which would capture the HOF
         # index column instead of the word list)
         return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
-    scores = {lang: hits(words) for lang, words in profiles.items()}
+    return {lang: hits(words) for lang, words in LANG_PROFILES.items()}
+
+
+def predicted_lang(toks):
+    """Argmax language with alphabetical tie-break; 'und' when no
+    profile hits."""
+    scores = lang_scores(toks)
     best = F.greatest(*scores.values())
     predicted = F.when(best <= 0, F.lit("und"))
-    for lang in sorted(profiles):  # alphabetical priority on ties
+    for lang in sorted(LANG_PROFILES):  # alphabetical priority on ties
         predicted = predicted.when(scores[lang] == best, F.lit(lang))
+    return predicted
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID from stopword-profile hit counts, argmax with
+    alphabetical tie-break. A real deployment swaps the profiles for
+    char-n-gram models; the operator shape (per-row scoring in codegen,
+    no shuffle) is the point.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    scores = lang_scores(toks)
     return (
         docs.select(
             "doc_id",
             "lang",
-            predicted.alias("predicted_lang"),
-            *[scores[lang].cast("int").alias(f"score_{lang}") for lang in sorted(profiles)],
+            predicted_lang(toks).alias("predicted_lang"),
+            *[scores[lang].cast("int").alias(f"score_{lang}") for lang in sorted(LANG_PROFILES)],
         )
         .orderBy("doc_id")
     )
@@ -230,6 +246,17 @@ _SCORE_EXPRS = {
     lang: f"len(list_filter(toks, t -> t IN {words}))"
     for lang, words in _LANG_PROFILES_SQL.items()
 }
+
+# CASE fragment over a `toks` column — the SQL twin of predicted_lang()
+PREDICTED_LANG_SQL = (
+    f"CASE WHEN greatest({', '.join(_SCORE_EXPRS.values())}) <= 0 THEN 'und' "
+    + " ".join(
+        f"WHEN {_SCORE_EXPRS[lang]} = greatest({', '.join(_SCORE_EXPRS.values())})"
+        f" THEN '{lang}'"
+        for lang in sorted(_LANG_PROFILES_SQL)
+    )
+    + " END"
+)
 
 LANG_ID_SQL = f"""
 WITH tok AS (SELECT doc_id, lang, {TOKENS_SQL} AS toks FROM documents)
