@@ -174,6 +174,9 @@ _PRIORITY = [
     "clustering_coefficient",
     "asof_tolerance_join",
     "embedding_centroid_drift",
+    # xcorr multiply operands widened to DECIMAL(19,2) (sf0.1 sweep
+    # caught DuckDB's int64-backed width-18 product check overflowing):
+    "xcorr_lagged_revenue",
     # the wave-15 additions (new this round, no evidence yet):
     "dedup_cross_modal",
     "markov_next_event_accuracy",

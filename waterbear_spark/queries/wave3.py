@@ -259,9 +259,12 @@ def xcorr_lagged_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     status 'O' vs 'F'): for each lag in [-7, 7], align x(day) with
     y(day + lag) on days where both exist and report Pearson r. The
     co-moments (n, Σx, Σy, Σxy, Σx², Σy²) are accumulated as exact
-    decimals — order-independent, bit-identical across engines — and r
-    is then a single fixed-shape IEEE expression over those exact
-    inputs, so the rounded double matches DuckDB exactly.
+    decimals — order-independent, bit-identical across engines
+    (multiply operands are DECIMAL(19,2): width 18 is int64-backed in
+    DuckDB and its product check overflowed at sf0.1 daily revenues;
+    19+19 = 38 stays hugeint-exact in both engines) — and r is then a
+    single fixed-shape IEEE expression over those exact inputs, so the
+    rounded double matches DuckDB exactly.
 
     Scale: the per-day pre-aggregate shrinks orders to one row per
     (day, status); the 15-lag fan-out is a map-side explode on the
@@ -293,15 +296,15 @@ def xcorr_lagged_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("xv").cast("decimal(38,4)")).alias("sx"),
         F.sum(F.col("yv").cast("decimal(38,4)")).alias("sy"),
         F.sum(
-            (F.col("xv").cast("decimal(18,2)") * F.col("yv").cast("decimal(18,2)"))
+            (F.col("xv").cast("decimal(19,2)") * F.col("yv").cast("decimal(19,2)"))
             .cast("decimal(38,4)")
         ).alias("sxy"),
         F.sum(
-            (F.col("xv").cast("decimal(18,2)") * F.col("xv").cast("decimal(18,2)"))
+            (F.col("xv").cast("decimal(19,2)") * F.col("xv").cast("decimal(19,2)"))
             .cast("decimal(38,4)")
         ).alias("sxx"),
         F.sum(
-            (F.col("yv").cast("decimal(18,2)") * F.col("yv").cast("decimal(18,2)"))
+            (F.col("yv").cast("decimal(19,2)") * F.col("yv").cast("decimal(19,2)"))
             .cast("decimal(38,4)")
         ).alias("syy"),
     )
@@ -344,11 +347,11 @@ mom AS (
            COUNT(*) AS n_days,
            SUM(CAST(xv AS DECIMAL(38,4))) AS sx,
            SUM(CAST(yv AS DECIMAL(38,4))) AS sy,
-           SUM(CAST(CAST(xv AS DECIMAL(18,2)) * CAST(yv AS DECIMAL(18,2))
+           SUM(CAST(CAST(xv AS DECIMAL(19,2)) * CAST(yv AS DECIMAL(19,2))
                     AS DECIMAL(38,4))) AS sxy,
-           SUM(CAST(CAST(xv AS DECIMAL(18,2)) * CAST(xv AS DECIMAL(18,2))
+           SUM(CAST(CAST(xv AS DECIMAL(19,2)) * CAST(xv AS DECIMAL(19,2))
                     AS DECIMAL(38,4))) AS sxx,
-           SUM(CAST(CAST(yv AS DECIMAL(18,2)) * CAST(yv AS DECIMAL(18,2))
+           SUM(CAST(CAST(yv AS DECIMAL(19,2)) * CAST(yv AS DECIMAL(19,2))
                     AS DECIMAL(38,4))) AS syy
     FROM lagged JOIN y USING (day_y)
     GROUP BY lag
