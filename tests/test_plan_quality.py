@@ -112,6 +112,9 @@ NESTED_LOOP_OK = {
     "cramers_v_lang_source",
     # 1-row triangle count joined onto the 1-row wedge census
     "clustering_coefficient",
+    # QI-groups x global-band-spine grid: a deliberate broadcast cross
+    # join of two domain-bounded micro-relations
+    "tcloseness_release",
 }
 
 

@@ -39,6 +39,7 @@ from waterbear_spark.queries import (
     wave13,
     wave14,
     wave15,
+    wave16,
 )
 
 QUERIES = {
@@ -74,6 +75,7 @@ QUERIES = {
     **wave13.QUERIES,
     **wave14.QUERIES,
     **wave15.QUERIES,
+    **wave16.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -112,6 +114,7 @@ ORACLE_SQL = {
     **wave13.ORACLES,
     **wave14.ORACLES,
     **wave15.ORACLES,
+    **wave16.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -181,6 +184,9 @@ _PRIORITY = [
     "dedup_cross_modal",
     "markov_next_event_accuracy",
     "lang_metadata_mismatch",
+    # the wave-16 additions (new this round, no evidence yet):
+    "tcloseness_release",
+    "stratified_kfold_census",
 ]
 
 

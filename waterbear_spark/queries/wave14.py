@@ -45,8 +45,9 @@ _MT_HALFLIFE_MIN = 2  # decay half-life (minutes)
 
 def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch attribution over the events stream: every purchase
-    distributes one unit of credit across the same user's click/view
-    touches in the preceding 10 minutes — LINEAR (1/k each) and
+    WITH at least one touch distributes one unit of credit across the
+    same user's click/view touches in the preceding 10 minutes
+    (touchless purchases are unattributed and carry no credit) — LINEAR (1/k each) and
     TIME-DECAY (weight 2^-floor(minutes_before / halflife), normalized
     per purchase) — reported per touch channel. The decay exponent is
     an integer floor, so the raw weight is an exact power of two;

@@ -58,7 +58,10 @@ def dedup_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: blocking is row-local signatures + a band-key equi-join (no
     pair space); the embedding join adds two id-keyed lookups on the
     CANDIDATE set only — the cross-modal verify costs |candidates|,
-    not |docs|^2.
+    not |docs|^2. The embedding joins are inner: a candidate doc with
+    no embedding row would drop (here doc_id and vec_id cover the same
+    0..n-1 ids; on ragged corpora make them left joins and let hybrid
+    fall back to Jaccard).
     """
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", _tokens(F.col("text")).alias("toks")
@@ -230,7 +233,9 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitions starting on/after the cutoff are the held-out test.
     Output per state: test transitions, hits, accuracy — the
     predictability readout that tells a pipeline whether event_type
-    alone carries sequence signal.
+    alone carries sequence signal. A state absent from train predicts
+    nothing (LEFT join, NULL never equals the actual), so its test
+    rows count as misses rather than being dropped.
 
     Scale: one user-partitioned LEAD window (bounded timelines), a
     |types|^2 training census, an argmax over it, one broadcast join
