@@ -105,7 +105,10 @@ def tcloseness_release(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(0.0),
                     lambda acc, x: acc + x["term"],
                 )
-                / F.lit(m - 1),
+                # max(m-1, 1): with a single global band every term is
+                # already 0 and EMD is 0 by definition — the guard only
+                # keeps ANSI mode from raising on the degenerate /0
+                / F.lit(max(m - 1, 1)),
                 6,
             ).alias("emd")
         )
@@ -157,7 +160,7 @@ terms AS (
 emd AS (
     SELECT nation, segment, n,
            ROUND(list_aggregate(list(term ORDER BY band), 'sum')
-                 / ((SELECT m FROM mval) - 1), 6) AS emd
+                 / GREATEST((SELECT m FROM mval) - 1, 1), 6) AS emd
     FROM terms GROUP BY nation, segment, n
 )
 SELECT nation, segment, CAST(n AS BIGINT) AS n_custs, emd,
