@@ -440,37 +440,95 @@ ORDER BY n_name, yr
 """
 
 
+def _dbl_rank_relation(
+    facts: DataFrame, part_col: str, value_col: str, width: int
+) -> DataFrame:
+    """(part, value) -> doubled average rank of ``value`` within its
+    partition, computed WITHOUT a per-partition total sort.
+
+    A rank depends only on the (part, value) census: the doubled
+    average rank of a tie group is ``2*cum_before + cnt + 1`` (first
+    rank + last rank). The census prefix sum runs on the two-level
+    bucket scaffold ([[wilcoxon_signed_rank]] / [[equidepth_histogram]]):
+    cross-bucket offsets come from a window over the ~|buckets|
+    relation, the per-value cumulative window is partitioned by
+    (part, bucket) — so the largest sort is one value-bucket of the
+    census, parallel across buckets, never the fact table.
+    """
+    census = facts.groupBy(part_col, value_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    pv = census.withColumn(
+        "__pb", F.floor(F.col(value_col) / F.lit(width)).cast("long")
+    )
+    w_off = (
+        Window.partitionBy(part_col)
+        .orderBy("__pb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        pv.groupBy(part_col, "__pb")
+        .agg(F.sum("__cnt").alias("__bc"))
+        .select(
+            part_col,
+            "__pb",
+            F.coalesce(F.sum("__bc").over(w_off), F.lit(0)).alias("__off"),
+        )
+    )
+    w_in = (
+        Window.partitionBy(part_col, "__pb")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pv.join(F.broadcast(offs), [part_col, "__pb"])
+        .select(
+            part_col,
+            value_col,
+            (
+                2 * (F.col("__off") + F.sum("__cnt").over(w_in) - F.col("__cnt"))
+                + F.col("__cnt")
+                + 1
+            ).alias("__dbl"),
+        )
+    )
+
+
 def spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between extended price and quantity per
     return flag — the robust (monotonic, outlier-proof) complement to
     the Pearson moments in [[correlation_matrix]]. Average ranks for
     ties are kept as exact *doubled* integers (sum of positions x 2 /
     count is computed as integer products), all five moment sums stay
-    BIGINT, and the only float work is the final correlation formula —
+    integral, and the only float work is the final correlation formula —
     one expression, identical shape in both engines.
 
-    Scale: two rank windows sharing one (flag)-partitioned sort, then a
-    single combinable moment aggregate; nothing is driver-side. At
-    100 TB the per-flag total order would move to the two-pass bucketed
-    rank of [[equidepth_histogram]] — same moments, same output.
+    Scale (the round-5 rewrite): a rank depends only on (flag, value),
+    so each rank column is a census + bucketed prefix sum
+    (:func:`_dbl_rank_relation`) instead of a
+    ``Window.partitionBy(l_returnflag).orderBy(v)`` total sort — with 3
+    return flags that window capped parallelism at 3 and measured 7.1x
+    at 10x data. Now the fact table is never sorted: the quantity rank
+    relation (<=|flags| x 50 rows) broadcasts back, the price rank
+    relation joins back on (flag, price) as an ordinary shuffle hash
+    join, and the moments stay one combinable aggregate.
     """
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_quantity"
     )
-    # average rank = (first_rank + last_rank) / 2 for a tie group;
-    # doubled it is (rank + (rank + cnt - 1)) — an exact integer
-    def dbl_rank(col: str) -> F.Column:
-        w = Window.partitionBy("l_returnflag").orderBy(col)
-        r = F.rank().over(w)
-        c = F.count(F.lit(1)).over(
-            Window.partitionBy("l_returnflag", col)
+    prank = _dbl_rank_relation(li, "l_returnflag", "l_extendedprice", 64)
+    qrank = _dbl_rank_relation(li, "l_returnflag", "l_quantity", 4)
+    ranked = (
+        li.join(prank, ["l_returnflag", "l_extendedprice"])
+        .join(
+            F.broadcast(qrank.withColumnRenamed("__dbl", "__dblq")),
+            ["l_returnflag", "l_quantity"],
         )
-        return (2 * r + c - 1).cast("bigint")
-
-    ranked = li.select(
-        "l_returnflag",
-        dbl_rank("l_extendedprice").alias("rx"),
-        dbl_rank("l_quantity").alias("ry"),
+        .select(
+            "l_returnflag",
+            F.col("__dbl").alias("rx"),
+            F.col("__dblq").alias("ry"),
+        )
     )
     # moment sums in DECIMAL(38,0): BIGINT products of doubled ranks
     # overflow int64 around 5M rows per group (caught by the sf1 scaling
