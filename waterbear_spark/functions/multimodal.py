@@ -302,6 +302,7 @@ _FTYP_HEX = "66747970"  # 'ftyp'
 _MOOV_HEX = "6D6F6F76"  # 'moov'
 _MDAT_HEX = "6D646174"  # 'mdat'
 _MVHD_HEX = "6D766864"  # 'mvhd'
+_MVHD_MAX_HITS = 4  # false-positive 'mvhd' spellings tolerated in the scan
 # how far into the moov payload the mvhd child is searched for: mvhd is
 # conventionally moov's first child, but ISO-BMFF does not require it,
 # so a bounded scan (not a fixed offset) locates it
@@ -347,20 +348,49 @@ def mp4_box_walk(df: DataFrame, data_col: str = "data") -> DataFrame:
     sig_ok = first_type == F.lit(_FTYP_HEX)
 
     def mvhd_duration(moov_off):
-        """Scan the moov payload for the mvhd child; parse per version."""
+        """Scan the moov payload for the mvhd child; parse per version.
+
+        A content byte-pair can spell 'mvhd' before the real header
+        (byte-misaligned, or aligned inside another child's payload),
+        so the walk tries up to ``_MVHD_MAX_HITS`` successive hex hits
+        and takes the first that is byte-aligned AND whose preceding
+        4-byte size field reads as a sane in-bounds box size — a false
+        positive earlier in the payload no longer masks a valid mvhd
+        after it."""
         window = F.hex(
             F.substr(F.col(data_col), moov_off + 8, F.lit(_MVHD_SCAN_BYTES))
         )
+
+        def parse_at(hit):
+            # a hit at an even hex position straddles a byte boundary —
+            # not a real type field; (hit-1)/2 is the byte offset of
+            # 'mvhd' in the payload, the box header starts 4 bytes back
+            aligned = (hit > 0) & (hit % 2 == 1)
+            byte_off = ((hit - 1) / 2).cast("long")  # exact: hit is odd
+            s = moov_off + 8 + byte_off - 4  # mvhd box start (1-based)
+            size = be32(s).cast("long")
+            plausible = (
+                (byte_off >= 4)  # size field stays inside the payload
+                & (size >= 8)
+                & (s + size <= F.length(data_col).cast("long") + 1)
+            )
+            version = F.conv(
+                F.hex(F.substr(F.col(data_col), s + 8, F.lit(1))), 16, 10
+            )
+            dur = F.when(version == 1, be64(s + 32)).otherwise(be32(s + 24))
+            return F.when(aligned & plausible, dur.cast("long"))
+
         hit = F.instr(window, F.lit(_MVHD_HEX))  # 1-based in hex chars
-        # a hit at an even hex position straddles a byte boundary — not
-        # a real type field; (hit-1)/2 is then the byte offset of 'mvhd'
-        # within the payload, and the box header starts 4 bytes earlier
-        aligned = (hit > 0) & (hit % 2 == 1)
-        byte_off = ((hit - 1) / 2).cast("long")  # exact: hit is odd here
-        s = moov_off + 8 + byte_off - 4  # mvhd box start (1-based)
-        version = F.conv(F.hex(F.substr(F.col(data_col), s + 8, F.lit(1))), 16, 10)
-        dur = F.when(version == 1, be64(s + 32)).otherwise(be32(s + 24))
-        return F.when(aligned, dur.cast("long"))
+        attempts = []
+        for _ in range(_MVHD_MAX_HITS):
+            attempts.append(parse_at(hit))
+            hit = F.when(
+                hit > 0,
+                F.call_function(
+                    "locate", F.lit(_MVHD_HEX), window, hit + 1
+                ),
+            ).otherwise(F.lit(0))
+        return F.coalesce(*attempts)
 
     def step(acc, _):
         live = acc.off.isNotNull()

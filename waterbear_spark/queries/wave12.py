@@ -328,6 +328,10 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("rev").over(wc).cast("double") / tot.cast("double"), 8
             ).alias("cum_share"),
         )
+        # with n < 10 customers some deciles are empty; the oracle's
+        # GROUP BY never emits them, so drop the k=0 spine rows AFTER
+        # the cumulative window (their rev=0 doesn't shift cum_share)
+        .filter(F.col("n_cust") > 0)
         .orderBy("decile")
     )
 

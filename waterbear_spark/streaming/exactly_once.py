@@ -54,8 +54,10 @@ def read_committed(
     first commit; without it an empty ledger is an error rather than a
     silently wrong placeholder schema."""
     committed_dir = os.path.join(target, "_committed")
+    # digit-only filter: a stray temp/hidden file in _committed must not
+    # turn the numeric sort into a ValueError read outage
     ids = (
-        sorted(os.listdir(committed_dir), key=int)
+        sorted((n for n in os.listdir(committed_dir) if n.isdigit()), key=int)
         if os.path.isdir(committed_dir)
         else []
     )
