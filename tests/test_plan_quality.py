@@ -12,6 +12,9 @@ from waterbear_spark.queries.catalog import QUERIES
 # (theta-only join conditions); everything else must hash/sort-merge join
 NESTED_LOOP_OK = {
     "embedding_topk",  # deliberate broadcast cross join against 5 query rows
+    # probe spine: 5 probe ids × broadcast 3-row method list (plus the
+    # embedding_topk truth subtree it reuses)
+    "ann_recall_report",
     # scalar-subquery pattern: cross join against a broadcast 1-row aggregate
     "q11_important_parts",
     "q15_top_supplier",

@@ -1,0 +1,67 @@
+"""Wave-17 coherence: the ANN recall report must equal an independent
+numpy replay of truth-set intersection, and multi-probe must dominate
+single-probe."""
+
+import numpy as np
+
+from tests.conftest import SF_SMOKE
+from waterbear_spark.queries import wave17
+from waterbear_spark.queries.llm import _hyperplane_bucketed, _ivf_cells
+from waterbear_spark.queries.tables import table
+
+
+def _numpy_truth(spark):
+    """Brute-force rounded-cosine top-5 per probe, replicating
+    embedding_topk's membership rule (round 4dp, vec_id tie-break)."""
+    rows = (
+        table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+    truth = {}
+    for q in range(5):
+        qi = int(np.where(ids == q)[0][0])
+        sims = np.round(mat @ mat[qi] / (nrm * nrm[qi]), 4)
+        cand = [(float(-sims[i]), int(ids[i])) for i in range(len(ids)) if ids[i] != q]
+        cand.sort()
+        truth[q] = {vid for _, vid in cand[:5]}
+    return truth
+
+
+def test_ann_recall_report_matches_replay(spark):
+    out = wave17.ann_recall_report(spark, SF_SMOKE).collect()
+    assert len(out) == 15  # 3 methods x 5 probes
+    by = {(r["method"], r["query_id"]): r for r in out}
+    assert {m for m, _ in by} == {"ivf", "lsh", "lsh_mp1"}
+
+    truth = _numpy_truth(spark)
+    cells = {r["vec_id"]: r["cell"] for r in _ivf_cells(spark, SF_SMOKE).collect()}
+    buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in _hyperplane_bucketed(spark, SF_SMOKE).select(
+            "vec_id", "bucket"
+        ).collect()
+    }
+
+    def members(assign, keys, q):
+        return {v for v, k in assign.items() if k in keys and v != q}
+
+    for q in range(5):
+        expect = {
+            "ivf": members(cells, {cells[q]}, q),
+            "lsh": members(buckets, {buckets[q]}, q),
+            "lsh_mp1": members(
+                buckets, {buckets[q]} | {buckets[q] ^ (1 << j) for j in range(8)}, q
+            ),
+        }
+        for method, cand in expect.items():
+            r = by[(method, q)]
+            assert r["cand_n"] == len(cand), (method, q)
+            assert r["hits"] == len(cand & truth[q]), (method, q)
+            assert abs(r["recall_at_5"] - round(r["hits"] / 5.0, 4)) < 1e-12
+            # superset monotonicity: widening probes never loses recall
+        assert by[("lsh_mp1", q)]["hits"] >= by[("lsh", q)]["hits"]
+        assert by[("lsh_mp1", q)]["cand_n"] >= by[("lsh", q)]["cand_n"]

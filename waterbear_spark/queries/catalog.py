@@ -40,6 +40,7 @@ from waterbear_spark.queries import (
     wave14,
     wave15,
     wave16,
+    wave17,
 )
 
 QUERIES = {
@@ -76,6 +77,7 @@ QUERIES = {
     **wave14.QUERIES,
     **wave15.QUERIES,
     **wave16.QUERIES,
+    **wave17.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -115,6 +117,7 @@ ORACLE_SQL = {
     **wave14.ORACLES,
     **wave15.ORACLES,
     **wave16.ORACLES,
+    **wave17.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -141,52 +144,23 @@ assert set(ORACLE_SQL) <= set(QUERIES), "oracle without query"
 # CORRECTNESS_LOCAL.json (scripts/check_oracle.py, full catalog) remains
 # the per-round local certification on top.
 _PRIORITY = [
-    # --- round 4: only semantics-changed queries are pinned; everything
-    # else is handled by the least-recently-verified rotation below (the
-    # ~100 never-driver-verified round-3 additions sort as round 0 and
-    # fill the rest of the window automatically) ---
-    # k-core now peels to a true fixpoint (was 4 fixed rounds) and its
-    # oracle unrolls 6 materialized rounds:
-    "kcore_decomposition",
-    # mvhd duration now parsed from the REAL nested FullBox layout
-    # (v0/v1 branch, bounded child scan) and the synthetic payloads
-    # carry that layout:
-    "multimodal_mp4_walk",
-    # the wave-12 additions (new this round, no evidence yet):
-    "kendall_tau_qty_disc",
-    "hhi_supplier_concentration",
+    # --- round 5: only semantics-changed (or brand-new) queries are
+    # pinned; the least-recently-verified rotation below fills the rest
+    # of the window with the ~82 never-driver-verified queries (they
+    # sort as round 0) ---
+    # spearman ranks rewritten onto the bucketed census scaffold (the
+    # round-4 verdict's one perf-weak finding) — semantics identical but
+    # the physical rank path is new, so re-verify:
+    "spearman_price_quantity",
+    # lorenz deciles now drop n_cust=0 spine rows (degenerate-input
+    # oracle agreement fix, advice r4):
     "lorenz_curve_deciles",
-    "sparse_cosine_topk",
-    "ngram_novelty_rate",
-    "copurchase_projection",
-    "bpe_merge_rounds",
-    "markov_conditional_entropy",
-    "pearson_matrix",
-    "join_fanout_histogram",
-    # the wave-13 additions (new this round, no evidence yet):
-    "weighted_sssp",
-    "graph_jaccard_links",
-    "wilcoxon_signed_rank",
-    "interval_coverage_user",
-    "cramers_v_lang_source",
-    "rendezvous_sharding",
-    "typo_dedup_vocab",
-    "dow_mad_anomalies",
-    # the wave-14 additions (new this round, no evidence yet):
-    "attribution_multitouch",
-    "clustering_coefficient",
-    "asof_tolerance_join",
-    "embedding_centroid_drift",
-    # xcorr multiply operands widened to DECIMAL(19,2) (sf0.1 sweep
-    # caught DuckDB's int64-backed width-18 product check overflowing):
-    "xcorr_lagged_revenue",
-    # the wave-15 additions (new this round, no evidence yet):
-    "dedup_cross_modal",
-    "markov_next_event_accuracy",
-    "lang_metadata_mismatch",
-    # the wave-16 additions (new this round, no evidence yet):
-    "tcloseness_release",
-    "stratified_kfold_census",
+    # mvhd scan now iterates hex hits with box-size validation
+    # (advice r4):
+    "multimodal_mp4_walk",
+    # new this round: measured recall@k for both ANN paths vs the
+    # brute-force truth (verdict r4 ask #6):
+    "ann_recall_report",
 ]
 
 

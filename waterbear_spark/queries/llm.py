@@ -761,28 +761,10 @@ _IVF_K = 8
 _IVF_ITERS = 3  # assignments; centroid updates happen ITERS-1 times
 
 
-def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF index construction: deterministic Lloyd k-means (K=8, three
-    assignment passes, init = vectors 0..K-1) producing each vector's
-    inverted-list cell id + cell occupancy — the real "train the
-    coarse quantizer" step behind IVF ANN search (label blocking in
-    ``embedding_knn_label`` is the search half; this builds the cells).
-
-    Spark shape per iteration: one scan scoring every vector against K
-    broadcast centroid literals (distance argmin is ``c.c - 2 v.c``, all
-    row-local folds), then a posexplode + decimal-exact per-(cell, dim)
-    mean to re-estimate centroids driver-side (K x dim tiny). Iterative
-    driver loop like :func:`dedup_clusters` — at 100 TB you'd sample for
-    training and keep full-corpus work to the final assignment pass,
-    identical operator shape.
-
-    Determinism vs the DuckDB oracle (which re-runs the same three
-    passes as chained CTEs): every dot product is a sequential left fold
-    (same IEEE order as ``list_dot_product``), centroid means are exact
-    decimal sums divided once in double, ties broken by lowest cell id —
-    so assignments are bit-identical, no rounding needed. Clusters that
-    lose all members simply disappear on both sides.
-    """
+def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell): the final k-means assignment behind
+    :func:`ann_ivf_kmeans`, shared with [[ann_recall_report]] so the
+    recall audit measures exactly the shipped index."""
     from functools import reduce
 
     emb = (
@@ -799,11 +781,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not init:
         # empty table: no centroids to seed — emit the output shape with
         # zero rows instead of building an untyped empty score array
-        return emb.select(
-            "vec_id",
-            F.lit(None).cast("int").alias("cell"),
-            F.lit(None).cast("int").alias("cell_size"),
-        )
+        return emb.select("vec_id", F.lit(None).cast("int").alias("cell"))
 
     def assign(centroids: dict[int, list[float]]):
         cids = sorted(centroids)
@@ -845,18 +823,45 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids = {
             cid: [dims[d] for d in sorted(dims)] for cid, dims in centroids.items()
         }
-    result = (
-        assigned.select("vec_id", F.col("cell").cast("int").alias("cell"))
+    return assigned.select("vec_id", F.col("cell").cast("int").alias("cell"))
+
+
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index construction: deterministic Lloyd k-means (K=8, three
+    assignment passes, init = vectors 0..K-1) producing each vector's
+    inverted-list cell id + cell occupancy — the real "train the
+    coarse quantizer" step behind IVF ANN search (label blocking in
+    ``embedding_knn_label`` is the search half; this builds the cells).
+
+    Spark shape per iteration: one scan scoring every vector against K
+    broadcast centroid literals (distance argmin is ``c.c - 2 v.c``, all
+    row-local folds), then a posexplode + decimal-exact per-(cell, dim)
+    mean to re-estimate centroids driver-side (K x dim tiny). Iterative
+    driver loop like :func:`dedup_clusters` — at 100 TB you'd sample for
+    training and keep full-corpus work to the final assignment pass,
+    identical operator shape.
+
+    Determinism vs the DuckDB oracle (which re-runs the same three
+    passes as chained CTEs): every dot product is a sequential left fold
+    (same IEEE order as ``list_dot_product``), centroid means are exact
+    decimal sums divided once in double, ties broken by lowest cell id —
+    so assignments are bit-identical, no rounding needed. Clusters that
+    lose all members simply disappear on both sides.
+    """
+    return (
+        _ivf_cells(spark, sf_dir)
         .withColumn(
             "cell_size",
             F.count(F.lit(1)).over(Window.partitionBy("cell")).cast("int"),
         )
         .orderBy("vec_id")
     )
-    return result
 
 
-def _ivf_sql() -> str:
+def _ivf_ctes() -> tuple[list[str], str]:
+    """The k-means CTE chain (e, c0, a0, c1, ...) and the name of the
+    final-assignment CTE — shared between the ANN_IVF oracle and the
+    [[ann_recall_report]] oracle so both audit the same index."""
     score = "list_dot_product(c.c, c.c) - 2 * list_dot_product(e.v, c.c)"
 
     def assign_cte(src: str, cent: str, out: str) -> str:
@@ -890,7 +895,11 @@ def _ivf_sql() -> str:
         if it < _IVF_ITERS - 1:
             ctes.append(update_cte(f"a{it}", f"c{it + 1}"))
             cent = f"c{it + 1}"
-    final = f"a{_IVF_ITERS - 1}"
+    return ctes, f"a{_IVF_ITERS - 1}"
+
+
+def _ivf_sql() -> str:
+    ctes, final = _ivf_ctes()
     joined = ",\n".join(ctes)
     return f"""
 WITH {joined}
@@ -933,18 +942,9 @@ def _plane_components(j: int, dim: int) -> list[float]:
     ]
 
 
-def ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane (sign) LSH over embeddings: 8 deterministic
-    md5-derived hyperplanes -> 8 sign bits -> 256 buckets; report bucket
-    occupancy and each bucket's top-2 closest pair.
-
-    This is the embedding scale path beyond label blocking: bucket
-    assignment is **row-local** (8 dot products per vector, no shuffle),
-    the O(n^2) pair space shrinks to within-bucket pairs, and bucket keys
-    shuffle as single integers. In production the same sketch feeds
-    multi-probe search (flip lowest-margin bits) — the operator shape is
-    identical.
-    """
+def _hyperplane_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, nrm, bucket): the row-local sign-LSH assignment behind
+    :func:`ann_hyperplane_buckets`, shared with [[ann_recall_report]]."""
     dim = _embedding_dim(spark, sf_dir)
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -976,7 +976,22 @@ def ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = F.sqrt(
         F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
-    bucketed = bucketed.withColumn("nrm", nrm)
+    return bucketed.withColumn("nrm", nrm)
+
+
+def ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (sign) LSH over embeddings: 8 deterministic
+    md5-derived hyperplanes -> 8 sign bits -> 256 buckets; report bucket
+    occupancy and each bucket's top-2 closest pair.
+
+    This is the embedding scale path beyond label blocking: bucket
+    assignment is **row-local** (8 dot products per vector, no shuffle),
+    the O(n^2) pair space shrinks to within-bucket pairs, and bucket keys
+    shuffle as single integers. In production the same sketch feeds
+    multi-probe search (flip lowest-margin bits) — the operator shape is
+    identical.
+    """
+    bucketed = _hyperplane_bucketed(spark, sf_dir)
     a = bucketed.select(
         F.col("bucket"), F.col("vec_id").alias("a_id"), F.col("v").alias("av"),
         F.col("nrm").alias("an"),
@@ -1008,18 +1023,24 @@ def ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hyperplane_bucket_sql() -> str:
+    """The 8-sign-bit bucket expression over a DOUBLE[] column ``v`` —
+    shared between the ANN_HYPERPLANE oracle and [[ann_recall_report]]."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(v, list_transform(generate_series(1, 64),"
+        f" i -> {_PLANE_COMPONENT_DUCK.format(i='i', j=j)})) > 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+
+
 ANN_HYPERPLANE_SQL = f"""
 WITH e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 planed AS (
     SELECT vec_id, v,
-           {' + '.join(
-               f"(CASE WHEN list_dot_product(v, list_transform(generate_series(1, 64),"
-               f" i -> {_PLANE_COMPONENT_DUCK.format(i='i', j=j)})) > 0"
-               f" THEN {1 << j} ELSE 0 END)"
-               for j in range(N_PLANES)
-           )} AS bucket
+           {_hyperplane_bucket_sql()} AS bucket
     FROM e
 ),
 n AS (

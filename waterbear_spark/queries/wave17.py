@@ -1,0 +1,225 @@
+"""Round-5 wave-17 operators: measured ANN recall.
+
+* ``ann_recall_report`` — the honesty metric the round-4 verdict asked
+  for: [[dedup_recall_report]] already measures MinHash banding against
+  planted ground truth; this does the same for the ANN index paths.
+  For each of the 5 probe vectors, the brute-force cosine top-5
+  ([[embedding_topk]]) is the truth set; the candidate set is everything
+  sharing the probe's IVF k-means cell ([[ann_ivf_kmeans]]), the probe's
+  exact sign-LSH bucket ([[ann_hyperplane_buckets]]), or — ``lsh_mp1`` —
+  the bucket plus its 8 Hamming-distance-1 neighbours (multi-probe
+  radius 1, the standard recall knob for sign LSH); recall@5 =
+  |truth ∩ candidates|/5 alongside the candidate count (the cost axis —
+  recall 1.0 from a bucket holding the whole corpus is not an index).
+  Measured at sf0.01 (500 random-ish vectors): IVF ≈ 0.88 mean recall
+  at ~11% candidate rate; single-probe 8-bit LSH recalls 0 (256 buckets
+  leave ~3 candidates/probe) and radius-1 multi-probe only 0.08 at ~4%
+  candidate rate — random hyperplanes over near-orthogonal random
+  vectors barely correlate with cosine rank, which is exactly the kind
+  of honest negative this metric exists to expose (production sign-LSH
+  needs OR-ed bands / learned planes; compare the OR-band construction
+  in [[dedup_embedding_cosine]]).
+
+Scale: truth is only computed for the 5 broadcast probes (one corpus
+scan); the candidate sets are equi-joins on cell/bucket keys against the
+5-row probe side — at 100 TB this is the standard "audit the index on a
+probe sample" pattern, never a pair-space materialisation.
+
+Float determinism follows the house rules in ``tables.py``: both index
+assignments are bit-identical to the oracle by construction (sequential
+left-fold dots, decimal-exact centroid means), and the truth set reuses
+``embedding_topk``'s rounded-cosine + vec_id tie-break membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from waterbear_spark.queries.llm import (
+    _hyperplane_bucket_sql,
+    _hyperplane_bucketed,
+    _ivf_cells,
+    _ivf_ctes,
+    embedding_topk,
+)
+
+_K = 5  # truth depth and probe count (vec_id < 5, matching embedding_topk)
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe recall@5 and candidate-list size for both ANN paths,
+    measured against the brute-force truth — see module docstring."""
+    truth = embedding_topk(spark, sf_dir).select("query_id", "vec_id")
+
+    ivf = _ivf_cells(spark, sf_dir)
+    lsh = _hyperplane_bucketed(spark, sf_dir).select("vec_id", "bucket")
+
+    def method_stats(assign: DataFrame, key: str, method: str) -> DataFrame:
+        probes = assign.filter(F.col("vec_id") < _K).select(
+            F.col("vec_id").alias("query_id"), key
+        )
+        cand = (
+            assign.join(F.broadcast(probes), key)
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id")
+        )
+        return (
+            cand.join(
+                truth.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left"
+            )
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("cand_n"),
+                F.sum(F.coalesce("hit", F.lit(0))).cast("int").alias("hits"),
+            )
+            .withColumn("method", F.lit(method))
+        )
+
+    # multi-probe radius 1: each probe also claims the 8 buckets one
+    # sign-bit away — row-local explode on the 5-row probe side only
+    lsh_probes = lsh.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << j)).cast("int")
+                    for j in range(8)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    mp1 = (
+        lsh.join(F.broadcast(lsh_probes), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .join(truth.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("cand_n"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("int").alias("hits"),
+        )
+        .withColumn("method", F.lit("lsh_mp1"))
+    )
+
+    stats = (
+        method_stats(ivf, "cell", "ivf")
+        .unionByName(method_stats(lsh, "bucket", "lsh"))
+        .unionByName(mp1)
+    )
+    # complete the (method x probe) spine so a singleton cell/bucket
+    # (zero candidates) still reports recall 0 on both engines
+    spine = (
+        table_probe_ids(spark, sf_dir)
+        .crossJoin(F.broadcast(spark.range(0, 1).select(
+            F.explode(
+                F.array(F.lit("ivf"), F.lit("lsh"), F.lit("lsh_mp1"))
+            ).alias("method")
+        )))
+    )
+    return (
+        spine.join(stats, ["method", "query_id"], "left")
+        .select(
+            "method",
+            "query_id",
+            F.coalesce("cand_n", F.lit(0)).cast("int").alias("cand_n"),
+            F.coalesce("hits", F.lit(0)).cast("int").alias("hits"),
+            F.round(F.coalesce("hits", F.lit(0)) / F.lit(float(_K)), 4).alias(
+                "recall_at_5"
+            ),
+        )
+        .orderBy("method", "query_id")
+    )
+
+
+def table_probe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 5 probe vec_ids as a (query_id) relation."""
+    from waterbear_spark.queries.tables import table
+
+    return (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _K)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+
+
+def _ann_recall_sql() -> str:
+    ivf_ctes, ivf_final = _ivf_ctes()
+    joined = ",\n".join(ivf_ctes)
+    return f"""
+WITH {joined},
+n AS (
+    SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < {_K}
+),
+truth AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.query_id, n.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY ROUND(list_dot_product(q.qv, n.v)
+                                  / (q.qn * n.nrm), 4) DESC, n.vec_id
+               ) AS rn
+        FROM n, q WHERE n.vec_id <> q.query_id
+    ) WHERE rn <= {_K}
+),
+planed AS (
+    SELECT vec_id, {_hyperplane_bucket_sql()} AS bucket FROM e
+),
+mp_probes AS (
+    SELECT vec_id AS query_id,
+           UNNEST([bucket, {", ".join(f"xor(bucket, {1 << j})" for j in range(8))}])
+               AS bucket
+    FROM planed WHERE vec_id < {_K}
+),
+cand AS (
+    SELECT 'ivf' AS method, p.vec_id AS query_id, m.vec_id
+    FROM {ivf_final} p JOIN {ivf_final} m
+      ON m.cell = p.cell AND m.vec_id <> p.vec_id
+    WHERE p.vec_id < {_K}
+    UNION ALL
+    SELECT 'lsh' AS method, p.vec_id AS query_id, m.vec_id
+    FROM planed p JOIN planed m
+      ON m.bucket = p.bucket AND m.vec_id <> p.vec_id
+    WHERE p.vec_id < {_K}
+    UNION ALL
+    SELECT 'lsh_mp1' AS method, p.query_id, m.vec_id
+    FROM mp_probes p JOIN planed m
+      ON m.bucket = p.bucket AND m.vec_id <> p.query_id
+),
+stats AS (
+    SELECT c.method, c.query_id,
+           COUNT(*) AS cand_n,
+           SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS hits
+    FROM cand c LEFT JOIN truth t
+      ON t.query_id = c.query_id AND t.vec_id = c.vec_id
+    GROUP BY c.method, c.query_id
+),
+spine AS (
+    SELECT m.method, p.query_id
+    FROM (SELECT UNNEST(['ivf', 'lsh', 'lsh_mp1']) AS method) m
+    CROSS JOIN (SELECT vec_id AS query_id FROM e WHERE vec_id < {_K}) p
+)
+SELECT s.method, s.query_id,
+       CAST(COALESCE(st.cand_n, 0) AS INTEGER) AS cand_n,
+       CAST(COALESCE(st.hits, 0) AS INTEGER) AS hits,
+       ROUND(COALESCE(st.hits, 0) / {float(_K)}, 4) AS recall_at_5
+FROM spine s LEFT JOIN stats st
+  ON st.method = s.method AND st.query_id = s.query_id
+ORDER BY s.method, s.query_id
+"""
+
+
+ANN_RECALL_SQL = _ann_recall_sql()
+
+
+QUERIES = {
+    "ann_recall_report": ann_recall_report,
+}
+
+ORACLES = {
+    "ann_recall_report": ANN_RECALL_SQL,
+}
