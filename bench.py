@@ -75,15 +75,21 @@ def main():
     # summing fewer queries under the same metric name: partial runs get
     # a distinct metric so round-over-round totals stay comparable
     metric = "catalog_total_runtime" if not errors else "catalog_total_runtime_partial"
+    # the heavy tail, emitted BEFORE the per-query dict so it survives any
+    # downstream truncation of the (long) JSON line
+    slowest_10 = dict(
+        sorted(best.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
     out = {
         "metric": metric,
         "value": total,
         "unit": "sec",
-        "queries": best,
         "sf": sf,
         "iterations": iterations,
-        "cold_total": round(sum(runs[0].get(n, 0.0) for n in ok_names), 3),
         "n_queries": len(best),
+        "cold_total": round(sum(runs[0].get(n, 0.0) for n in ok_names), 3),
+        "slowest_10": slowest_10,
+        "queries": best,
     }
     if errors:
         out["errors"] = errors
