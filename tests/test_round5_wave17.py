@@ -65,3 +65,42 @@ def test_ann_recall_report_matches_replay(spark):
             # superset monotonicity: widening probes never loses recall
         assert by[("lsh_mp1", q)]["hits"] >= by[("lsh", q)]["hits"]
         assert by[("lsh_mp1", q)]["cand_n"] >= by[("lsh", q)]["cand_n"]
+
+
+def test_semdedup_matches_numpy_replay(spark):
+    from waterbear_spark.queries.llm import NEAR_COS_TAU
+
+    got = {
+        r["cell"]: (r["n_vecs"], r["n_dropped"], r["kept_rate"])
+        for r in wave17.semdedup_cells(spark, SF_SMOKE).collect()
+    }
+    cells = {r["vec_id"]: r["cell"] for r in _ivf_cells(spark, SF_SMOKE).collect()}
+    rows = (
+        table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding").collect()
+    )
+    vecs = {r["vec_id"]: np.asarray(list(r["embedding"]), np.float64) for r in rows}
+    by_cell = {}
+    for vid, c in cells.items():
+        by_cell.setdefault(c, []).append(vid)
+    total_dropped = 0
+    for c, ids in by_cell.items():
+        ids.sort()
+        dropped = set()
+        for i, b in enumerate(ids):
+            for a in ids[:i]:
+                sim = round(
+                    float(
+                        vecs[a] @ vecs[b]
+                        / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+                    ),
+                    4,
+                )
+                if sim >= NEAR_COS_TAU:
+                    dropped.add(b)
+                    break
+        n, nd, rate = got[c]
+        assert n == len(ids) and nd == len(dropped), c
+        assert abs(rate - round(1.0 - len(dropped) / len(ids), 4)) < 1e-12
+        total_dropped += len(dropped)
+    # the operator must discriminate on the planted near-dups
+    assert total_dropped > 0

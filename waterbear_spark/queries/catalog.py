@@ -161,6 +161,8 @@ _PRIORITY = [
     # new this round: measured recall@k for both ANN paths vs the
     # brute-force truth (verdict r4 ask #6):
     "ann_recall_report",
+    # new this round: SemDeDup on the IVF cells:
+    "semdedup_cells",
 ]
 
 

@@ -24,18 +24,13 @@ _DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as a ratio
 _ITERS = 5
 
 
-def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank on the customer↔supplier interaction graph (an edge per
-    distinct trading pair, both directions), 5 power iterations; returns
-    the 25 most central suppliers.
-
-    Scale: edges shuffle once to build; each iteration joins the rank
-    vector (|nodes| rows — tiny, broadcastable) onto the edge list and
-    aggregates contributions by destination: one shuffle per round over
-    data proportional to |edges|, with AQE free to broadcast the rank
-    side. State never exceeds one row per node — this is the same loop
-    discipline GraphX/Pregel uses, expressed in plain DataFrame ops.
-    """
+def _pagerank_setup(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """(edges_deg persisted, deg persisted, n_nodes) — the static graph
+    state shared by every power iteration. Split out so
+    ``scripts/pagerank_rounds.py`` can time setup vs per-round cost on
+    the exact production code."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
@@ -61,6 +56,38 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max(.., 1): on an empty graph every frame below has zero rows, so
     # the sentinel only keeps the scalar math defined — no row uses it
     n_nodes = max(deg.count(), 1)
+    return edges_deg, deg, n_nodes
+
+
+def _pagerank_round(edges_deg: DataFrame, ranks: DataFrame, base: int) -> DataFrame:
+    """One power iteration: broadcast the node-sized rank vector onto the
+    persisted edge list, aggregate contributions by destination."""
+    return (
+        edges_deg.join(F.broadcast(ranks), F.col("src") == F.col("node"))
+        .select("dst", F.expr("r div deg").alias("c"))
+        .groupBy("dst")
+        .agg(
+            (
+                F.lit(base) + F.expr(f"sum(c) * {_DAMP_NUM} div {_DAMP_DEN}")
+            ).alias("r")
+        )
+        .withColumnRenamed("dst", "node")
+    )
+
+
+def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank on the customer↔supplier interaction graph (an edge per
+    distinct trading pair, both directions), 5 power iterations; returns
+    the 25 most central suppliers.
+
+    Scale: edges shuffle once to build; each iteration joins the rank
+    vector (|nodes| rows — tiny, broadcastable) onto the edge list and
+    aggregates contributions by destination: one shuffle per round over
+    data proportional to |edges|, with AQE free to broadcast the rank
+    side. State never exceeds one row per node — this is the same loop
+    discipline GraphX/Pregel uses, expressed in plain DataFrame ops.
+    """
+    edges_deg, deg, n_nodes = _pagerank_setup(spark, sf_dir)
     base = _SCALE * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN // n_nodes
 
     # the rank vector is one row per NODE (not per edge) — broadcast it
@@ -72,18 +99,7 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to a shuffle join — the loop shape is unchanged.)
     ranks = deg.select(F.col("src").alias("node"), F.lit(_SCALE // n_nodes).alias("r"))
     for _ in range(_ITERS):
-        ranks = (
-            edges_deg.join(F.broadcast(ranks), F.col("src") == F.col("node"))
-            .select("dst", F.expr("r div deg").alias("c"))
-            .groupBy("dst")
-            .agg(
-                (
-                    F.lit(base)
-                    + F.expr(f"sum(c) * {_DAMP_NUM} div {_DAMP_DEN}")
-                ).alias("r")
-            )
-            .withColumnRenamed("dst", "node")
-        )
+        ranks = _pagerank_round(edges_deg, ranks, base)
     return (
         ranks.filter(F.col("node") >= _SUPP_OFF)
         .select((F.col("node") - _SUPP_OFF).alias("supp_id"), F.col("r").alias("rank_fp"))

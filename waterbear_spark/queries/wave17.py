@@ -20,10 +20,26 @@
   needs OR-ed bands / learned planes; compare the OR-band construction
   in [[dedup_embedding_cosine]]).
 
+* ``semdedup_cells`` — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+  semantic dedup blocked by the k-means cells of [[ann_ivf_kmeans]] —
+  within each cell, a vector is dropped when a lower-vec_id cell-mate
+  sits above the cosine threshold shared with
+  [[dedup_embedding_cosine]] (the min-id representative rule of
+  [[dedup_exact]]); reports per-cell occupancy, drops, and kept rate.
+  The design trade is explicit: the LSH OR-band dedup is global but
+  pays banding; SemDeDup bounds all pair work inside clusters and
+  accepts missing cross-cluster pairs — both shapes belong in a
+  100 TB curation stack. Measured at sf0.01: 27 of the 59 global
+  tau-pairs land within a cell (K=8 coarse cells on near-orthogonal
+  synthetic vectors — production raises K so cells are tight).
+
 Scale: truth is only computed for the 5 broadcast probes (one corpus
 scan); the candidate sets are equi-joins on cell/bucket keys against the
 5-row probe side — at 100 TB this is the standard "audit the index on a
-probe sample" pattern, never a pair-space materialisation.
+probe sample" pattern, never a pair-space materialisation. SemDeDup's
+pair space is per-cell (re-split oversized cells in production — same
+note as ``embedding_knn_label``); everything shuffles on the cell key
+once.
 
 Float determinism follows the house rules in ``tables.py``: both index
 assignments are bit-identical to the oracle by construction (sequential
@@ -144,6 +160,114 @@ def table_probe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-blocked semantic dedup — see module docstring.
+
+    Within each IVF cell, pair cell-mates (a.vec_id < b.vec_id), verify
+    rounded cosine >= NEAR_COS_TAU with the same sequential-fold dot
+    product every embedding query uses, and drop the higher id of each
+    verified pair. One shuffle on the cell key; the pair join is an
+    equi-join whose width is bounded by the largest cell.
+    """
+    from waterbear_spark.queries.llm import NEAR_COS_TAU, _dot_expr, _embedding_dim
+
+    dim = _embedding_dim(spark, sf_dir)
+    emb = table_embeddings(spark, sf_dir)
+    m = emb.join(_ivf_cells(spark, sf_dir), "vec_id")
+    a = m.select(
+        F.col("cell"),
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    b = m.select(
+        F.col("cell").alias("b_cell"),
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("b_cell")) & (F.col("a_id") < F.col("b_id")),
+        )
+        .filter(
+            F.round(_dot_expr("av", "bv", dim) / (F.col("an") * F.col("bn")), 4)
+            >= F.lit(NEAR_COS_TAU)
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        m.select("vec_id", "cell")
+        .join(dropped, "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_vecs"),
+            F.sum(F.coalesce("is_dropped", F.lit(0))).cast("int").alias("n_dropped"),
+        )
+        .withColumn(
+            "kept_rate",
+            F.round(1.0 - F.col("n_dropped") / F.col("n_vecs"), 4),
+        )
+        .orderBy("cell")
+    )
+
+
+def table_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v double[], nrm) — the normalized embedding relation."""
+    from waterbear_spark.queries.tables import table
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    return emb.withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ),
+    )
+
+
+def _semdedup_sql() -> str:
+    from waterbear_spark.queries.llm import NEAR_COS_TAU
+
+    ivf_ctes, ivf_final = _ivf_ctes()
+    joined = ",\n".join(ivf_ctes)
+    return f"""
+WITH {joined},
+n AS (
+    SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e
+),
+m AS (
+    SELECT c.vec_id, c.cell, n.v, n.nrm
+    FROM {ivf_final} c JOIN n USING (vec_id)
+),
+dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+          >= {NEAR_COS_TAU}
+)
+SELECT CAST(m.cell AS INTEGER) AS cell,
+       CAST(COUNT(*) AS INTEGER) AS n_vecs,
+       CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+           AS n_dropped,
+       ROUND(1.0 - SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   / COUNT(*), 4) AS kept_rate
+FROM m LEFT JOIN dropped d ON d.vec_id = m.vec_id
+GROUP BY m.cell
+ORDER BY cell
+"""
+
+
+SEMDEDUP_SQL = _semdedup_sql()
+
+
 def _ann_recall_sql() -> str:
     ivf_ctes, ivf_final = _ivf_ctes()
     joined = ",\n".join(ivf_ctes)
@@ -218,8 +342,10 @@ ANN_RECALL_SQL = _ann_recall_sql()
 
 QUERIES = {
     "ann_recall_report": ann_recall_report,
+    "semdedup_cells": semdedup_cells,
 }
 
 ORACLES = {
     "ann_recall_report": ANN_RECALL_SQL,
+    "semdedup_cells": SEMDEDUP_SQL,
 }
