@@ -50,9 +50,10 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):  # Spark directory-style output (localdata/sf1)
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     failures = []
     results: dict[str, dict] = {}
@@ -120,7 +121,9 @@ def main():
             results[name] = {"status": "hash_match", "rows": len(s_rows)}
             print(f"ok    {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
 
-    if not only:
+    # filtered runs also persist when an explicit artifact name is given
+    # (e.g. the sf1 magnitude-sensitive subset sweep)
+    if not only or os.environ.get("SPARK_GRAFT_CORRECTNESS_OUT"):
         artifact = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             # override for sweeps at non-default scale factors, so the

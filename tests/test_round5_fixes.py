@@ -117,3 +117,41 @@ def test_spearman_plan_has_no_flag_partitioned_fact_sort(spark):
         # ORDER BY column (no __pb sub-bucket)
         assert "__pb" in line or "l_extendedprice" not in line
         assert "__pb" in line or "l_quantity" not in line
+
+
+def test_anova_exact_at_beyond_double_magnitudes(spark, tmp_path):
+    # the sf1 sweep caught engine-divergent double->decimal conversion
+    # once group cents^2 sums pass 2^53; this replays the exact-integer
+    # path at that magnitude: s1 ~ 3.6e11 cents per group, s1^2 ~ 1.3e23
+    from datetime import date
+
+    from waterbear_spark.queries.wave11 import anova_oneway_dow
+
+    sf_dir = str(tmp_path)
+    rows = []
+    # two dow groups, big prices with a fractional spread so s1^2 % n != 0
+    for i in range(3):
+        rows.append((date(2024, 1, 1), 1_200_000_007.01 + i))  # Monday
+        rows.append((date(2024, 1, 2), 1_199_000_003.57 + 2 * i))  # Tuesday
+    spark.createDataFrame(
+        rows, "o_orderdate date, o_totalprice double"
+    ).write.parquet(f"{sf_dir}/orders.parquet")
+
+    groups = {}
+    for d, p in rows:
+        groups.setdefault(d, []).append(round(p * 100))
+    k, n = len(groups), len(rows)
+    ssq = sum(sum(v) ** 2 // len(v) for v in groups.values())  # exact floor
+    g1 = sum(sum(v) for v in groups.values())
+    g2 = sum(x * x for v in groups.values() for x in v)
+    # the engine keeps both SS as exact integer differences until the
+    # final double conversion — no cancellation even when the within
+    # signal (1e5 cents^2) sits far below the moments' double ulp (1e7)
+    ss_between = float(ssq - g1 * g1 // n) / 1e4
+    ss_within = float(g2 - ssq) / 1e4
+
+    got = anova_oneway_dow(spark, sf_dir).collect()[0]
+    assert got.n_groups == k and got.n == n
+    assert got.ss_between == ss_between
+    assert got.ss_within == ss_within
+    assert got.ss_within > 0  # the cancellation regression zeroed this

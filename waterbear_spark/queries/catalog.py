@@ -163,6 +163,10 @@ _PRIORITY = [
     "ann_recall_report",
     # new this round: SemDeDup on the IVF cells:
     "semdedup_cells",
+    # sum-of-squares term rebuilt on exact 128-bit floor division after
+    # the round-5 sf1 sweep caught engine-divergent double->decimal
+    # conversion at ~5e21 cents^2:
+    "anova_oneway_dow",
 ]
 
 

@@ -347,35 +347,56 @@ def anova_oneway_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).cast("decimal(38,0)").alias("s1"),
         F.sum(cents * cents).cast("decimal(38,0)").alias("s2"),
     )
+    # floor(s1^2 / n) in EXACT 128-bit integer arithmetic: subtract the
+    # remainder so the decimal division has an integral true quotient
+    # (its scale-6 HALF_UP is then exact). The sf1 sweep (round 5)
+    # caught why no double may touch this term: at ~5e21 cents^2 the
+    # engines' double->decimal conversions disagree (Spark renders the
+    # shortest round-trip digits, DuckDB the exact dyadic value), so any
+    # round()/cast() of the double detour hash-diverges. The remainder
+    # subtraction keeps this exact at ANY group count; only decimal
+    # overflow (s1^2 >= 1e38, ~1e17 dollars of group revenue) bounds it.
+    s1sq = F.col("s1") * F.col("s1")
+    per = per.withColumn(
+        "q", ((s1sq - s1sq % F.col("n")) / F.col("n")).cast("decimal(38,0)")
+    )
     tot = per.agg(
         F.count(F.lit(1)).alias("k"),
         F.sum("n").alias("n_tot"),
         F.sum("s1").cast("decimal(38,0)").alias("g1"),
         F.sum("s2").cast("decimal(38,0)").alias("g2"),
-        # each group's s1^2/n is one deterministic double; rounding it
-        # into decimal makes the 7-term sum order-free across engines
-        F.sum(
-            F.round(
-                F.col("s1").cast("double") * F.col("s1").cast("double")
-                / F.col("n").cast("double"),
-                2,
-            ).cast("decimal(38,6)")
-        )
-        .cast("double")
-        .alias("sum_sq_over_n"),
+        F.sum("q").cast("decimal(38,0)").alias("sum_q"),
     )
-    g1 = F.col("g1").cast("double")
-    g2 = F.col("g2").cast("double")
+    # BOTH sums of squares are computed as exact decimal DIFFERENCES
+    # before any double appears: subtracting the ~1e22 cents^2 moments in
+    # double would sink the (much smaller) within/between signal below
+    # the ulp (~1e7 there) — catastrophic cancellation that zeroed
+    # ss_within on an adversarial high-mean/low-variance input. The
+    # floor remainders bias each SS by < k cents^2, identically in both
+    # engines.
+    g1sq = F.col("g1") * F.col("g1")
+    ssb_fp = F.col("sum_q") - (
+        (g1sq - g1sq % F.col("n_tot")) / F.col("n_tot")
+    ).cast("decimal(38,0)")
+    ssw_fp = F.col("g2") - F.col("sum_q")
+    ss_between = ssb_fp.cast("double") / 10_000.0
+    ss_within = ssw_fp.cast("double") / 10_000.0
     n = F.col("n_tot").cast("double")
     k = F.col("k").cast("double")
-    ss_between = (F.col("sum_sq_over_n") - g1 * g1 / n) / 10_000.0
-    ss_within = (g2 - F.col("sum_sq_over_n")) / 10_000.0
-    f_stat = (ss_between / (k - 1)) / (ss_within / (n - k))
+    f_stat = F.when(
+        ssw_fp > 0, (ss_between / (k - 1)) / (ss_within / (n - k))
+    )  # zero within-variance => F undefined, NULL on both engines
+    # ss_* are emitted UNROUNDED: the exact decimal differences convert
+    # to double identically in both engines (single int128 conversion),
+    # while a final ROUND(x, 2) at ss_within ~ 1e16 is exactly where the
+    # engines diverge (Spark's BigDecimal round is an identity there;
+    # DuckDB's multiply/round/divide perturbs one ulp — the round-5 sf1
+    # sweep finding)
     return tot.select(
         F.col("k").alias("n_groups"),
         F.col("n_tot").alias("n"),
-        F.round(ss_between, 2).alias("ss_between"),
-        F.round(ss_within, 2).alias("ss_within"),
+        ss_between.alias("ss_between"),
+        ss_within.alias("ss_within"),
         (F.col("k") - 1).cast("bigint").alias("df1"),
         (F.col("n_tot") - F.col("k")).cast("bigint").alias("df2"),
         F.round(f_stat, 6).alias("f_stat"),
@@ -392,24 +413,29 @@ WITH per AS (
 ),
 tot AS (
     SELECT COUNT(*) AS k, SUM(n) AS n_tot,
-           CAST(SUM(s1) AS DECIMAL(38,0)) AS g1,
-           CAST(SUM(s2) AS DECIMAL(38,0)) AS g2,
-           CAST(SUM(CAST(ROUND(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                               / CAST(n AS DOUBLE), 2) AS DECIMAL(38,6)))
-                AS DOUBLE) AS sum_sq_over_n
+           CAST(SUM(s1) AS HUGEINT) AS g1,
+           CAST(SUM(s2) AS HUGEINT) AS g2,
+           SUM(CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT)
+               // CAST(n AS HUGEINT)) AS sum_q
     FROM per
+),
+fp AS (
+    SELECT k, n_tot,
+           sum_q - (g1 * g1 // CAST(n_tot AS HUGEINT)) AS ssb_fp,
+           g2 - sum_q AS ssw_fp
+    FROM tot
 )
 SELECT CAST(k AS BIGINT) AS n_groups, CAST(n_tot AS BIGINT) AS n,
-       ROUND((sum_sq_over_n - CAST(g1 AS DOUBLE) * CAST(g1 AS DOUBLE)
-              / CAST(n_tot AS DOUBLE)) / 10000.0, 2) AS ss_between,
-       ROUND((CAST(g2 AS DOUBLE) - sum_sq_over_n) / 10000.0, 2) AS ss_within,
+       CAST(ssb_fp AS DOUBLE) / 10000.0 AS ss_between,
+       CAST(ssw_fp AS DOUBLE) / 10000.0 AS ss_within,
        CAST(k - 1 AS BIGINT) AS df1,
        CAST(n_tot - k AS BIGINT) AS df2,
-       ROUND(((sum_sq_over_n - CAST(g1 AS DOUBLE) * CAST(g1 AS DOUBLE)
-               / CAST(n_tot AS DOUBLE)) / 10000.0 / (CAST(k AS DOUBLE) - 1))
-             / ((CAST(g2 AS DOUBLE) - sum_sq_over_n) / 10000.0
-                / (CAST(n_tot AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_stat
-FROM tot
+       CASE WHEN ssw_fp > 0 THEN
+           ROUND((CAST(ssb_fp AS DOUBLE) / 10000.0 / (CAST(k AS DOUBLE) - 1))
+                 / (CAST(ssw_fp AS DOUBLE) / 10000.0
+                    / (CAST(n_tot AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+       END AS f_stat
+FROM fp
 """
 
 
