@@ -99,7 +99,12 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to a shuffle join — the loop shape is unchanged.)
     ranks = deg.select(F.col("src").alias("node"), F.lit(_SCALE // n_nodes).alias("r"))
     for _ in range(_ITERS):
-        ranks = _pagerank_round(edges_deg, ranks, base)
+        # cut lineage every round: the chained 5-deep broadcast plan
+        # costs ~2x the sum of its rounds at sf1 (plan depth + AQE
+        # re-planning), while checkpointed rounds measure flat 0.6 s each
+        # (PAGERANK_ROUNDS.json) — and at 100 TB per-round
+        # materialization is the standard Pregel discipline anyway
+        ranks = _pagerank_round(edges_deg, ranks, base).localCheckpoint()
     return (
         ranks.filter(F.col("node") >= _SUPP_OFF)
         .select((F.col("node") - _SUPP_OFF).alias("supp_id"), F.col("r").alias("rank_fp"))
