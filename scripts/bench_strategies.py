@@ -389,6 +389,66 @@ def main():
         "engine": best2(spark, cosine_engine),
     }
 
+    # --- spearman: flag-partitioned fact sort vs bucketed census ranks -----
+    # naive = the round-4 formulation the verdict flagged (7.1x at 10x
+    # data): both rank windows partition by l_returnflag (3 keys), so
+    # three tasks each total-order a third of the fact table
+    from waterbear_spark.queries import relational_more
+
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+
+    def spearman_naive():
+        def dbl(col):
+            w = Window.partitionBy("l_returnflag").orderBy(col)
+            rmin = F.rank().over(w)  # = cum_before + 1
+            cnt = F.count(F.lit(1)).over(
+                Window.partitionBy("l_returnflag", col)
+            )
+            # doubled average rank of the tie group: 2*cum_before+cnt+1
+            return (2 * rmin + cnt - 1).cast("bigint")
+
+        ranked = lineitem.select(
+            "l_returnflag",
+            dbl(F.col("l_extendedprice")).alias("rx"),
+            dbl(F.col("l_quantity")).alias("ry"),
+        )
+        rx_d = F.col("rx").cast("decimal(19,0)")
+        ry_d = F.col("ry").cast("decimal(19,0)")
+        mom = ranked.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("rx").alias("sx"),
+            F.sum("ry").alias("sy"),
+            F.sum(rx_d * rx_d).alias("sxx"),
+            F.sum(ry_d * ry_d).alias("syy"),
+            F.sum(rx_d * ry_d).alias("sxy"),
+        )
+        num = F.col("n").cast("double") * F.col("sxy").cast("double") - F.col(
+            "sx"
+        ).cast("double") * F.col("sy").cast("double")
+        den = F.sqrt(
+            F.col("n").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        ) * F.sqrt(
+            F.col("n").cast("double") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+        return mom.select(
+            "l_returnflag",
+            "n",
+            F.round(num / den, 6).alias("spearman_rho"),
+        )
+
+    def spearman_engine():
+        return relational_more.spearman_price_quantity(spark, SF_DIR)
+
+    assert fingerprint(spearman_naive()) == fingerprint(spearman_engine())
+    out["spearman_ranks"] = {
+        "naive": best2(spark, spearman_naive),
+        "engine": best2(spark, spearman_engine),
+    }
+
     for k, v in out.items():
         v["speedup"] = round(v["naive"] / v["engine"], 2) if v["engine"] else None
     print(json.dumps({"metric": "strategy_ab", "unit": "sec", "sf_dir": SF_DIR, "cases": out}))
