@@ -15,6 +15,8 @@ NESTED_LOOP_OK = {
     # probe spine: 5 probe ids × broadcast 3-row method list (plus the
     # embedding_topk truth subtree it reuses)
     "ann_recall_report",
+    # |sources|-row relation × broadcast 1-row total and 1-row leftover
+    "epoch_allocation",
     # scalar-subquery pattern: cross join against a broadcast 1-row aggregate
     "q11_important_parts",
     "q15_top_supplier",

@@ -41,6 +41,7 @@ from waterbear_spark.queries import (
     wave15,
     wave16,
     wave17,
+    wave18,
 )
 
 QUERIES = {
@@ -78,6 +79,7 @@ QUERIES = {
     **wave15.QUERIES,
     **wave16.QUERIES,
     **wave17.QUERIES,
+    **wave18.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -118,6 +120,7 @@ ORACLE_SQL = {
     **wave15.ORACLES,
     **wave16.ORACLES,
     **wave17.ORACLES,
+    **wave18.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -163,6 +166,10 @@ _PRIORITY = [
     "ann_recall_report",
     # new this round: SemDeDup on the IVF cells:
     "semdedup_cells",
+    # new this round (wave 18): curation-funnel trio:
+    "quality_gate_funnel",
+    "epoch_allocation",
+    "embedding_quantization_audit",
     # sum-of-squares term rebuilt on exact 128-bit floor division after
     # the round-5 sf1 sweep caught engine-divergent double->decimal
     # conversion at ~5e21 cents^2:
