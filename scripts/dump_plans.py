@@ -77,6 +77,12 @@ SHOWCASE = {
     "weighted_sssp": "Bellman-Ford round: broadcast distance vector onto edges, min-aggregate on dst, lineage checkpointed",
     "interval_coverage_user": "interval union: per-user windows share one Exchange, islands from running max-end",
     "rendezvous_sharding": "HRW sharding: in-row 10/11-element argmax, two bounded shard censuses, full outer on shard",
+    "spearman_price_quantity": "round-5 rewrite: census + bucketed prefix ranks — no fact-table sort window, parallelism unbound from the 3 flags",
+    "ann_recall_report": "probe-sample index audit: truth vs cell/bucket candidate equi-joins, 5x3 broadcast spine",
+    "semdedup_cells": "SemDeDup: one cell-key shuffle, pair verify confined inside cells, census aggregate",
+    "quality_gate_funnel": "five gates in one scan + one doc-keyed mode aggregate; attrition from a single 5-struct explode",
+    "epoch_allocation": "|sources|-row allocation: two broadcast 1-row scalars, exact decimal floor-div waterfall",
+    "embedding_quantization_audit": "per-dim scales (64-row broadcast) back onto the exploded components, one label aggregate",
 }
 
 

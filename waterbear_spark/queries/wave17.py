@@ -68,8 +68,10 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured against the brute-force truth — see module docstring."""
     truth = embedding_topk(spark, sf_dir).select("query_id", "vec_id")
 
-    ivf = _ivf_cells(spark, sf_dir)
-    lsh = _hyperplane_bucketed(spark, sf_dir).select("vec_id", "bucket")
+    # each assignment relation feeds probes AND candidates (self-join),
+    # so materialize the one-scan result instead of re-scoring per use
+    ivf = _ivf_cells(spark, sf_dir).persist()
+    lsh = _hyperplane_bucketed(spark, sf_dir).select("vec_id", "bucket").persist()
 
     def method_stats(assign: DataFrame, key: str, method: str) -> DataFrame:
         probes = assign.filter(F.col("vec_id") < _K).select(
@@ -173,7 +175,8 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dim = _embedding_dim(spark, sf_dir)
     emb = table_embeddings(spark, sf_dir)
-    m = emb.join(_ivf_cells(spark, sf_dir), "vec_id")
+    # the celled relation feeds both join sides and the final census
+    m = emb.join(_ivf_cells(spark, sf_dir), "vec_id").persist()
     a = m.select(
         F.col("cell"),
         F.col("vec_id").alias("a_id"),
