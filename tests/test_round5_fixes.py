@@ -155,3 +155,21 @@ def test_anova_exact_at_beyond_double_magnitudes(spark, tmp_path):
     assert got.ss_between == ss_between
     assert got.ss_within == ss_within
     assert got.ss_within > 0  # the cancellation regression zeroed this
+
+
+def test_target_encoding_never_emits_negative_zero(spark):
+    # a tiny negative shrinkage rounds to zero; DuckDB keeps the sign
+    # bit, Spark does not — the query normalizes with + 0.0 so both
+    # engines (and the driver's repr-based value hash) agree
+    from waterbear_spark.queries.wave5 import target_encoding
+    from waterbear_spark.testing import norm_cell
+
+    rows = target_encoding(spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        for v in r:
+            assert norm_cell(v) != "-0.0"
+    # and the normalization expression itself: -0.0 + 0.0 == +0.0
+    import math
+
+    out = spark.sql("SELECT round(-1e-9, 6) + 0.0 AS z").collect()[0]["z"]
+    assert out == 0.0 and not math.copysign(1.0, out) < 0

@@ -174,6 +174,8 @@ _PRIORITY = [
     # the round-5 sf1 sweep caught engine-divergent double->decimal
     # conversion at ~5e21 cents^2:
     "anova_oneway_dow",
+    # shrinkage now normalizes IEEE -0.0 (sf1 subset-2 sweep catch):
+    "target_encoding",
 ]
 
 

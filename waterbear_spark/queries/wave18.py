@@ -293,7 +293,7 @@ redo AS (
            SUM(CASE WHEN NOT capped THEN w_fp ELSE 0 END) AS w_free
     FROM j2
 )
-SELECT source, avail,
+SELECT source, CAST(avail AS BIGINT) AS avail,
        ROUND(CAST(w_fp AS DOUBLE) / CAST(tot_w AS DOUBLE), 6) AS weight,
        CAST(alloc1 + CASE WHEN NOT capped AND w_free > 0 THEN
                (CAST(leftover AS HUGEINT) * CAST(w_fp AS HUGEINT))

@@ -71,11 +71,17 @@ def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n") + F.lit(_TE_M)),
                 6,
             ).alias("enc"),
-            F.round(
-                F.col("pos").cast("double") / F.col("n")
-                - (F.col("pos") + F.lit(_TE_M) * F.col("prior"))
-                / (F.col("n") + F.lit(_TE_M)),
-                6,
+            # + 0.0 normalizes IEEE -0.0 (a tiny negative shrinkage that
+            # rounds to zero keeps its sign bit in DuckDB but not Spark —
+            # caught by the round-5 sf1 sweep)
+            (
+                F.round(
+                    F.col("pos").cast("double") / F.col("n")
+                    - (F.col("pos") + F.lit(_TE_M) * F.col("prior"))
+                    / (F.col("n") + F.lit(_TE_M)),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("shrinkage"),
         )
         .orderBy("o_orderpriority")
@@ -98,7 +104,7 @@ SELECT o_orderpriority, n, pos,
        ROUND(prior, 6) AS prior,
        ROUND((pos + {_TE_M} * prior) / (n + {_TE_M}), 6) AS enc,
        ROUND(CAST(pos AS DOUBLE) / n
-             - (pos + {_TE_M} * prior) / (n + {_TE_M}), 6) AS shrinkage
+             - (pos + {_TE_M} * prior) / (n + {_TE_M}), 6) + 0.0 AS shrinkage
 FROM per_cat CROSS JOIN g
 ORDER BY o_orderpriority
 """
