@@ -129,7 +129,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # complete the (method x probe) spine so a singleton cell/bucket
     # (zero candidates) still reports recall 0 on both engines
     spine = (
-        table_probe_ids(spark, sf_dir)
+        _probe_ids(spark, sf_dir)
         .crossJoin(F.broadcast(spark.range(0, 1).select(
             F.explode(
                 F.array(F.lit("ivf"), F.lit("lsh"), F.lit("lsh_mp1"))
@@ -151,7 +151,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def table_probe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _probe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 5 probe vec_ids as a (query_id) relation."""
     from waterbear_spark.queries.tables import table
 
@@ -174,7 +174,7 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from waterbear_spark.queries.llm import NEAR_COS_TAU, _dot_expr, _embedding_dim
 
     dim = _embedding_dim(spark, sf_dir)
-    emb = table_embeddings(spark, sf_dir)
+    emb = _norm_embeddings(spark, sf_dir)
     # the celled relation feeds both join sides and the final census
     m = emb.join(_ivf_cells(spark, sf_dir), "vec_id").persist()
     a = m.select(
@@ -218,7 +218,7 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def table_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _norm_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v double[], nrm) — the normalized embedding relation."""
     from waterbear_spark.queries.tables import table
 
