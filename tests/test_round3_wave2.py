@@ -68,10 +68,12 @@ def test_inverted_index_postings_shape(spark):
     assert set(by_term) == set(expect_df)
     for term, r in by_term.items():
         assert r.df == expect_df[term]
-        assert r.postings == sorted(r.postings)
-        assert len(r.postings) == min(r.df, _POSTINGS_CAP)
+        # postings serialized to one comma-joined string (driver-hashable)
+        plist = r.postings.split(",")
+        assert plist == sorted(plist)
+        assert len(plist) == min(r.df, _POSTINGS_CAP)
         # spot-verify first posting: doc id and 1-based first position
-        doc_str, pos_str = r.postings[0].split(":")
+        doc_str, pos_str = plist[0].split(":")
         doc_id, pos = int(doc_str), int(pos_str)
         assert docs[doc_id][pos - 1] == term
         assert term not in docs[doc_id][: pos - 1]

@@ -33,9 +33,9 @@ def _numpy_truth(spark):
 
 def test_ann_recall_report_matches_replay(spark):
     out = wave17.ann_recall_report(spark, SF_SMOKE).collect()
-    assert len(out) == 15  # 3 methods x 5 probes
+    assert len(out) == 20  # 4 methods x 5 probes
     by = {(r["method"], r["query_id"]): r for r in out}
-    assert {m for m, _ in by} == {"ivf", "lsh", "lsh_mp1"}
+    assert {m for m, _ in by} == {"ivf", "lsh", "lsh_mp1", "lsh_orband"}
 
     truth = _numpy_truth(spark)
     cells = {r["vec_id"]: r["cell"] for r in _ivf_cells(spark, SF_SMOKE).collect()}
@@ -49,6 +49,15 @@ def test_ann_recall_report_matches_replay(spark):
     def members(assign, keys, q):
         return {v for v, k in assign.items() if k in keys and v != q}
 
+    def orband_members(q):
+        # 2 OR-bands of 4 bits: candidate iff either nibble matches
+        qb = buckets[q]
+        return {
+            v
+            for v, b in buckets.items()
+            if v != q and (b & 15 == qb & 15 or b >> 4 == qb >> 4)
+        }
+
     for q in range(5):
         expect = {
             "ivf": members(cells, {cells[q]}, q),
@@ -56,6 +65,7 @@ def test_ann_recall_report_matches_replay(spark):
             "lsh_mp1": members(
                 buckets, {buckets[q]} | {buckets[q] ^ (1 << j) for j in range(8)}, q
             ),
+            "lsh_orband": orband_members(q),
         }
         for method, cand in expect.items():
             r = by[(method, q)]
@@ -65,6 +75,10 @@ def test_ann_recall_report_matches_replay(spark):
             # superset monotonicity: widening probes never loses recall
         assert by[("lsh_mp1", q)]["hits"] >= by[("lsh", q)]["hits"]
         assert by[("lsh_mp1", q)]["cand_n"] >= by[("lsh", q)]["cand_n"]
+        # the OR-band candidate set contains the exact-bucket set (a
+        # full 8-bit match implies both nibbles match)
+        assert by[("lsh_orband", q)]["hits"] >= by[("lsh", q)]["hits"]
+        assert by[("lsh_orband", q)]["cand_n"] >= by[("lsh", q)]["cand_n"]
 
 
 def test_semdedup_matches_numpy_replay(spark):
@@ -104,3 +118,20 @@ def test_semdedup_matches_numpy_replay(spark):
         total_dropped += len(dropped)
     # the operator must discriminate on the planted near-dups
     assert total_dropped > 0
+
+
+def test_ivf_k_scales_with_corpus_size():
+    """The r5 verdict's scale-weak fix: K grows with n so per-cell pair
+    work stays O(n * target_cell) instead of O(n^2 / 8)."""
+    from waterbear_spark.queries.llm import _IVF_TARGET_CELL, _ivf_k
+
+    assert _ivf_k(0) == 8
+    assert _ivf_k(500) == 8          # sf0.01 — unchanged vs r5
+    assert _ivf_k(2000) == 8         # sf0.1  — unchanged vs r5
+    assert _ivf_k(20000) == 10       # sf1
+    assert _ivf_k(2048 * 8) == 8     # floor still binds at the boundary
+    assert _ivf_k(2048 * 8 + 1) == 9
+    # linear regime: cells stay near the target size forever
+    for n in (10**6, 10**8):
+        k = _ivf_k(n)
+        assert (k - 1) * _IVF_TARGET_CELL < n <= k * _IVF_TARGET_CELL

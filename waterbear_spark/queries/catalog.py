@@ -147,35 +147,26 @@ assert set(ORACLE_SQL) <= set(QUERIES), "oracle without query"
 # CORRECTNESS_LOCAL.json (scripts/check_oracle.py, full catalog) remains
 # the per-round local certification on top.
 _PRIORITY = [
-    # --- round 5: only semantics-changed (or brand-new) queries are
-    # pinned; the least-recently-verified rotation below fills the rest
-    # of the window with the ~82 never-driver-verified queries (they
-    # sort as round 0) ---
-    # spearman ranks rewritten onto the bucketed census scaffold (the
-    # round-4 verdict's one perf-weak finding) — semantics identical but
-    # the physical rank path is new, so re-verify:
-    "spearman_price_quantity",
-    # lorenz deciles now drop n_cust=0 spine rows (degenerate-input
-    # oracle agreement fix, advice r4):
-    "lorenz_curve_deciles",
-    # mvhd scan now iterates hex hits with box-size validation
-    # (advice r4):
-    "multimodal_mp4_walk",
-    # new this round: measured recall@k for both ANN paths vs the
-    # brute-force truth (verdict r4 ask #6):
-    "ann_recall_report",
-    # new this round: SemDeDup on the IVF cells:
+    # --- round 6: only semantics-changed queries are pinned; the
+    # least-recently-verified rotation below fills the rest of the
+    # window with the 41 remaining never-driver-verified queries (they
+    # sort as round 0), closing the r5 verdict's evidence gap ---
+    # postings column serialized to a comma-joined string so the
+    # driver's hash harness can hash it (the one r5 `err`):
+    "inverted_index_postings",
+    # IVF K now scales with corpus size (_ivf_k: max(8, ceil(n/2048)),
+    # mirrored in the oracle's kk CTE) — the r5 scale-weak fix; K is
+    # unchanged at sf0.01 but the derivation is new on both engines:
+    "ann_ivf_kmeans",
     "semdedup_cells",
-    # new this round (wave 18): curation-funnel trio:
+    # ann_recall_report gains the shipped OR-band method row
+    # (lsh_orband) and derives multi-probe flips from N_PLANES:
+    "ann_recall_report",
+    # wave-18 advice fixes: token-less docs kept via left join; w_fp /
+    # err_fp rounding moved to cross-engine floor(x+0.5) half-up:
     "quality_gate_funnel",
     "epoch_allocation",
     "embedding_quantization_audit",
-    # sum-of-squares term rebuilt on exact 128-bit floor division after
-    # the round-5 sf1 sweep caught engine-divergent double->decimal
-    # conversion at ~5e21 cents^2:
-    "anova_oneway_dow",
-    # shrinkage now normalizes IEEE -0.0 (sf1 subset-2 sweep catch):
-    "target_encoding",
 ]
 
 

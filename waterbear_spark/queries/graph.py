@@ -103,8 +103,14 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # costs ~2x the sum of its rounds at sf1 (plan depth + AQE
         # re-planning), while checkpointed rounds measure flat 0.6 s each
         # (PAGERANK_ROUNDS.json) — and at 100 TB per-round
-        # materialization is the standard Pregel discipline anyway
-        ranks = _pagerank_round(edges_deg, ranks, base).localCheckpoint()
+        # materialization is the standard Pregel discipline anyway.
+        # eager=False keeps construction lazy (advice r5: the default
+        # eager checkpoint made merely building this DataFrame run all
+        # 5 iteration jobs, e.g. under scripts/dump_plans.py's EXPLAIN);
+        # each round still materializes exactly once at the first action
+        ranks = _pagerank_round(edges_deg, ranks, base).localCheckpoint(
+            eager=False
+        )
     return (
         ranks.filter(F.col("node") >= _SUPP_OFF)
         .select((F.col("node") - _SUPP_OFF).alias("supp_id"), F.col("r").alias("rank_fp"))

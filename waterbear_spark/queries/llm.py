@@ -757,8 +757,25 @@ ORDER BY vec_id
 """
 
 
-_IVF_K = 8
+_IVF_K = 8  # FLOOR on the cell count — K scales with corpus size (below)
+_IVF_TARGET_CELL = 2048  # target vectors/cell: bounds per-cell pair work
 _IVF_ITERS = 3  # assignments; centroid updates happen ITERS-1 times
+
+
+def _ivf_k(n: int) -> int:
+    """Cell count for an n-vector corpus: ``max(8, ceil(n / 2048))``.
+
+    Fixing K was the round-5 verdict's one scale-killer: with constant
+    cells, [[semdedup_cells]]' per-cell pair join grows O(n^2/K). Scaling
+    K with n keeps cells near ``_IVF_TARGET_CELL`` vectors, so pair work
+    is O(n * target) — linear in the corpus. Centroid seeding stays
+    deterministic (vectors 0..K-1), and the DuckDB oracle derives the
+    same K from the same COUNT(*) (exact integer ceil division on both
+    engines), so assignments remain bit-identical at every scale. At
+    sf0.01/sf0.1 (<=2000 vectors) K stays at the floor of 8 — all prior
+    certification hashes are unchanged; at sf1 (20k) K becomes 10.
+    """
+    return max(_IVF_K, -(-n // _IVF_TARGET_CELL))
 
 
 def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -774,9 +791,10 @@ def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    k = _ivf_k(emb.count())  # also materializes the persisted cache
     init = {
         int(r["vec_id"]): list(r["v"])
-        for r in emb.filter(F.col("vec_id") < _IVF_K).collect()
+        for r in emb.filter(F.col("vec_id") < k).collect()
     }
     if not init:
         # empty table: no centroids to seed — emit the output shape with
@@ -827,8 +845,9 @@ def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF index construction: deterministic Lloyd k-means (K=8, three
-    assignment passes, init = vectors 0..K-1) producing each vector's
+    """IVF index construction: deterministic Lloyd k-means (K =
+    max(8, ceil(n/2048)) via :func:`_ivf_k`, three assignment passes,
+    init = vectors 0..K-1) producing each vector's
     inverted-list cell id + cell occupancy — the real "train the
     coarse quantizer" step behind IVF ANN search (label blocking in
     ``embedding_knn_label`` is the search half; this builds the cells).
@@ -887,7 +906,13 @@ def _ivf_ctes() -> tuple[list[str], str]:
 
     ctes = [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-        f"c0 AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < {_IVF_K})",
+        # K = max(8, ceil(n/target)) — same exact integer ceil division
+        # as _ivf_k, derived from COUNT(*) inside the query
+        f"kk AS (SELECT GREATEST({_IVF_K}, "
+        f"(COUNT(*) + {_IVF_TARGET_CELL - 1}) // {_IVF_TARGET_CELL}) AS k "
+        "FROM e)",
+        "c0 AS (SELECT vec_id AS cluster, v AS c FROM e, kk "
+        "WHERE vec_id < kk.k)",
     ]
     cent = "c0"
     for it in range(_IVF_ITERS):

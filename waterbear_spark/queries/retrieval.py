@@ -164,6 +164,10 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     term and are CAPPED at {cap} entries — the Zipf head ("the") never
     materializes a corpus-sized row. Real index builders shard exactly
     this way; df stays the full count.
+
+    The posting list is serialized with ``array_join`` to one
+    comma-delimited string (r5 verdict fix: the driver's hash harness
+    cannot hash array columns; the values are unchanged).
     """.format(cap=_POSTINGS_CAP)
     toks = table(spark, sf_dir, "documents").select(
         "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "term")
@@ -181,8 +185,9 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.slice(
-                F.sort_array(F.collect_list("p")), 1, _POSTINGS_CAP
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("p")), 1, _POSTINGS_CAP),
+                ",",
             ).alias("postings"),
         )
         .orderBy("term")
@@ -209,7 +214,7 @@ posting AS (
     FROM first_pos
 )
 SELECT term, COUNT(*) AS df,
-       (list_sort(list(p)))[1:{_POSTINGS_CAP}] AS postings
+       array_to_string((list_sort(list(p)))[1:{_POSTINGS_CAP}], ',') AS postings
 FROM posting
 GROUP BY term
 ORDER BY term

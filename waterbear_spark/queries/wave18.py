@@ -83,7 +83,12 @@ def quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("c").alias("topcnt"))
     )
-    flags = docs.join(top, "doc_id").select(
+    # left join + coalesce: a token-less doc (empty/whitespace-only text)
+    # has no explode rows, so an inner join would silently drop it from
+    # the funnel and undercount gate-1 n_in (advice r5)
+    flags = docs.join(top, "doc_id", "left").withColumn(
+        "topcnt", F.coalesce("topcnt", F.lit(0))
+    ).select(
         (F.col("n_chars") >= _MIN_CHARS).alias("g1"),
         (
             (3 * F.col("cnt") <= F.col("sumlen"))
@@ -150,9 +155,9 @@ flags AS (
     SELECT (n_chars >= {_MIN_CHARS}) AS g1,
            (3 * cnt <= sumlen AND sumlen <= 12 * cnt) AS g2,
            (20 * stop >= cnt) AS g3,
-           (5 * topcnt <= cnt) AS g4,
+           (5 * COALESCE(topcnt, 0) <= cnt) AS g4,
            (lang IN {str(tuple(_LANG_OK))}) AS g5
-    FROM base JOIN top USING (doc_id)
+    FROM base LEFT JOIN top USING (doc_id)
 ),
 agg AS (
     SELECT COUNT(*) AS s0,
@@ -199,10 +204,12 @@ def epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != ""))
         ).alias("avail")
     )
-    # integer sqrt weight: identical IEEE sqrt + round on both engines
+    # integer sqrt weight: floor(x + 0.5) is the cross-engine half-up
+    # (Spark Round / DuckDB ROUND disagree near .5 boundaries — advice r5)
     avail = avail.withColumn(
-        "w_fp", F.round(F.sqrt(F.col("avail").cast("double")) * _EA_WSCALE)
-        .cast("bigint")
+        "w_fp",
+        F.floor(F.sqrt(F.col("avail").cast("double")) * _EA_WSCALE + 0.5)
+        .cast("bigint"),
     )
     tot = avail.agg(
         F.sum("avail").alias("tot_avail"), F.sum("w_fp").alias("tot_w")
@@ -270,8 +277,8 @@ WITH avail AS (
 ),
 w AS (
     SELECT source, avail,
-           CAST(ROUND(SQRT(CAST(avail AS DOUBLE)) * {_EA_WSCALE}, 0) AS BIGINT)
-               AS w_fp
+           CAST(FLOOR(SQRT(CAST(avail AS DOUBLE)) * {_EA_WSCALE} + 0.5)
+                AS BIGINT) AS w_fp
     FROM avail
 ),
 tot AS (SELECT SUM(avail) AS tot_avail, SUM(w_fp) AS tot_w FROM w),
@@ -339,7 +346,10 @@ def embedding_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("mx") > 0)  # a dead dim quantizes losslessly to 0
         .select(
             "label",
-            F.round(err * _Q_ERRSCALE).cast("bigint").alias("err_fp"),
+            # floor(x + 0.5), same half-up as the quantizer itself (err
+            # is nonnegative); F.round vs DuckDB ROUND can hash-diverge
+            # within half an ulp of a .5 boundary (advice r5)
+            F.floor(err * _Q_ERRSCALE + 0.5).cast("bigint").alias("err_fp"),
         )
     )
     return (
@@ -370,9 +380,9 @@ comp AS (
 scales AS (SELECT dim, MAX(ABS(x)) AS mx FROM comp GROUP BY dim),
 per AS (
     SELECT label,
-           CAST(ROUND(ABS(x - GREATEST(-127, LEAST(127,
+           CAST(FLOOR(ABS(x - GREATEST(-127, LEAST(127,
                     FLOOR(x * 127.0 / mx + 0.5))) * mx / 127.0)
-                * {_Q_ERRSCALE}, 0) AS BIGINT) AS err_fp
+                * {_Q_ERRSCALE} + 0.5) AS BIGINT) AS err_fp
     FROM comp JOIN scales USING (dim)
     WHERE mx > 0
 )
