@@ -10,6 +10,7 @@ from tests.conftest import SF_SMOKE
 from waterbear_spark.queries.catalog import ORACLE_SQL, QUERIES
 from waterbear_spark.queries.tables import TABLES
 from waterbear_spark.testing import compare_frames
+pytestmark = pytest.mark.smoke  # <10-min certification subset
 
 REPRESENTATIVE = [
     "q1_pricing_summary",

@@ -18,6 +18,7 @@ from hypothesis import strategies as st
 
 from tests.conftest import SF_SMOKE
 from waterbear_spark.testing import compare_frames
+pytestmark = pytest.mark.smoke  # <10-min certification subset
 
 _STATUSES = ["O", "F", "P"]
 _PRIORITIES = [

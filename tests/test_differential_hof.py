@@ -15,6 +15,7 @@ from hypothesis import strategies as st
 
 from tests.conftest import SF_SMOKE
 from waterbear_spark.testing import compare_frames
+pytestmark = pytest.mark.smoke  # <10-min certification subset
 
 
 @pytest.fixture(scope="module")

@@ -16,6 +16,7 @@ import pytest
 
 from waterbear_spark.functions import multimodal
 from waterbear_spark.sources import sinks
+pytestmark = pytest.mark.smoke  # <10-min certification subset
 
 
 def _has(pkg: str) -> bool:

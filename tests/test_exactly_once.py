@@ -4,10 +4,14 @@ half-written (uncommitted) batches are invisible to readers."""
 import os
 import shutil
 
+import pytest
+
 from waterbear_spark.streaming.exactly_once import (
     idempotent_append,
     read_committed,
 )
+
+pytestmark = pytest.mark.smoke  # <10-min certification subset
 
 
 def test_redelivered_batch_is_a_noop(spark, tmp_path):

@@ -8,6 +8,9 @@ from pyspark.sql.types import ArrayType, DateType, IntegerType, StringType, Stru
 
 from tests.conftest import MODEL_DIR
 from waterbear_spark import RecordGenerator, SchemaCompiler
+import pytest
+
+pytestmark = pytest.mark.smoke  # <10-min certification subset
 
 
 def test_driver_mode_roundtrip(spark, tmp_path):

@@ -5,6 +5,9 @@ import datetime
 from pyspark.sql import functions as F
 
 from waterbear_spark.operators import asof_join, top_k_per_group
+import pytest
+
+pytestmark = pytest.mark.smoke  # <10-min certification subset
 
 
 def _ts(s):

@@ -7,6 +7,7 @@ import pytest
 
 from tests.conftest import SF_SMOKE
 from waterbear_spark.queries.catalog import QUERIES
+pytestmark = pytest.mark.smoke  # <10-min certification subset
 
 # queries whose semantics legitimately need a broadcast nested loop
 # (theta-only join conditions); everything else must hash/sort-merge join

@@ -7,6 +7,9 @@ from tests.conftest import DATA_DIR, MODEL_DIR
 from waterbear_spark import Expectations, SchemaCompiler
 from waterbear_spark.quality.expectations import array_element_enum
 from waterbear_spark.sources import read_entity
+import pytest
+
+pytestmark = pytest.mark.smoke  # <10-min certification subset
 
 CORPUS = os.path.join(DATA_DIR, "staff.jsonl")
 

@@ -24,6 +24,7 @@ from waterbear_spark.schema.constraints import (
     string_constraints,
 )
 from waterbear_spark.schema.types import UnsupportedTypeError, spark_type_for
+pytestmark = pytest.mark.smoke  # <10-min certification subset
 
 
 class TestTypeMap:

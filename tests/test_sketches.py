@@ -11,7 +11,7 @@ aggregation (sketch-per-group then union == sketch-of-all)."""
 import pytest
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, TESTDATA_ROOT
 
 
 @pytest.fixture(scope="module")
@@ -108,3 +108,38 @@ def test_count_min_sketch_never_underestimates(documents, spark):
         est = cms.estimateCount(tok)
         assert est >= n, (tok, est, n)
         assert est <= n + 0.001 * total * 3 + 1, (tok, est, n, total)
+
+
+def test_approx_distinct_within_configured_rsd(spark):
+    """Honesty bound for the rows-only catalog query (r5 verdict ask #8):
+    the HLL++ estimate with rsd=0.02 must sit within a few standard
+    errors of the exact countDistinct. HLL++'s rsd is a standard
+    deviation, not a hard cap, so assert a 5-sigma envelope (10%) —
+    loose enough to be non-flaky, tight enough to catch a broken sketch
+    (which is typically off by 2x or worse)."""
+    import os
+
+    from waterbear_spark.queries.relational_ext import approx_distinct
+    from waterbear_spark.queries.tables import table
+
+    for sf in ("sf0.01", "sf0.1"):
+        sf_dir = os.path.join(TESTDATA_ROOT, sf)
+        approx = {
+            r.l_returnflag: (r.approx_parts, r.approx_orders)
+            for r in approx_distinct(spark, sf_dir).collect()
+        }
+        exact = {
+            r.l_returnflag: (r.parts, r.orders)
+            for r in table(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(
+                F.countDistinct("l_partkey").alias("parts"),
+                F.countDistinct("l_orderkey").alias("orders"),
+            )
+            .collect()
+        }
+        assert set(approx) == set(exact)
+        for flag, (ap, ao) in approx.items():
+            ep, eo = exact[flag]
+            assert abs(ap - ep) <= 0.10 * ep, (sf, flag, ap, ep)
+            assert abs(ao - eo) <= 0.10 * eo, (sf, flag, ao, eo)
