@@ -26,13 +26,21 @@ _PAIR_TOPK = 20
 
 
 def _neighborhood_pairs(
-    spark: SparkSession, sf_dir: str, max_dist: int
+    spark: SparkSession,
+    sf_dir: str,
+    max_dist: int,
+    window: int = _SN_WINDOW,
+    prefix_len: int = 1,
 ) -> DataFrame:
     """Shared sorted-neighborhood candidate generation (see
     ``sorted_neighborhood_pairs`` for the distributed-rank and
-    block-join argument); ``max_dist`` sets the edit-distance verify."""
+    block-join argument); ``max_dist`` sets the edit-distance verify.
+    ``window`` (neighborhood width) and ``prefix_len`` (rank-partition
+    prefix) are the two scale knobs — defaults are the catalog
+    semantics; ``scripts/er_knob_bench.py`` measures the trade
+    (ER_KNOB_BENCH.json)."""
     parts = table(spark, sf_dir, "part").select("p_partkey", "p_name")
-    g = F.substring("p_name", 1, 1)
+    g = F.substring("p_name", 1, prefix_len)
     counts = parts.groupBy(g.alias("g")).agg(F.count(F.lit(1)).alias("cnt"))
     # prefix-sum offsets over the (tiny, alphabet-bounded) group counts
     w_off = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)
@@ -50,7 +58,7 @@ def _neighborhood_pairs(
             (F.col("off") + F.col("r_in")).cast("long").alias("rn"),
         )
     )
-    blk = lambda rn: F.floor((F.col(rn) - 1) / _SN_WINDOW)  # noqa: E731
+    blk = lambda rn: F.floor((F.col(rn) - 1) / window)  # noqa: E731
     a = ranked.select(
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
@@ -67,7 +75,7 @@ def _neighborhood_pairs(
         a.join(b, "jblk")
         .filter(
             (F.col("rn_b") > F.col("rn_a"))
-            & (F.col("rn_b") <= F.col("rn_a") + _SN_WINDOW)
+            & (F.col("rn_b") <= F.col("rn_a") + window)
         )
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= max_dist)
