@@ -110,6 +110,19 @@ HEAVY.update(
     }
 )
 
+# round-6: the r5 verdict's scale-weak pair (now that _ivf_k scales the
+# cell count with corpus size, semdedup's per-cell pair join must hold
+# near-linear at 10x) plus the recall-audit report whose brute-truth
+# stage grows with the corpus
+from waterbear_spark.queries import wave17  # noqa: E402
+
+HEAVY.update(
+    {
+        "semdedup_cells": wave17.semdedup_cells,
+        "ann_recall_report": wave17.ann_recall_report,
+    }
+)
+
 
 def run_all(spark, sf_dir, iters=2):
     # min over iterations: the first pass pays one-off codegen and file

@@ -146,9 +146,17 @@ def test_priority_window_integrity():
 
     # the rest must be sorted by (last verified round, name): stalest
     # evidence rotates to the front, never-verified (round 0) before all
+    # — except _DEFER names (new this round, locally certified), which
+    # sort as round _DEFER_ROUND so they don't crowd the older backlog
     last = catalog._last_verified_round()
     rest = names[len(head):]
-    assert rest == sorted(rest, key=lambda k: (last.get(k, 0), k))
+    key = lambda k: (  # noqa: E731
+        catalog._DEFER_ROUND if k in catalog._DEFER else last.get(k, 0),
+        k,
+    )
+    assert rest == sorted(rest, key=key)
+    for k in catalog._DEFER:
+        assert k in catalog.QUERIES, f"deferred entry {k} missing"
 
     window = names[:50]
     rows_only = [k for k in window if k not in catalog.ORACLE_SQL]

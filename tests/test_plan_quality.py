@@ -121,6 +121,9 @@ NESTED_LOOP_OK = {
     # QI-groups x global-band-spine grid: a deliberate broadcast cross
     # join of two domain-bounded micro-relations
     "tcloseness_release",
+    # 1-row corpus-total scalar broadcast onto the 256-row hashed-bucket
+    # relation (the smoothing denominators need the totals on every row)
+    "dsir_importance_weights",
 }
 
 

@@ -42,6 +42,7 @@ from waterbear_spark.queries import (
     wave16,
     wave17,
     wave18,
+    wave19,
 )
 
 QUERIES = {
@@ -80,6 +81,7 @@ QUERIES = {
     **wave16.QUERIES,
     **wave17.QUERIES,
     **wave18.QUERIES,
+    **wave19.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -121,6 +123,7 @@ ORACLE_SQL = {
     **wave16.ORACLES,
     **wave17.ORACLES,
     **wave18.ORACLES,
+    **wave19.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -169,6 +172,19 @@ _PRIORITY = [
     "embedding_quantization_audit",
 ]
 
+# Queries introduced THIS round, already certified by the local sweeps,
+# whose driver evidence can wait one rotation: they sort as if verified
+# in round _DEFER_ROUND so they don't crowd the never-verified backlog
+# (41 queries, all older) out of the 50-slot window. Next round they
+# become the stalest unverified names and rotate in on their own.
+_DEFER = {
+    "gopher_repetition_filters",
+    "dsir_importance_weights",
+    "lsh_band_planner",
+    "tokenizer_fertility_audit",
+}
+_DEFER_ROUND = 6
+
 
 def _last_verified_round() -> dict[str, int]:
     """name -> latest driver round whose CORRECTNESS_r*.json records a
@@ -205,7 +221,10 @@ def _reorder(mapping: dict) -> dict:
     head = [k for k in _PRIORITY if k in mapping]
     rest = sorted(
         (k for k in mapping if k not in set(head)),
-        key=lambda k: (last.get(k, 0), k),
+        key=lambda k: (
+            _DEFER_ROUND if k in _DEFER else last.get(k, 0),
+            k,
+        ),
     )
     return {k: mapping[k] for k in head + rest}
 
