@@ -124,6 +124,9 @@ NESTED_LOOP_OK = {
     # 1-row corpus-total scalar broadcast onto the 256-row hashed-bucket
     # relation (the smoothing denominators need the totals on every row)
     "dsir_importance_weights",
+    # 5-probe x K-centroid ranking grid and the (nprobe x probe) spine:
+    # deliberate broadcast cross joins of bounded micro-relations
+    "ann_ivf_probe_sweep",
 }
 
 

@@ -43,6 +43,7 @@ from waterbear_spark.queries import (
     wave17,
     wave18,
     wave19,
+    wave20,
 )
 
 QUERIES = {
@@ -82,6 +83,7 @@ QUERIES = {
     **wave17.QUERIES,
     **wave18.QUERIES,
     **wave19.QUERIES,
+    **wave20.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -124,6 +126,7 @@ ORACLE_SQL = {
     **wave17.ORACLES,
     **wave18.ORACLES,
     **wave19.ORACLES,
+    **wave20.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -182,6 +185,8 @@ _DEFER = {
     "dsir_importance_weights",
     "lsh_band_planner",
     "tokenizer_fertility_audit",
+    "pq_reconstruction_audit",
+    "ann_ivf_probe_sweep",
 }
 _DEFER_ROUND = 6
 

@@ -1,0 +1,404 @@
+"""Round-6 wave-20 operators: vector-index compression and search dials.
+
+* ``pq_reconstruction_audit`` — Product Quantization codebook training
+  + reconstruction audit (Jégou et al. 2011, "Product Quantization for
+  Nearest Neighbor Search", IEEE TPAMI 33(1)): the embedding splits
+  into M=4 contiguous subspaces; each subspace trains its own
+  deterministic Lloyd codebook (K=8, init = subvectors of vec_id
+  0..K-1, three assignment passes — the exact recipe of
+  [[ann_ivf_kmeans]], run per subspace); every vector's subvector maps
+  to its nearest code and the audit reports, per (subspace, code),
+  the occupancy and the mean squared reconstruction error. This is the
+  compression half of an IVF-PQ index ([[ann_ivf_kmeans]] is the
+  coarse half; [[embedding_quantization_audit]] audits the scalar-int8
+  alternative): PQ stores ceil(log2 K) bits per subspace instead of
+  width floats, and the MSE table is the "is this codebook good
+  enough" gate. K stays constant here BY DESIGN — a PQ codebook's
+  size is an accuracy/bits dial, not a data-partitioning dial, so
+  unlike the IVF cell count it must NOT scale with the corpus (no
+  per-cell pair join exists to bound).
+* ``ann_ivf_probe_sweep`` — the nprobe recall curve for the shipped
+  IVF index: re-derives the [[ann_ivf_kmeans]] assignment (same
+  ``_ivf_k`` cell count, same init, same passes), ranks all cells by
+  distance from each of the 5 audit probes, and measures recall@5 and
+  candidate volume when the search visits the nearest 1, 2, or 4
+  cells. Extends [[ann_recall_report]] (which fixed nprobe=1 — the
+  probe's own cell) into the cost/recall DIAL a production deployment
+  actually tunes; same brute-force truth set ([[embedding_topk]]).
+
+Scale: PQ training is M bounded driver loops (each iteration one scan
+scoring against K broadcast literals + a (code, dim)-keyed decimal
+mean, K x width tiny); the audit output is M*K rows. The probe sweep
+adds only a (5 probes x K cells) ranking grid and equi-joins candidate
+cells back to the one-scan assignment — probe-side work, never a pair
+space. At 100 TB both train on a sample and assign full-corpus in one
+pass, the standard IVF-PQ build shape.
+
+Float determinism: every dot product is a sequential left fold (the
+IEEE order of DuckDB's ``list_dot_product``), centroid means are exact
+DECIMAL sums divided once, distance ties break on the lower code/cell
+id, and reconstruction errors ride ``DECIMAL(20,6)`` sums — so both
+engines see bit-identical assignments and 6-dp-exact error sums, no
+tolerance anywhere.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from waterbear_spark.queries.llm import _embedding_dim, _ivf_k
+from waterbear_spark.queries.tables import DEC, table
+
+_PQ_M = 4  # subspaces
+_PQ_K = 8  # codes per subspace codebook (a bits dial — never scales with n)
+_PQ_ITERS = 3  # assignment passes; centroid updates run ITERS-1 times
+
+_SWEEP_NPROBE = (1, 2, 4)
+_SWEEP_K = 5  # probe count and truth depth (matches embedding_topk)
+
+
+def _vv(col: str) -> Column:
+    """||v||^2 as the same sequential left fold as list_dot_product."""
+    return F.aggregate(
+        F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def _kmeans(
+    vecs: DataFrame, k: int, iters: int
+) -> tuple[DataFrame, dict[int, list[float]]]:
+    """Deterministic Lloyd k-means over a (vec_id, v double[]) frame:
+    init = vectors 0..k-1, ``iters`` assignment passes, decimal-exact
+    centroid means, ties to the lowest code id — the [[ann_ivf_kmeans]]
+    recipe as a reusable helper. Returns the final assignment
+    (vec_id, code, err = squared distance to the chosen centroid,
+    evaluated as (c.c - 2 v.c) + v.v so both engines share the
+    parenthesization) and the final centroids.
+    """
+    init = {
+        int(r["vec_id"]): list(r["v"])
+        for r in vecs.filter(F.col("vec_id") < k).collect()
+    }
+    if not init:
+        # empty table: no centroids to seed — emit the output shape with
+        # zero rows (same contract as llm._ivf_cells)
+        empty = vecs.select(
+            "vec_id",
+            "v",
+            F.lit(None).cast("int").alias("code"),
+            F.lit(None).cast("double").alias("err"),
+        )
+        return empty, {}
+
+    def assign(centroids: dict[int, list[float]]) -> DataFrame:
+        cids = sorted(centroids)
+        scores = []
+        for cid in cids:
+            c = centroids[cid]
+            cc = reduce(lambda a, x: a + x * x, c, 0.0)
+            dot = F.aggregate(
+                F.zip_with("v", F.array(*[F.lit(x) for x in c]), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            scores.append(F.lit(cc) - 2 * dot)
+        arr = F.array(*scores)
+        idx = F.array_position(arr, F.array_min(arr)).cast("int")  # 1-based
+        return vecs.select(
+            "vec_id",
+            "v",
+            F.element_at(F.array(*[F.lit(c) for c in cids]), idx).alias("code"),
+            (F.element_at(arr, idx) + _vv("v")).alias("err"),
+        )
+
+    centroids = init
+    assigned = None
+    for it in range(iters):
+        assigned = assign(centroids)
+        if it == iters - 1:
+            break
+        stats = (
+            assigned.select("code", F.posexplode("v").alias("dim", "val"))
+            .groupBy("code", "dim")
+            .agg(
+                F.sum(F.col("val").cast(DEC)).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        centroids = {}
+        for r in stats:
+            centroids.setdefault(int(r["code"]), {})[int(r["dim"])] = float(
+                r["s"]
+            ) / int(r["n"])
+        centroids = {
+            cid: [dims[d] for d in sorted(dims)] for cid, dims in centroids.items()
+        }
+    return assigned, centroids
+
+
+def pq_reconstruction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(subspace, code) PQ occupancy + mean squared reconstruction
+    error — see module docstring."""
+    dim = _embedding_dim(spark, sf_dir)
+    width = dim // _PQ_M
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        .persist()
+    )
+    parts = []
+    for m in range(_PQ_M):
+        sub = emb.select("vec_id", F.slice("v", 1 + m * width, width).alias("v"))
+        assigned, _ = _kmeans(sub, _PQ_K, _PQ_ITERS)
+        parts.append(
+            assigned.select(
+                F.lit(m).alias("subspace"), "vec_id", "code", "err"
+            )
+        )
+    allm = reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        allm.groupBy("subspace", "code")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_assigned"),
+            F.sum(F.col("err").cast(DEC)).alias("s_err"),
+        )
+        .select(
+            F.col("subspace").cast("int"),
+            F.col("code").cast("int"),
+            "n_assigned",
+            F.round(F.col("s_err").cast("double") / F.col("n_assigned"), 6).alias(
+                "mse"
+            ),
+        )
+        .orderBy("subspace", "code")
+    )
+
+
+def _pq_sql() -> str:
+    score = "list_dot_product(c.c, c.c) - 2 * list_dot_product(s.v, c.c)"
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"w AS (SELECT len(v) // {_PQ_M} AS w FROM e LIMIT 1)",
+    ]
+    finals = []
+    for m in range(_PQ_M):
+        ctes.append(
+            f"s{m} AS (SELECT vec_id, v[1 + {m} * w.w : {m + 1} * w.w] AS v "
+            "FROM e, w)"
+        )
+        cent = f"c{m}0"
+        ctes.append(
+            f"{cent} AS (SELECT vec_id AS cluster, v AS c FROM s{m} "
+            f"WHERE vec_id < {_PQ_K})"
+        )
+        for it in range(_PQ_ITERS):
+            ctes.append(
+                f"""a{m}{it} AS (
+    SELECT vec_id, v, code, score FROM (
+        SELECT s.vec_id, s.v, c.cluster AS code, {score} AS score,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {score}, c.cluster) AS rn
+        FROM s{m} s CROSS JOIN {cent} c
+    ) WHERE rn = 1
+)"""
+            )
+            if it < _PQ_ITERS - 1:
+                nxt = f"c{m}{it + 1}"
+                ctes.append(
+                    f"""{nxt} AS (
+    SELECT cluster, list(mean ORDER BY dim) AS c FROM (
+        SELECT code AS cluster, dim,
+               CAST(SUM(CAST(val AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS mean
+        FROM (SELECT code, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+              FROM a{m}{it})
+        GROUP BY code, dim
+    ) GROUP BY cluster
+)"""
+                )
+                cent = nxt
+        finals.append(
+            f"SELECT {m} AS subspace, vec_id, code, "
+            f"score + list_dot_product(v, v) AS err FROM a{m}{_PQ_ITERS - 1}"
+        )
+    joined = ",\n".join(ctes)
+    union = "\n    UNION ALL\n    ".join(finals)
+    return f"""
+WITH {joined},
+allm AS (
+    {union}
+)
+SELECT CAST(subspace AS INTEGER) AS subspace, CAST(code AS INTEGER) AS code,
+       CAST(COUNT(*) AS INTEGER) AS n_assigned,
+       ROUND(CAST(SUM(CAST(err AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6)
+           AS mse
+FROM allm
+GROUP BY subspace, code
+ORDER BY subspace, code
+"""
+
+
+PQ_AUDIT_SQL = _pq_sql()
+
+
+def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 / candidate volume at nprobe ∈ {1, 2, 4} for the shipped
+    IVF index — see module docstring."""
+    from waterbear_spark.queries.llm import embedding_topk
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        .persist()
+    )
+    k = _ivf_k(emb.count())
+    assigned, centroids = _kmeans(emb, k, _PQ_ITERS)
+    cells = assigned.select("vec_id", F.col("code").alias("cell")).persist()
+    cent = spark.createDataFrame(
+        [(cid, centroids[cid]) for cid in sorted(centroids)],
+        "cluster int, c array<double>",
+    )
+    probes = emb.filter(F.col("vec_id") < _SWEEP_K).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # (probe x cell) ranking grid: 5 x K rows, both sides tiny
+    score = (
+        F.aggregate(
+            F.zip_with("c", "c", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+        )
+        - 2
+        * F.aggregate(
+            F.zip_with("qv", "c", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("score", "cluster")
+    ranked = (
+        probes.crossJoin(F.broadcast(cent))
+        .select("query_id", "cluster", score.alias("score"))
+        .withColumn("rk", F.row_number().over(w))
+    )
+    nprobes = spark.range(0, 1).select(
+        F.explode(F.array(*[F.lit(n) for n in _SWEEP_NPROBE])).alias("nprobe")
+    )
+    probe_cells = (
+        ranked.crossJoin(F.broadcast(nprobes))
+        .filter(F.col("rk") <= F.col("nprobe"))
+        .select("nprobe", "query_id", F.col("cluster").alias("cell"))
+    )
+    truth = embedding_topk(spark, sf_dir).select("query_id", "vec_id")
+    stats = (
+        cells.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(truth.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left")
+        .groupBy("nprobe", "query_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("cand_n"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("int").alias("hits"),
+        )
+    )
+    spine = nprobes.crossJoin(
+        F.broadcast(
+            emb.filter(F.col("vec_id") < _SWEEP_K).select(
+                F.col("vec_id").alias("query_id")
+            )
+        )
+    )
+    return (
+        spine.join(stats, ["nprobe", "query_id"], "left")
+        .select(
+            F.col("nprobe").cast("int"),
+            "query_id",
+            F.coalesce("cand_n", F.lit(0)).cast("int").alias("cand_n"),
+            F.coalesce("hits", F.lit(0)).cast("int").alias("hits"),
+            F.round(
+                F.coalesce("hits", F.lit(0)) / F.lit(float(_SWEEP_K)), 4
+            ).alias("recall_at_5"),
+        )
+        .orderBy("nprobe", "query_id")
+    )
+
+
+def _probe_sweep_sql() -> str:
+    from waterbear_spark.queries.llm import _IVF_ITERS, _ivf_ctes
+
+    ivf_ctes, ivf_final = _ivf_ctes()
+    cent_final = f"c{_IVF_ITERS - 1}"
+    joined = ",\n".join(ivf_ctes)
+    return f"""
+WITH {joined},
+n AS (
+    SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < {_SWEEP_K}
+),
+truth AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.query_id, n.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY ROUND(list_dot_product(q.qv, n.v)
+                                  / (q.qn * n.nrm), 4) DESC, n.vec_id
+               ) AS rn
+        FROM n, q WHERE n.vec_id <> q.query_id
+    ) WHERE rn <= {_SWEEP_K}
+),
+ranked AS (
+    SELECT q.query_id, c.cluster,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_dot_product(c.c, c.c)
+                        - 2 * list_dot_product(q.qv, c.c), c.cluster
+           ) AS rk
+    FROM q CROSS JOIN {cent_final} c
+),
+probe_cells AS (
+    SELECT np.nprobe, r.query_id, r.cluster AS cell
+    FROM (SELECT UNNEST([{", ".join(str(n) for n in _SWEEP_NPROBE)}]) AS nprobe) np
+    JOIN ranked r ON r.rk <= np.nprobe
+),
+stats AS (
+    SELECT p.nprobe, p.query_id,
+           COUNT(*) AS cand_n,
+           SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS hits
+    FROM probe_cells p
+    JOIN {ivf_final} a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    LEFT JOIN truth t ON t.query_id = p.query_id AND t.vec_id = a.vec_id
+    GROUP BY p.nprobe, p.query_id
+),
+spine AS (
+    SELECT np.nprobe, q.query_id
+    FROM (SELECT UNNEST([{", ".join(str(n) for n in _SWEEP_NPROBE)}]) AS nprobe) np
+    CROSS JOIN (SELECT vec_id AS query_id FROM e WHERE vec_id < {_SWEEP_K}) q
+)
+SELECT CAST(s.nprobe AS INTEGER) AS nprobe, s.query_id,
+       CAST(COALESCE(st.cand_n, 0) AS INTEGER) AS cand_n,
+       CAST(COALESCE(st.hits, 0) AS INTEGER) AS hits,
+       ROUND(COALESCE(st.hits, 0) / {float(_SWEEP_K)}, 4) AS recall_at_5
+FROM spine s LEFT JOIN stats st
+  ON st.nprobe = s.nprobe AND st.query_id = s.query_id
+ORDER BY s.nprobe, s.query_id
+"""
+
+
+PROBE_SWEEP_SQL = _probe_sweep_sql()
+
+
+QUERIES = {
+    "pq_reconstruction_audit": pq_reconstruction_audit,
+    "ann_ivf_probe_sweep": ann_ivf_probe_sweep,
+}
+
+ORACLES = {
+    "pq_reconstruction_audit": PQ_AUDIT_SQL,
+    "ann_ivf_probe_sweep": PROBE_SWEEP_SQL,
+}
