@@ -127,6 +127,12 @@ NESTED_LOOP_OK = {
     # 5-probe x K-centroid ranking grid and the (nprobe x probe) spine:
     # deliberate broadcast cross joins of bounded micro-relations
     "ann_ivf_probe_sweep",
+    # corpus scan x 5 broadcast probes (the embedding_topk shape)
+    "hard_negative_mining",
+    # 1-row normalization-total scalar onto the |labels| relation
+    "class_balance_weights",
+    # 1-row corpus-token-total scalar onto the vocabulary relation
+    "perplexity_buckets",
 }
 
 

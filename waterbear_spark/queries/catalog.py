@@ -44,6 +44,7 @@ from waterbear_spark.queries import (
     wave18,
     wave19,
     wave20,
+    wave21,
 )
 
 QUERIES = {
@@ -84,6 +85,7 @@ QUERIES = {
     **wave18.QUERIES,
     **wave19.QUERIES,
     **wave20.QUERIES,
+    **wave21.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -127,6 +129,7 @@ ORACLE_SQL = {
     **wave18.ORACLES,
     **wave19.ORACLES,
     **wave20.ORACLES,
+    **wave21.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -187,6 +190,10 @@ _DEFER = {
     "tokenizer_fertility_audit",
     "pq_reconstruction_audit",
     "ann_ivf_probe_sweep",
+    "hard_negative_mining",
+    "class_balance_weights",
+    "perplexity_buckets",
+    "cross_source_dup_matrix",
 }
 _DEFER_ROUND = 6
 
