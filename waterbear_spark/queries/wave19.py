@@ -1,9 +1,14 @@
 """Round-6 wave-19 operators: corpus-curation instrumentation.
 
-* ``gopher_repetition_filters`` — the Gopher repetition rules (Rae et
-  al. 2021, arXiv:2112.11446 §A1.1): per document, the fraction of
-  characters inside duplicated word n-grams (n = 2, 3), aggregated per
-  source as a ratio-of-integer-sums plus a flagged-document count.
+* ``gopher_repetition_filters`` — a Gopher-style duplicated-n-gram
+  census (in the spirit of Rae et al. 2021, arXiv:2112.11446 §A1.1,
+  but not the paper's exact rules: Gopher's 0.20/0.18 thresholds apply
+  to the TOP-1 2-/3-gram's character fraction, and its all-duplicates
+  metric is used only at n = 5..10 without double-counting — here the
+  metric is the all-duplicated-n-gram character fraction at n = 2, 3,
+  counting every occurrence): per document, the fraction of characters
+  inside duplicated word n-grams (n = 2, 3), aggregated per source as
+  a ratio-of-integer-sums plus a flagged-document count.
   Complements [[quality_gate_funnel]] (whose repetition gate is only
   the top-1-token share) with the n-gram duplication signals real
   curation stacks gate on. All per-doc quantities are exact integers
@@ -65,10 +70,11 @@ _DUP3_THRESH = (9, 50)  # > 0.18 of chars in duplicated 3-grams
 
 
 def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source census of the Gopher duplicated-n-gram rules — see
-    module docstring. ``dupN_frac`` is (chars inside n-grams occurring
-    >= 2 times in the doc, counting every occurrence) / (chars inside
-    all n-gram occurrences), as a ratio of per-source integer sums.
+    """Per-source census of Gopher-style duplicated-n-gram signals
+    (not the paper's exact top-1-gram rules — see module docstring).
+    ``dupN_frac`` is (chars inside n-grams occurring >= 2 times in the
+    doc, counting every occurrence) / (chars inside all n-gram
+    occurrences), as a ratio of per-source integer sums.
     """
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "source", _tokens(F.col("text")).alias("toks")
