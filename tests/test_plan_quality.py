@@ -127,6 +127,11 @@ NESTED_LOOP_OK = {
     # 5-probe x K-centroid ranking grid and the (nprobe x probe) spine:
     # deliberate broadcast cross joins of bounded micro-relations
     "ann_ivf_probe_sweep",
+    # IVF coarse assignment: corpus scan x broadcast 1-row packed
+    # centroid relation (k1 structs), argmin row-local — the r7
+    # two-level quantizer's no-plan-literal assignment shape
+    "ann_ivf_kmeans",
+    "semdedup_cells",
     # corpus scan x 5 broadcast probes (the embedding_topk shape)
     "hard_negative_mining",
     # 1-row normalization-total scalar onto the |labels| relation

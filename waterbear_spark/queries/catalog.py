@@ -156,34 +156,10 @@ assert set(ORACLE_SQL) <= set(QUERIES), "oracle without query"
 # CORRECTNESS_LOCAL.json (scripts/check_oracle.py, full catalog) remains
 # the per-round local certification on top.
 _PRIORITY = [
-    # --- round 6: only semantics-changed queries are pinned; the
-    # least-recently-verified rotation below fills the rest of the
-    # window with the 41 remaining never-driver-verified queries (they
-    # sort as round 0), closing the r5 verdict's evidence gap ---
-    # postings column serialized to a comma-joined string so the
-    # driver's hash harness can hash it (the one r5 `err`):
-    "inverted_index_postings",
-    # IVF K now scales with corpus size (_ivf_k: max(8, ceil(n/2048)),
-    # mirrored in the oracle's kk CTE) — the r5 scale-weak fix; K is
-    # unchanged at sf0.01 but the derivation is new on both engines:
-    "ann_ivf_kmeans",
-    "semdedup_cells",
-    # ann_recall_report gains the shipped OR-band method row
-    # (lsh_orband) and derives multi-probe flips from N_PLANES:
-    "ann_recall_report",
-    # wave-18 advice fixes: token-less docs kept via left join; w_fp /
-    # err_fp rounding moved to cross-engine floor(x+0.5) half-up:
-    "quality_gate_funnel",
-    "epoch_allocation",
-    "embedding_quantization_audit",
-]
-
-# Queries introduced THIS round, already certified by the local sweeps,
-# whose driver evidence can wait one rotation: they sort as if verified
-# in round _DEFER_ROUND so they don't crowd the never-verified backlog
-# (41 queries, all older) out of the 50-slot window. Next round they
-# become the stalest unverified names and rotate in on their own.
-_DEFER = {
+    # --- round 7 ---
+    # the 10 wave-19/20/21 queries: the only catalog entries with no
+    # driver correctness row yet (the r6 verdict's evidence-lag item;
+    # they were deferred out of the r6 window and now rotate in first):
     "gopher_repetition_filters",
     "dsir_importance_weights",
     "lsh_band_planner",
@@ -194,8 +170,23 @@ _DEFER = {
     "class_balance_weights",
     "perplexity_buckets",
     "cross_source_dup_matrix",
-}
-_DEFER_ROUND = 6
+    # the IVF quantizer family: semantics changed this round (two-level
+    # sample-trained k-means in llm._ivf_index, oracle CTEs in
+    # lockstep), so prior evidence predates the change:
+    "ann_ivf_kmeans",
+    "semdedup_cells",
+    "ann_recall_report",
+]
+
+# Queries introduced THIS round whose driver evidence can wait one
+# rotation: they sort as if verified in round _DEFER_ROUND so they
+# don't crowd older never-verified names out of the 50-slot window.
+# Round 7 adds no such queries — deferral REQUIRES committed
+# same-round local certification (see README "certification rule");
+# the r6 deferral shipped wave-21 with no evidence at all, which the
+# r6 verdict rightly flagged.
+_DEFER: set[str] = set()
+_DEFER_ROUND = 7
 
 
 def _last_verified_round() -> dict[str, int]:

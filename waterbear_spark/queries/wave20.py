@@ -5,8 +5,8 @@
   Nearest Neighbor Search", IEEE TPAMI 33(1)): the embedding splits
   into M=4 contiguous subspaces; each subspace trains its own
   deterministic Lloyd codebook (K=8, init = subvectors of vec_id
-  0..K-1, three assignment passes — the exact recipe of
-  [[ann_ivf_kmeans]], run per subspace); every vector's subvector maps
+  0..K-1, three assignment passes — the classic single-level Lloyd
+  recipe, run per subspace); every vector's subvector maps
   to its nearest code and the audit reports, per (subspace, code),
   the occupancy and the mean squared reconstruction error. This is the
   compression half of an IVF-PQ index ([[ann_ivf_kmeans]] is the
@@ -18,11 +18,13 @@
   unlike the IVF cell count it must NOT scale with the corpus (no
   per-cell pair join exists to bound).
 * ``ann_ivf_probe_sweep`` — the nprobe recall curve for the shipped
-  IVF index: re-derives the [[ann_ivf_kmeans]] assignment (same
-  ``_ivf_k`` cell count, same init, same passes), ranks all cells by
-  distance from each of the 5 audit probes, and measures recall@5 and
-  candidate volume when the search visits the nearest 1, 2, or 4
-  cells. Extends [[ann_recall_report]] (which fixed nprobe=1 — the
+  IVF index: takes the exact shipped assignment and fine centroids
+  from ``llm._ivf_index`` (the two-level sample-trained quantizer —
+  round 7 removed this query's private single-level re-derivation,
+  which could silently drift from the index it claimed to audit),
+  ranks all cells by distance from each of the 5 audit probes, and
+  measures recall@5 and candidate volume when the search visits the
+  nearest 1, 2, or 4 cells. Extends [[ann_recall_report]] (which fixed nprobe=1 — the
   probe's own cell) into the cost/recall DIAL a production deployment
   actually tunes; same brute-force truth set ([[embedding_topk]]).
 
@@ -49,7 +51,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from waterbear_spark.queries.llm import _embedding_dim, _ivf_k
+from waterbear_spark.queries.llm import _embedding_dim
 from waterbear_spark.queries.tables import DEC, table
 
 _PQ_M = 4  # subspaces
@@ -72,8 +74,10 @@ def _kmeans(
 ) -> tuple[DataFrame, dict[int, list[float]]]:
     """Deterministic Lloyd k-means over a (vec_id, v double[]) frame:
     init = vectors 0..k-1, ``iters`` assignment passes, decimal-exact
-    centroid means, ties to the lowest code id — the [[ann_ivf_kmeans]]
-    recipe as a reusable helper. Returns the final assignment
+    centroid means, ties to the lowest code id — the classic
+    single-level Lloyd recipe as a reusable helper (the IVF index
+    itself uses the two-level sampled ``llm._ivf_index``; this one is
+    for bounded-K codebooks only). Returns the final assignment
     (vec_id, code, err = squared distance to the chosen centroid,
     evaluated as (c.c - 2 v.c) + v.v so both engines share the
     parenthesization) and the final centroids.
@@ -258,13 +262,12 @@ def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    k = _ivf_k(emb.count())
-    assigned, centroids = _kmeans(emb, k, _PQ_ITERS)
-    cells = assigned.select("vec_id", F.col("code").alias("cell")).persist()
-    cent = spark.createDataFrame(
-        [(cid, centroids[cid]) for cid in sorted(centroids)],
-        "cluster int, c array<double>",
-    )
+    from waterbear_spark.queries.llm import _ivf_index
+
+    # the SHIPPED assignment + fine centroids — the sweep audits the
+    # exact index the other IVF queries build, never a re-derivation
+    ivf_cells, cent = _ivf_index(spark, sf_dir)
+    cells = ivf_cells.persist()
     probes = emb.filter(F.col("vec_id") < _SWEEP_K).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -328,10 +331,9 @@ def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _probe_sweep_sql() -> str:
-    from waterbear_spark.queries.llm import _IVF_ITERS, _ivf_ctes
+    from waterbear_spark.queries.llm import _ivf_ctes
 
-    ivf_ctes, ivf_final = _ivf_ctes()
-    cent_final = f"c{_IVF_ITERS - 1}"
+    ivf_ctes, ivf_final, cent_final = _ivf_ctes()
     joined = ",\n".join(ivf_ctes)
     return f"""
 WITH {joined},
