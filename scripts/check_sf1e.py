@@ -39,7 +39,11 @@ import duckdb
 from pyspark.sql import SparkSession
 
 from waterbear_spark.queries.catalog import ORACLE_SQL, QUERIES
-from waterbear_spark.queries.mining import _ER_MAX_DIST, _SN_WINDOW
+from waterbear_spark.queries.mining import (
+    _ER_CLUSTER_CAP,
+    _ER_MAX_DIST,
+    _SN_WINDOW,
+)
 from waterbear_spark.queries.tables import TABLES
 from waterbear_spark.testing import compare_frames
 
@@ -67,23 +71,37 @@ JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + {_SN_WINDOW}
 WHERE levenshtein(a.p_name, b.p_name) <= {_ER_MAX_DIST}
 """
 
-# same survivorship tail as mining.ER_GOLDEN_SQL, reading components
-# from the injected union-find table instead of the recursive closure
-_ER_TAIL_SQL = """
-WITH members AS (
-    SELECT c.component, p.p_partkey, p.p_name, p.p_retailprice
-    FROM comp c JOIN part p USING (p_partkey)
+# same survivorship tail as mining.ER_GOLDEN_SQL (incl. the r7
+# saturation sub-blocking), reading components from the injected
+# union-find table instead of the recursive closure
+_ER_TAIL_SQL = f"""
+WITH sizes AS (
+    SELECT component, COUNT(*) AS m FROM comp GROUP BY component
+),
+subbed AS (
+    SELECT c.p_partkey, c.component,
+           CASE WHEN s.m <= {_ER_CLUSTER_CAP} THEN 0
+                ELSE CAST(CAST(('0x' || substr(md5(CAST(c.p_partkey AS VARCHAR)),
+                                               1, 15)) AS UBIGINT) AS BIGINT)
+                     % ((s.m + {_ER_CLUSTER_CAP - 1}) // {_ER_CLUSTER_CAP})
+           END AS sub
+    FROM comp c JOIN sizes s USING (component)
+),
+members AS (
+    SELECT sb.component, sb.sub, p.p_partkey, p.p_name, p.p_retailprice
+    FROM subbed sb JOIN part p USING (p_partkey)
 ),
 surv AS (
-    SELECT component, p_partkey, p_name, p_retailprice,
-           ROW_NUMBER() OVER (PARTITION BY component
+    SELECT component, sub, p_partkey, p_name, p_retailprice,
+           ROW_NUMBER() OVER (PARTITION BY component, sub
                               ORDER BY p_retailprice DESC, p_partkey) AS rk,
-           COUNT(*) OVER (PARTITION BY component) AS n_members,
-           MIN(p_retailprice) OVER (PARTITION BY component) AS min_price,
-           MAX(p_retailprice) OVER (PARTITION BY component) AS max_price
+           COUNT(*) OVER (PARTITION BY component, sub) AS n_members,
+           MIN(p_partkey) OVER (PARTITION BY component, sub) AS cluster_id,
+           MIN(p_retailprice) OVER (PARTITION BY component, sub) AS min_price,
+           MAX(p_retailprice) OVER (PARTITION BY component, sub) AS max_price
     FROM members
 )
-SELECT component AS cluster_id, n_members,
+SELECT cluster_id, n_members,
        p_partkey AS golden_key, p_name AS golden_name,
        ROUND(p_retailprice, 2) AS golden_price,
        ROUND(max_price - min_price, 2) AS price_spread

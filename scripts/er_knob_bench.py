@@ -51,26 +51,20 @@ WINDOWS = (3, 5, 10, 20)
 
 
 def golden_rows(spark, sf_dir, pairs):
-    """The survivorship tail of er_golden_records over a pair relation."""
+    """The survivorship tail of er_golden_records over a pair relation —
+    the SHIPPED tail (mining._er_survivorship), so the bench's
+    max_cluster reflects the r7 saturation sub-blocking."""
+    from waterbear_spark.queries.mining import _er_survivorship
+
     labels = star_connected_components(pairs, src="key_a", dst="key_b")
     parts = table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_retailprice"
     )
     members = parts.join(
         labels, parts["p_partkey"] == labels["vertex"]
-    ).select("p_partkey", "p_retailprice", "component")
-    w = Window.partitionBy("component")
-    return (
-        members.select(
-            "component",
-            "p_partkey",
-            F.row_number()
-            .over(w.orderBy(F.col("p_retailprice").desc(), "p_partkey"))
-            .alias("rk"),
-            F.count(F.lit(1)).over(w).alias("n_members"),
-        )
-        .filter(F.col("rk") == 1)
-        .select("component", "n_members")
+    ).select("p_partkey", "p_name", "p_retailprice", "component")
+    return _er_survivorship(members).select(
+        F.col("cluster_id").alias("component"), "n_members"
     )
 
 

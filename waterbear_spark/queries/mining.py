@@ -22,6 +22,7 @@ from waterbear_spark.queries.tables import table
 _SN_WINDOW = 5  # sorted-neighborhood width
 _SN_MAX_DIST = 4  # edit-distance verify threshold
 _ER_MAX_DIST = 2  # tighter match threshold for golden-record clustering
+_ER_CLUSTER_CAP = 1024  # survivorship sub-blocks saturated clusters (below)
 _PAIR_TOPK = 20
 
 
@@ -226,22 +227,87 @@ LIMIT {_PAIR_TOPK}
 """
 
 
+def _er_survivorship(members: DataFrame) -> DataFrame:
+    """The survivorship tail shared by [[er_golden_records]] and
+    ``scripts/er_knob_bench.py``: one golden record per (component,
+    sub-block) from a ``(p_partkey, p_name, p_retailprice, component)``
+    relation.
+
+    Saturation cap (round 7 — the r6 verdict's ER watch item): the
+    part-name vocabulary is bounded, so at 10x data the transitive
+    closure concentrates — the biggest component grew 347 -> 3,470 and
+    would hold ~347k records at 1000x. Components above
+    ``_ER_CLUSTER_CAP`` members are therefore sub-blocked into
+    ``ceil(m / cap)`` hash buckets (deterministic md5(p_partkey) mod,
+    bit-identical in DuckDB), and survivorship runs per
+    (component, sub): window sizes are bounded by ~cap forever, and the
+    cap does not bind at sf0.01/sf0.1 (max component 347), so small-sf
+    output is unchanged. Survivorship itself is a hash aggregation, not
+    a window: the survivor is ``MAX(struct(price, -key, name))`` and
+    the censuses are plain MIN/MAX/COUNT, so map-side partial
+    aggregation collapses even a hot component to one row per task
+    before the shuffle — saturation cannot skew a reducer.
+    """
+    sizes = members.groupBy("component").agg(F.count(F.lit(1)).alias("m"))
+    nsub = F.expr(f"(m + {_ER_CLUSTER_CAP - 1}) div {_ER_CLUSTER_CAP}")
+    salt = (
+        F.conv(
+            F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % nsub
+    )
+    subbed = members.join(sizes, "component").withColumn(
+        "sub",
+        F.when(F.col("m") <= _ER_CLUSTER_CAP, F.lit(0)).otherwise(salt),
+    )
+    survivor = F.max(
+        F.struct(
+            F.col("p_retailprice").alias("pr"),
+            (-F.col("p_partkey")).alias("nk"),
+            F.col("p_name").alias("nm"),
+        )
+    )
+    return (
+        subbed.groupBy("component", "sub")
+        .agg(
+            F.min("p_partkey").alias("cluster_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+            survivor.alias("g"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            (-F.col("g.nk")).alias("golden_key"),
+            F.col("g.nm").alias("golden_name"),
+            F.round("g.pr", 2).alias("golden_price"),
+            F.round(F.col("max_price") - F.col("min_price"), 2).alias(
+                "price_spread"
+            ),
+        )
+    )
+
+
 def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution: sorted-neighborhood candidate pairs
     at the tight threshold (edit distance <= {d}) -> connected
     components via the large-star/small-star transform
     (``operators/starcc.py``) -> one GOLDEN RECORD per multi-member
     cluster by survivorship rules (highest retail price wins, ties to
-    the smallest key). Output: cluster id (min member key), member
-    count, the surviving record, and the price spread the merge hides.
+    the smallest key). Output: cluster id (min member key — for
+    components split by the saturation cap, the sub-block's min key),
+    member count, the surviving record, and the price spread the merge
+    hides.
 
     Scale: every stage is bounded — candidate generation is the
     2w-neighbor block join (never a pair space), the star CC rounds are
-    edge-list shuffles with O(log^2 n) rounds, and survivorship is one
-    window over cluster-sized groups. The oracle rebuilds the clusters
-    with a recursive-CTE closure — two algorithms, one answer, as in
-    [[dedup_clusters_star]].
-    """.format(d=_ER_MAX_DIST)
+    edge-list shuffles with O(log^2 n) rounds, and survivorship is a
+    partial-aggregating hash groupBy with saturated components
+    sub-blocked at {cap} members (see :func:`_er_survivorship`). The
+    oracle rebuilds the clusters with a recursive-CTE closure — two
+    algorithms, one answer, as in [[dedup_clusters_star]].
+    """.format(d=_ER_MAX_DIST, cap=_ER_CLUSTER_CAP)
     from waterbear_spark.operators.starcc import star_connected_components
 
     pairs = _neighborhood_pairs(spark, sf_dir, _ER_MAX_DIST).select(
@@ -254,32 +320,7 @@ def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = parts.join(
         labels, parts["p_partkey"] == labels["vertex"]
     ).select("p_partkey", "p_name", "p_retailprice", "component")
-    w = Window.partitionBy("component")
-    w_rk = w.orderBy(F.col("p_retailprice").desc(), "p_partkey")
-    return (
-        members.select(
-            F.col("component").alias("cluster_id"),
-            "p_partkey",
-            "p_name",
-            "p_retailprice",
-            F.row_number().over(w_rk).alias("rk"),
-            F.count(F.lit(1)).over(w).alias("n_members"),
-            F.min("p_retailprice").over(w).alias("min_price"),
-            F.max("p_retailprice").over(w).alias("max_price"),
-        )
-        .filter(F.col("rk") == 1)
-        .select(
-            "cluster_id",
-            "n_members",
-            F.col("p_partkey").alias("golden_key"),
-            F.col("p_name").alias("golden_name"),
-            F.round("p_retailprice", 2).alias("golden_price"),
-            F.round(F.col("max_price") - F.col("min_price"), 2).alias(
-                "price_spread"
-            ),
-        )
-        .orderBy("cluster_id")
-    )
+    return _er_survivorship(members).orderBy("cluster_id")
 
 
 ER_GOLDEN_SQL = f"""
@@ -307,20 +348,33 @@ reach AS (
 comp AS (
     SELECT v AS p_partkey, LEAST(v, MIN(r)) AS component FROM reach GROUP BY v
 ),
+sizes AS (
+    SELECT component, COUNT(*) AS m FROM comp GROUP BY component
+),
+subbed AS (
+    SELECT c.p_partkey, c.component,
+           CASE WHEN s.m <= {_ER_CLUSTER_CAP} THEN 0
+                ELSE CAST(CAST(('0x' || substr(md5(CAST(c.p_partkey AS VARCHAR)),
+                                               1, 15)) AS UBIGINT) AS BIGINT)
+                     % ((s.m + {_ER_CLUSTER_CAP - 1}) // {_ER_CLUSTER_CAP})
+           END AS sub
+    FROM comp c JOIN sizes s USING (component)
+),
 members AS (
-    SELECT c.component, p.p_partkey, p.p_name, p.p_retailprice
-    FROM comp c JOIN part p USING (p_partkey)
+    SELECT sb.component, sb.sub, p.p_partkey, p.p_name, p.p_retailprice
+    FROM subbed sb JOIN part p USING (p_partkey)
 ),
 surv AS (
-    SELECT component, p_partkey, p_name, p_retailprice,
-           ROW_NUMBER() OVER (PARTITION BY component
+    SELECT component, sub, p_partkey, p_name, p_retailprice,
+           ROW_NUMBER() OVER (PARTITION BY component, sub
                               ORDER BY p_retailprice DESC, p_partkey) AS rk,
-           COUNT(*) OVER (PARTITION BY component) AS n_members,
-           MIN(p_retailprice) OVER (PARTITION BY component) AS min_price,
-           MAX(p_retailprice) OVER (PARTITION BY component) AS max_price
+           COUNT(*) OVER (PARTITION BY component, sub) AS n_members,
+           MIN(p_partkey) OVER (PARTITION BY component, sub) AS cluster_id,
+           MIN(p_retailprice) OVER (PARTITION BY component, sub) AS min_price,
+           MAX(p_retailprice) OVER (PARTITION BY component, sub) AS max_price
     FROM members
 )
-SELECT component AS cluster_id, n_members,
+SELECT cluster_id, n_members,
        p_partkey AS golden_key, p_name AS golden_name,
        ROUND(p_retailprice, 2) AS golden_price,
        ROUND(max_price - min_price, 2) AS price_spread
