@@ -1,3 +1,4 @@
+from waterbear_spark.streaming.funnel import funnel_census, funnel_flags
 from waterbear_spark.streaming.windows import (
     session_metrics,
     stream_dedup,
@@ -8,6 +9,8 @@ from waterbear_spark.streaming.windows import (
 )
 
 __all__ = [
+    "funnel_census",
+    "funnel_flags",
     "tumbling_metrics",
     "session_metrics",
     "stream_dedup",
