@@ -132,6 +132,10 @@ NESTED_LOOP_OK = {
     # two-level quantizer's no-plan-literal assignment shape
     "ann_ivf_kmeans",
     "semdedup_cells",
+    # audits the same index -> inherits the packed-centroid cross join
+    "ivf_balance_audit",
+    # 1-row corpus-total scalar against the shared-prefix relation
+    "boilerplate_prefix_census",
     # corpus scan x 5 broadcast probes (the embedding_topk shape)
     "hard_negative_mining",
     # 1-row normalization-total scalar onto the |labels| relation

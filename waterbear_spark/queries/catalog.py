@@ -45,6 +45,7 @@ from waterbear_spark.queries import (
     wave19,
     wave20,
     wave21,
+    wave22,
 )
 
 QUERIES = {
@@ -86,6 +87,7 @@ QUERIES = {
     **wave19.QUERIES,
     **wave20.QUERIES,
     **wave21.QUERIES,
+    **wave22.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -130,6 +132,7 @@ ORACLE_SQL = {
     **wave19.ORACLES,
     **wave20.ORACLES,
     **wave21.ORACLES,
+    **wave22.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -176,6 +179,11 @@ _PRIORITY = [
     "ann_ivf_kmeans",
     "semdedup_cells",
     "ann_recall_report",
+    # wave-22 (new this round, certified same-commit at sf0.01+sf0.1):
+    "ivf_balance_audit",
+    "boilerplate_prefix_census",
+    "token_coverage_curve",
+    "embedding_norm_audit",
 ]
 
 # Queries introduced THIS round whose driver evidence can wait one
