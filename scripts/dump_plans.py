@@ -79,10 +79,13 @@ SHOWCASE = {
     "rendezvous_sharding": "HRW sharding: in-row 10/11-element argmax, two bounded shard censuses, full outer on shard",
     "spearman_price_quantity": "round-5 rewrite: census + bucketed prefix ranks — no fact-table sort window, parallelism unbound from the 3 flags",
     "ann_recall_report": "probe-sample index audit: truth vs cell/bucket candidate equi-joins, 5x3 broadcast spine",
-    "semdedup_cells": "SemDeDup: one cell-key shuffle, pair verify confined inside cells, census aggregate",
+    "semdedup_cells": "SemDeDup (r7): one cell-key shuffle into a per-cell BLAS census (FlatMapGroupsInPandas) — pair space never leaves the worker",
+    "ann_ivf_kmeans": "two-level IVF (r7): sample-trained centroid DataFrames, broadcast packed-struct assignment + row-local argmin — no plan literals, no corpus shuffle",
     "quality_gate_funnel": "five gates in one scan + one doc-keyed mode aggregate; attrition from a single 5-struct explode",
     "epoch_allocation": "|sources|-row allocation: two broadcast 1-row scalars, exact decimal floor-div waterfall",
     "embedding_quantization_audit": "per-dim scales (64-row broadcast) back onto the exploded components, one label aggregate",
+    "er_golden_records": "ER end-to-end (r7 tail): star-CC edges, saturation sub-block salt, survivorship as one partial-agg groupBy — no windows",
+    "ivf_balance_audit": "index QA: occupancy groupBy on the shipped assignment, micro-relation rollup per coarse cell",
 }
 
 
