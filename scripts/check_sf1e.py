@@ -49,13 +49,17 @@ from waterbear_spark.testing import compare_frames
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# fast-first order: the two basket self-joins run LAST (their DuckDB
+# oracles are the slowest stages by far — itemset measured ~35 min at
+# sf1), so an interrupted run still certifies everything else; the
+# artifact is rewritten after every query (see below).
 PLAIN = [
     "sorted_neighborhood_pairs",
     "jaccard_prefix_join",
-    "itemset_pair_lift",
-    "frequent_triples",
     "fuzzy_join_parts",
     "ngram_jaccard_pairs",
+    "itemset_pair_lift",
+    "frequent_triples",
 ]
 
 # same candidate-pair SQL as mining.ER_GOLDEN_SQL's `pairs` CTE
@@ -162,14 +166,27 @@ def main():
             results[name] = {"status": "hash_match", "rows": len(s_rows)}
             print(f"ok    {name}: {len(s_rows)} rows ({time.time() - t0:.1f}s)")
 
-    for name in PLAIN:
-        t0 = time.time()
-        sdf = QUERIES[name](spark, sf_dir)
-        s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
-        res = con.execute(ORACLE_SQL[name])
-        record(name, s_cols, s_rows, [d[0] for d in res.description], res.fetchall(), t0)
+    artifact = os.path.join(REPO, "CORRECTNESS_LOCAL_SF1E.json")
 
-    # er_golden_records: union-find CC + DuckDB survivorship (see module doc)
+    def flush():
+        with open(artifact, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(results),
+                    "n_hash_match": sum(
+                        1 for r in results.values() if r["status"] == "hash_match"
+                    ),
+                    "er_golden_oracle": "union-find CC + DuckDB survivorship "
+                    "(recursive closure quadratic at sf1 — see module docstring)",
+                    "results": results,
+                },
+                fh,
+                indent=2,
+            )
+
+    # er_golden_records FIRST (the round-5/6 brief item this artifact
+    # exists for): union-find CC + DuckDB survivorship (see module doc)
     t0 = time.time()
     sdf = QUERIES["er_golden_records"](spark, sf_dir)
     s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
@@ -187,23 +204,16 @@ def main():
         res.fetchall(),
         t0,
     )
+    flush()
 
-    artifact = os.path.join(REPO, "CORRECTNESS_LOCAL_SF1E.json")
-    with open(artifact, "w") as fh:
-        json.dump(
-            {
-                "sf_dir": sf_dir,
-                "n_queries": len(results),
-                "n_hash_match": sum(
-                    1 for r in results.values() if r["status"] == "hash_match"
-                ),
-                "er_golden_oracle": "union-find CC + DuckDB survivorship "
-                "(recursive closure quadratic at sf1 — see module docstring)",
-                "results": results,
-            },
-            fh,
-            indent=2,
-        )
+    for name in PLAIN:
+        t0 = time.time()
+        sdf = QUERIES[name](spark, sf_dir)
+        s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
+        res = con.execute(ORACLE_SQL[name])
+        record(name, s_cols, s_rows, [d[0] for d in res.description], res.fetchall(), t0)
+        flush()
+
     print(f"wrote {artifact}")
     spark.stop()
     if any(r["status"] != "hash_match" for r in results.values()):

@@ -46,6 +46,7 @@ from waterbear_spark.queries import (
     wave20,
     wave21,
     wave22,
+    wave23,
 )
 
 QUERIES = {
@@ -88,6 +89,7 @@ QUERIES = {
     **wave20.QUERIES,
     **wave21.QUERIES,
     **wave22.QUERIES,
+    **wave23.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
     # (everything else in the catalog is UDF-free by policy)
     **udfs.QUERIES,
@@ -133,6 +135,7 @@ ORACLE_SQL = {
     **wave20.ORACLES,
     **wave21.ORACLES,
     **wave22.ORACLES,
+    **wave23.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -184,6 +187,10 @@ _PRIORITY = [
     "boilerplate_prefix_census",
     "token_coverage_curve",
     "embedding_norm_audit",
+    # wave-23 (new this round, certified same-commit at sf0.01+sf0.1):
+    "length_filter_sweep",
+    "padding_waste_sweep",
+    "unigram_entropy_by_source",
 ]
 
 # Queries introduced THIS round whose driver evidence can wait one
