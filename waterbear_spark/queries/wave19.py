@@ -438,8 +438,8 @@ WITH docs AS (
 )
 SELECT lang, source,
        CAST(COUNT(*) AS INTEGER) AS n_docs,
-       SUM(n_bytes) AS s_bytes,
-       SUM(n_bpe) AS s_bpe,
+       CAST(SUM(n_bytes) AS BIGINT) AS s_bytes,
+       CAST(SUM(n_bpe) AS BIGINT) AS s_bpe,
        ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_words), 4) AS fertility,
        ROUND(CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_bpe), 4) AS bytes_per_token
 FROM docs
