@@ -162,3 +162,27 @@ def test_ivf_two_level_params_scale():
     k1, k2 = _ivf_k12(10**9)
     assert k1 + k2 < _ivf_kneed(10**9) // 100
     assert _ivf_train_cap(10**9) < 10**9 // 50  # sample < 2% of corpus
+
+
+def test_ivf_assignment_invariant_to_input_partitioning(spark, tmp_path):
+    """The quantizer's determinism contract is partition-independence:
+    decimal-exact centroid means and struct-min argmins cannot depend on
+    how the scan splits, so the same corpus rewritten into 7 shuffled
+    files must produce the identical assignment."""
+    import os
+    import shutil
+
+    alt = tmp_path / "sfalt"
+    alt.mkdir()
+    for t in os.listdir(SF_SMOKE):
+        if t != "embeddings.parquet":
+            shutil.copy(os.path.join(SF_SMOKE, t), alt / t)
+    (
+        table(spark, SF_SMOKE, "embeddings")
+        .repartition(7)  # different split count AND row order
+        .write.mode("overwrite")
+        .parquet(str(alt / "embeddings.parquet"))
+    )
+    base = {r["vec_id"]: r["cell"] for r in _ivf_cells(spark, SF_SMOKE).collect()}
+    moved = {r["vec_id"]: r["cell"] for r in _ivf_cells(spark, str(alt)).collect()}
+    assert base == moved
