@@ -90,8 +90,11 @@ QUERIES = {
     **wave21.QUERIES,
     **wave22.QUERIES,
     **wave23.QUERIES,
-    # pandas_* queries intentionally exercise the Arrow/pandas UDF surface
-    # (everything else in the catalog is UDF-free by policy)
+    # pandas_* queries intentionally exercise the Arrow/pandas UDF surface.
+    # Everything else stays UDF-free by policy EXCEPT the documented
+    # per-bucket BLAS family (embedding_knn_label, dedup_embedding_cosine,
+    # semdedup_cells): bounded-bucket cosine scoring is the one shape where
+    # an Arrow-batched matmul beats Catalyst folds ~8-15x (see SCALE.md)
     **udfs.QUERIES,
 }
 

@@ -680,6 +680,18 @@ ORDER BY query_id, rank
 """
 
 
+def _np_round_half_away(x, decimals: int = 4):
+    """Half-away-from-zero rounding for the numpy/BLAS paths — the ROUND
+    mode of Spark's BigDecimal HALF_UP and DuckDB's ROUND. numpy's own
+    np.round is half-EVEN, which diverges from both engines exactly on
+    representable 4-decimal midpoints; this keeps the BLAS rewrites in
+    the same rounding family as the folds they replaced."""
+    import numpy as np
+
+    p = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
+
+
 def embedding_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed (IVF-style) nearest neighbour: each vector's top-1 cosine
     neighbour **within its label bucket**, computed per-bucket with
@@ -716,7 +728,7 @@ def embedding_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         norms = np.linalg.norm(mat, axis=1)
         sims = (mat @ mat.T) / np.outer(norms, norms)
         np.fill_diagonal(sims, -np.inf)
-        sims = np.round(sims, 4)
+        sims = _np_round_half_away(sims)
         # argmax with vec_id tie-break: order candidates by (-sim, id)
         order = np.lexsort((ids[np.newaxis, :].repeat(len(ids), 0), -sims), axis=1)
         best = order[:, 0]
@@ -883,13 +895,17 @@ def _km_update(assigned: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
     )
 
 
-def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _ivf_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, dict]:
     """The shared IVF coarse quantizer behind [[ann_ivf_kmeans]],
-    [[ann_recall_report]], [[semdedup_cells]] and [[ann_ivf_probe_sweep]]:
-    a two-level (coarse/fine) deterministic Lloyd k-means. Returns
-    ``(cells, centroids)`` where cells = (vec_id, cell) is every
-    vector's final inverted-list id and centroids = (cluster, c) are the
-    fine-level centroids keyed by that same global cell id.
+    [[ann_recall_report]], [[semdedup_cells]], [[ann_ivf_probe_sweep]]
+    and [[ivf_balance_audit]]: a two-level (coarse/fine) deterministic
+    Lloyd k-means. Returns ``(cells, centroids, params)`` where cells =
+    (vec_id, cell) is every vector's final inverted-list id, centroids =
+    (cluster, c) are the fine-level centroids keyed by that same global
+    cell id, and params = {n, k1, k2, cap} are the derived quantizer
+    dials (exposed so auditors never re-scan or re-derive them).
 
     Recipe (mirrored CTE-for-stage by the DuckDB oracle, ``_ivf_ctes``):
 
@@ -922,15 +938,17 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         .persist()
     )
     n = emb.count()  # also materializes the persisted cache
+    k1, k2 = _ivf_k12(n)
+    cap = _ivf_train_cap(n)
+    params = {"n": n, "k1": k1, "k2": k2, "cap": cap}
     if n == 0:
         # empty table: emit the output shapes with zero rows instead of
         # building untyped empty aggregates
         return (
             emb.select("vec_id", F.lit(None).cast("int").alias("cell")),
             spark.createDataFrame([], "cluster int, c array<double>"),
+            params,
         )
-    k1, k2 = _ivf_k12(n)
-    cap = _ivf_train_cap(n)
     samp = emb.filter(F.col("vec_id") < cap)
 
     cent = (
@@ -973,7 +991,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         .alias("cluster"),
         "c",
     )
-    return cells, centroids
+    return cells, centroids, params
 
 
 def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1488,7 +1506,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         mat = np.asarray(pdf["v"].tolist(), dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1)
-        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 4)
+        sims = _np_round_half_away((mat @ mat.T) / np.outer(norms, norms))
         ai, bi = np.triu_indices(len(ids), k=1)
         keep = sims[ai, bi] >= NEAR_COS_TAU
         return pd.DataFrame(

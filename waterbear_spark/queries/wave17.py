@@ -251,7 +251,7 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from waterbear_spark.queries.llm import NEAR_COS_TAU
+    from waterbear_spark.queries.llm import NEAR_COS_TAU, _np_round_half_away
     from waterbear_spark.queries.tables import table
 
     emb = table(spark, sf_dir, "embeddings").select(
@@ -268,7 +268,7 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("vec_id")
         mat = np.asarray(pdf["v"].tolist(), dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1)
-        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 4)
+        sims = _np_round_half_away((mat @ mat.T) / np.outer(norms, norms))
         # column j is dropped when any i < j (strict upper triangle,
         # vec_id order) clears tau — NOT greedy-sequential, matching the
         # oracle's "EXISTS lower-id pair" semantics

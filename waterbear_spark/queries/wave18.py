@@ -51,6 +51,12 @@ from waterbear_spark.queries.tables import table
 _STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for", "on", "with")
 _LANG_OK = ("en", "de", "fr", "es")
 _MIN_CHARS = 200
+# gate-band multipliers, shared with the streaming twin
+# (streaming/funnel.py) so the Kappa contract can't drift silently
+_WLEN_LO = 3   # mean token length floor  (LO * cnt <= sumlen)
+_WLEN_HI = 12  # mean token length ceiling (sumlen <= HI * cnt)
+_STOP_X = 20   # stopword floor: STOP_X * stop >= cnt  (share >= 5%)
+_REP_X = 5     # repetition cap: REP_X * topcnt <= cnt (share <= 20%)
 
 
 def quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,11 +97,11 @@ def quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         (F.col("n_chars") >= _MIN_CHARS).alias("g1"),
         (
-            (3 * F.col("cnt") <= F.col("sumlen"))
-            & (F.col("sumlen") <= 12 * F.col("cnt"))
+            (_WLEN_LO * F.col("cnt") <= F.col("sumlen"))
+            & (F.col("sumlen") <= _WLEN_HI * F.col("cnt"))
         ).alias("g2"),
-        (20 * F.col("stop") >= F.col("cnt")).alias("g3"),
-        (5 * F.col("topcnt") <= F.col("cnt")).alias("g4"),
+        (_STOP_X * F.col("stop") >= F.col("cnt")).alias("g3"),
+        (_REP_X * F.col("topcnt") <= F.col("cnt")).alias("g4"),
         F.col("lang").isin(*_LANG_OK).alias("g5"),
     )
     names = ["len_floor", "word_len_band", "stopword_floor",
@@ -153,9 +159,9 @@ top AS (
 ),
 flags AS (
     SELECT (n_chars >= {_MIN_CHARS}) AS g1,
-           (3 * cnt <= sumlen AND sumlen <= 12 * cnt) AS g2,
-           (20 * stop >= cnt) AS g3,
-           (5 * COALESCE(topcnt, 0) <= cnt) AS g4,
+           ({_WLEN_LO} * cnt <= sumlen AND sumlen <= {_WLEN_HI} * cnt) AS g2,
+           ({_STOP_X} * stop >= cnt) AS g3,
+           ({_REP_X} * COALESCE(topcnt, 0) <= cnt) AS g4,
            (lang IN {str(tuple(_LANG_OK))}) AS g5
     FROM base LEFT JOIN top USING (doc_id)
 ),

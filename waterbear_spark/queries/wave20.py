@@ -266,7 +266,7 @@ def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the SHIPPED assignment + fine centroids — the sweep audits the
     # exact index the other IVF queries build, never a re-derivation
-    ivf_cells, cent = _ivf_index(spark, sf_dir)
+    ivf_cells, cent, _params = _ivf_index(spark, sf_dir)
     cells = ivf_cells.persist()
     probes = emb.filter(F.col("vec_id") < _SWEEP_K).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")

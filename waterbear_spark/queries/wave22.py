@@ -60,13 +60,12 @@ def ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-coarse-cell occupancy balance of the shipped IVF index — see
     module docstring. Output: (coarse, n_cells, n_vecs, min_cell,
     max_cell), ordered by coarse."""
-    from waterbear_spark.queries.llm import _ivf_cells, _ivf_k12
+    from waterbear_spark.queries.llm import _ivf_index
 
-    emb = table(spark, sf_dir, "embeddings").select("vec_id")
-    _k1, k2 = _ivf_k12(emb.count())
+    cells, _cent, params = _ivf_index(spark, sf_dir)
+    k2 = params["k2"]
     occ = (
-        _ivf_cells(spark, sf_dir)
-        .groupBy("cell")
+        cells.groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("coarse", F.expr(f"cell div {k2}").cast("int"))
     )
@@ -222,9 +221,11 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with("v", "v", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
     )
     fp = F.floor(nrm2 * _NRM_SCALE + F.lit(0.5)).cast("bigint")
+    # vecs feeds both the per-source stats and the flag join-back:
+    # persist so the scan + join + norm folds run once, not twice
     vecs = emb.join(
         docs, emb["vec_id"] == docs["doc_id"]
-    ).select("source", fp.alias("nrm2_fp"))
+    ).select("source", fp.alias("nrm2_fp")).persist()
     stats = vecs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.min("nrm2_fp").alias("min_nrm2_fp"),

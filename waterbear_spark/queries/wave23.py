@@ -170,11 +170,15 @@ def unigram_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # c * ln(c)-in-micro-nats sums as DECIMAL(38,0): at 100 TB scale the
+    # per-type product alone can pass 2^63 (c ~ 1e12, ln_fp ~ 3e7), and
+    # Spark's non-ANSI long sum would wrap silently while DuckDB's
+    # HUGEINT would not — decimal keeps both engines exact and identical
     per_src = tf.select(
         "source",
         "c",
         (
-            F.col("c")
+            F.col("c").cast("decimal(38,0)")
             * F.floor(F.log("c") * _ENT_FP + F.lit(0.5)).cast("long")
         ).alias("clc_fp"),
     ).groupBy("source").agg(
@@ -184,7 +188,7 @@ def unigram_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = (
         F.floor(F.log("t") * _ENT_FP + F.lit(0.5)).cast("long").cast("double")
-        - F.col("s_fp") / F.col("t")
+        - F.col("s_fp").cast("double") / F.col("t")
     ) / _ENT_FP
     return per_src.select(
         "source",
@@ -207,8 +211,9 @@ per_src AS (
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_types,
            CAST(SUM(c) AS BIGINT) AS t,
-           CAST(SUM(c * CAST(FLOOR(ln(c) * {_ENT_FP} + 0.5) AS BIGINT))
-                AS BIGINT) AS s_fp
+           -- DECIMAL(38,0) sum: see the Spark twin's overflow note
+           SUM(CAST(c AS DECIMAL(38,0))
+               * CAST(FLOOR(ln(c) * {_ENT_FP} + 0.5) AS BIGINT)) AS s_fp
     FROM tf GROUP BY source
 )
 SELECT source, n_types, t AS n_tokens,

@@ -17,9 +17,14 @@ run — the Kappa contract, proven by
 ``Trigger.AvailableNow`` must equal the batch catalog query's frame
 exactly).
 
-Gate semantics are shared by construction: thresholds and gate order
-are imported from ``wave18``, and every comparison is the same integer
-cross-multiplication (never a float ratio).
+Gate semantics are shared by construction: every threshold and band
+multiplier (``_MIN_CHARS``/``_WLEN_LO``/``_WLEN_HI``/``_STOP_X``/
+``_REP_X``/``_STOPWORDS``/``_LANG_OK``) is imported from ``wave18`` —
+tuning a gate there retunes this twin in the same commit — and every
+comparison is the same integer cross-multiplication (never a float
+ratio). Only the top-token MECHANISM differs (row-local sorted
+run-length here vs explode + groupBy there), a documented scale trade
+with identical values, pinned by the equality tests.
 """
 
 from __future__ import annotations
@@ -27,7 +32,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from waterbear_spark.queries.wave18 import _LANG_OK, _MIN_CHARS, _STOPWORDS
+from waterbear_spark.queries.wave18 import (
+    _LANG_OK,
+    _MIN_CHARS,
+    _REP_X,
+    _STOP_X,
+    _STOPWORDS,
+    _WLEN_HI,
+    _WLEN_LO,
+)
 
 _GATES = [
     "len_floor",
@@ -39,18 +52,31 @@ _GATES = [
 
 
 def _top_token_count(toks: Column) -> Column:
-    """Row-local per-document mode count: for each distinct token, count
-    its occurrences, take the max. Equals the batch path's
-    explode + groupBy mode exactly; 0 for token-less documents."""
-    return F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(toks),
-                lambda t: F.size(F.filter(toks, lambda x: x == t)),
-            )
+    """Row-local per-document mode count: sort the tokens, then one
+    run-length fold tracks (previous token, current run, best run) —
+    O(len log len) per document, never the O(distinct x len) of a
+    naive per-distinct recount (a 200k-token mostly-unique crawl
+    artifact would cost ~4e10 comparisons and stall its micro-batch).
+    Equals the batch path's explode + groupBy mode exactly; 0 for
+    token-less documents."""
+    run = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
         ),
-        F.lit(0),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
+    return F.coalesce(run, F.lit(0))
 
 
 def funnel_flags(docs: DataFrame) -> DataFrame:
@@ -70,11 +96,11 @@ def funnel_flags(docs: DataFrame) -> DataFrame:
     return d.select(
         (F.col("n_chars") >= _MIN_CHARS).alias("g1"),
         (
-            (3 * F.col("cnt") <= F.col("sumlen"))
-            & (F.col("sumlen") <= 12 * F.col("cnt"))
+            (_WLEN_LO * F.col("cnt") <= F.col("sumlen"))
+            & (F.col("sumlen") <= _WLEN_HI * F.col("cnt"))
         ).alias("g2"),
-        (20 * F.col("stop") >= F.col("cnt")).alias("g3"),
-        (5 * F.col("topcnt") <= F.col("cnt")).alias("g4"),
+        (_STOP_X * F.col("stop") >= F.col("cnt")).alias("g3"),
+        (_REP_X * F.col("topcnt") <= F.col("cnt")).alias("g4"),
         F.col("lang").isin(*_LANG_OK).alias("g5"),
     )
 
