@@ -136,6 +136,11 @@ NESTED_LOOP_OK = {
     "ivf_balance_audit",
     # 1-row corpus-total scalar against the shared-prefix relation
     "boilerplate_prefix_census",
+    # per-width census assembly: three 1-row aggregates joined per row
+    "contamination_ngram_sweep",
+    # 1-row corpus-token-total scalar onto the vocabulary relation
+    # (the perplexity_buckets shape)
+    "doremi_mix_weights",
     # corpus scan x 5 broadcast probes (the embedding_topk shape)
     "hard_negative_mining",
     # 1-row normalization-total scalar onto the |labels| relation

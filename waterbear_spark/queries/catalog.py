@@ -47,6 +47,7 @@ from waterbear_spark.queries import (
     wave21,
     wave22,
     wave23,
+    wave24,
 )
 
 QUERIES = {
@@ -90,6 +91,7 @@ QUERIES = {
     **wave21.QUERIES,
     **wave22.QUERIES,
     **wave23.QUERIES,
+    **wave24.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface.
     # Everything else stays UDF-free by policy EXCEPT the documented
     # per-bucket BLAS family (embedding_knn_label, dedup_embedding_cosine,
@@ -139,6 +141,7 @@ ORACLE_SQL = {
     **wave21.ORACLES,
     **wave22.ORACLES,
     **wave23.ORACLES,
+    **wave24.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -194,6 +197,9 @@ _PRIORITY = [
     "length_filter_sweep",
     "padding_waste_sweep",
     "unigram_entropy_by_source",
+    # wave-24 (new this round, certified same-commit at sf0.01+sf0.1):
+    "contamination_ngram_sweep",
+    "doremi_mix_weights",
 ]
 
 # Queries introduced THIS round whose driver evidence can wait one
