@@ -75,9 +75,12 @@ def contamination_ngram_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bench_ngrams",
                 "train_docs",
                 "contaminated_docs",
-                F.expr("(contaminated_docs * 10000) div train_docs").alias(
-                    "contaminated_bp"
-                ),
+                # guarded: COUNT(*) yields 0 (not NULL) on an empty
+                # corpus, and ANSI integer div by zero raises
+                F.when(
+                    F.col("train_docs") > 0,
+                    F.expr("(contaminated_docs * 10000) div train_docs"),
+                ).alias("contaminated_bp"),
             )
         )
     out = parts[0]
@@ -107,13 +110,15 @@ SELECT {n} AS ngram_n,
               WHERE doc_id >= {_BENCH_DOCS}) t
         WHERE t.s IN (SELECT DISTINCT s FROM sh{n}, UNNEST(arr) AS u(s)
                       WHERE doc_id < {_BENCH_DOCS})) AS contaminated_docs,
+       CASE WHEN (SELECT COUNT(*) FROM sh{n}
+                  WHERE doc_id >= {_BENCH_DOCS}) > 0 THEN
        ((SELECT COUNT(DISTINCT t.doc_id)
          FROM (SELECT doc_id, UNNEST(arr) AS s FROM sh{n}
                WHERE doc_id >= {_BENCH_DOCS}) t
          WHERE t.s IN (SELECT DISTINCT s FROM sh{n}, UNNEST(arr) AS u(s)
                        WHERE doc_id < {_BENCH_DOCS})) * 10000)
        // (SELECT COUNT(*) FROM sh{n} WHERE doc_id >= {_BENCH_DOCS})
-           AS contaminated_bp"""
+       END AS contaminated_bp"""
 
     ctes = ",\n".join(
         f"""sh{n} AS (
