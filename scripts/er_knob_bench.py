@@ -52,8 +52,10 @@ WINDOWS = (3, 5, 10, 20)
 
 def golden_rows(spark, sf_dir, pairs):
     """The survivorship tail of er_golden_records over a pair relation —
-    the SHIPPED tail (mining._er_survivorship), so the bench's
-    max_cluster reflects the r7 saturation sub-blocking."""
+    the SHIPPED tail (mining._er_survivorship): since round 8 that is
+    the two-stage (component, sub) -> component reduce, so the bench's
+    max_cluster is the TRUE component size (the saturation cap bounds
+    internal agg widths, not output granularity)."""
     from waterbear_spark.queries.mining import _er_survivorship
 
     labels = star_connected_components(pairs, src="key_a", dst="key_b")

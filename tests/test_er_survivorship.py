@@ -1,7 +1,9 @@
-"""ER survivorship saturation cap (round 7): components above
-_ER_CLUSTER_CAP members are deterministically sub-blocked so
-survivorship group width is bounded forever; smaller components are
-bit-for-bit unaffected."""
+"""ER survivorship saturation cap (round 7, contract restored round 8):
+components above _ER_CLUSTER_CAP members are deterministically
+sub-blocked so the FIRST-stage aggregation width is bounded forever, and
+a second per-component reduce over the tiny partial relation restores
+one golden record per resolved entity — the output is the same as an
+uncapped per-component survivorship at every scale."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -40,29 +42,28 @@ def test_small_components_single_block(spark):
         )
 
 
-def test_saturated_component_sub_blocks(spark):
-    big = 3 * _ER_CLUSTER_CAP + 100  # nsub = 4
+def test_saturated_component_one_golden_record(spark):
+    big = 3 * _ER_CLUSTER_CAP + 100  # first stage sub-blocks into nsub = 4
     g = _er_survivorship(_members(spark, [big, 7])).collect()
-    split = [r for r in g if r["cluster_id"] < big]
-    rest = [r for r in g if r["cluster_id"] >= big]
-    # the small component is untouched
-    assert len(rest) == 1 and rest[0]["n_members"] == 7
-    # the hot component splits into exactly nsub non-empty hash blocks
-    assert len(split) == 4
-    assert sum(r["n_members"] for r in split) == big
-    # every block is far below the unsplit size (hash-uniform ~ big/4);
-    # the bound here is loose on purpose — the invariant is "bounded by
-    # ~cap, not by the component", not a balls-in-bins tail estimate
-    assert max(r["n_members"] for r in split) < 2 * _ER_CLUSTER_CAP
-    # sub-block survivors still obey the max-price rule within their block
-    members = {r["cluster_id"]: r for r in split}
-    assert len(members) == 4  # distinct min-keys per block
+    # the second-stage reduce restores ONE golden record per component,
+    # regardless of the internal sub-blocking
+    assert len(g) == 2
+    by_id = {r["cluster_id"]: r for r in g}
+    assert by_id[0]["n_members"] == big
+    assert by_id[big]["n_members"] == 7
+    # the survivor is the GLOBAL max-price member of the hot component
+    # (not a per-block winner)
+    assert by_id[0]["golden_price"] == max(900.0 + (k % 97) for k in range(big))
+    # price spread is the global min..max spread
+    prices = [900.0 + (k % 97) for k in range(big)]
+    assert by_id[0]["price_spread"] == round(max(prices) - min(prices), 2)
 
 
 def test_cap_boundary_exact(spark):
-    # cap+1 members -> nsub = 2; cap members -> single block
+    # cap+1 members (first stage sub-blocks) and cap members (single
+    # block) both emit exactly one golden record with the full census
     g1 = _er_survivorship(_members(spark, [_ER_CLUSTER_CAP + 1]))
     g0 = _er_survivorship(_members(spark, [_ER_CLUSTER_CAP]))
-    assert g1.count() == 2
+    assert g1.count() == 1
     assert g0.count() == 1
     assert g1.agg(F.sum("n_members")).collect()[0][0] == _ER_CLUSTER_CAP + 1

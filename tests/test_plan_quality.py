@@ -206,6 +206,52 @@ def test_no_rdd_api_in_source():
     assert offenders == []
 
 
+# queries that join a PER-DISTINCT-TOKEN (vocabulary-shaped) relation
+# against another relation: the vocabulary is unbounded under Heaps' law
+# (~1e8 types at 100 TB of web text), so a forced F.broadcast of it would
+# OOM executors at scale.  These queries must leave that join UNHINTED
+# (AQE demotes it to broadcast when the vocabulary happens to be small).
+# Hinted CROSS joins (the 1-row corpus-total scalar idiom) stay legal;
+# bounded token cuts (top-K vocab, the <=3-term BM25 query, 256 hashed
+# DSIR buckets, the 10-doc benchmark shingle set) are not in this list.
+VOCAB_RELATION_QUERIES = {
+    "perplexity_buckets",
+    "doremi_mix_weights",
+    "lm_quality_score",
+    "tfidf_top_terms",
+    "unigram_entropy_by_source",
+    "token_coverage_curve",
+    "bigram_pmi",
+    "vocab_top_terms",
+}
+
+
+@pytest.fixture(scope="module")
+def optimized_plans(spark):
+    return {
+        name: QUERIES[name](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+        for name in VOCAB_RELATION_QUERIES
+    }
+
+
+def test_no_broadcast_hint_on_vocabulary_relations(optimized_plans):
+    import re
+
+    # a broadcast HINT on a keyed join shows up in the optimized logical
+    # plan as e.g. "Join Inner, (tok#1 = tok#2), rightHint=(strategy=broadcast)";
+    # hinted Cross joins (1-row scalars) are the only allowed hint shape
+    offenders = [
+        f"{n}: {line.strip()[:100]}"
+        for n, p in optimized_plans.items()
+        for line in p.splitlines()
+        if "strategy=broadcast" in line and re.search(r"Join (?!Cross)", line)
+    ]
+    assert offenders == []
+
+
 def test_scans_prune_columns(plans):
     # lineitem has 11 columns; no query needs more than 8 of them
     for name, plan in plans.items():

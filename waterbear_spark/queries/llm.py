@@ -774,6 +774,10 @@ ORDER BY vec_id
 _IVF_K = 8  # FLOOR on the TOTAL cell count — the count scales with n (below)
 _IVF_TARGET_CELL = 2048  # target vectors/cell: bounds per-cell pair work
 _IVF_ITERS = 3  # assignment passes per level; centroid updates run ITERS-1 times
+
+# (applicationId, sf_dir) -> (cells, centroids, params): the five IVF
+# auditing queries share one index build per session instead of five
+_IVF_MEMO: dict = {}
 _IVF_TRAIN_FLOOR = 16384  # minimum training-sample size (a vec_id prefix)
 _IVF_TRAIN_PER_CELL = 32  # training rows per target cell above the floor
 
@@ -929,7 +933,17 @@ def _ivf_index(
     scores against k1*k2 >= kneed cells. Determinism: sequential-fold
     dot products, exact decimal means, (score, cluster) tie-breaks —
     assignments are bit-identical to the oracle at every scale.
+
+    The built index is memoised per (application, sf_dir): the five
+    auditing queries share ONE build, and the build's working caches
+    (the full vector relation + the coarse assignment) are unpersisted
+    once the final (cells, centroids) relations are materialised — a
+    long-lived session holds only the two small output relations.
     """
+    memo_key = (spark.sparkContext.applicationId, str(sf_dir))
+    hit = _IVF_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     emb = (
         table(spark, sf_dir, "embeddings")
         .select(
@@ -944,16 +958,25 @@ def _ivf_index(
     if n == 0:
         # empty table: emit the output shapes with zero rows instead of
         # building untyped empty aggregates
-        return (
+        emb.unpersist()
+        out = (
             emb.select("vec_id", F.lit(None).cast("int").alias("cell")),
             spark.createDataFrame([], "cluster int, c array<double>"),
             params,
         )
+        _IVF_MEMO[memo_key] = out
+        return out
     samp = emb.filter(F.col("vec_id") < cap)
 
+    # level-1 init: the k1 LOWEST sample vec_ids via row_number (not
+    # ``vec_id < k1``, which silently seeds nothing — and so assigns NULL
+    # cells — when ids are sparse or non-contiguous).  The window is
+    # unpartitioned but runs over the cap-bounded sample only; identical
+    # to the fine level's seeding rule and mirrored by the oracle's g0.
     cent = (
-        samp.filter(F.col("vec_id") < k1)
-        .select(F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("c"))
+        samp.withColumn("rn", F.row_number().over(Window.orderBy("vec_id")))
+        .filter(F.col("rn") <= k1)
+        .select((F.col("rn") - 1).cast("int").alias("cluster"), F.col("v").alias("c"))
         .withColumn("cc", _fold_dot("c", "c"))
     )
     for _ in range(_IVF_ITERS - 1):
@@ -991,7 +1014,18 @@ def _ivf_index(
         .alias("cluster"),
         "c",
     )
-    return cells, centroids, params
+    # materialize the small outputs, then release the build's working
+    # caches (the full vector relation and the coarse assignment) so a
+    # long-lived session doesn't accumulate corpus-sized storage blocks
+    cells = cells.persist()
+    centroids = centroids.persist()
+    cells.count()
+    centroids.count()
+    ac.unpersist()
+    emb.unpersist()
+    out = (cells, centroids, params)
+    _IVF_MEMO[memo_key] = out
+    return out
 
 
 def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1069,8 +1103,14 @@ def _ivf_ctes() -> tuple[list[str], str, str]:
            FROM e))
 )""",
         "s AS (SELECT e.vec_id, e.v FROM e, p WHERE e.vec_id < p.cap)",
-        "g0 AS (SELECT CAST(s.vec_id AS INTEGER) AS cluster, s.v AS c "
-        "FROM s, p WHERE s.vec_id < p.k1)",
+        # level-1 init: the k1 LOWEST sample vec_ids (row_number, not
+        # ``vec_id < k1`` — sparse ids would seed nothing); mirrors the
+        # Spark side and the fine level's f0
+        """g0 AS (
+    SELECT CAST(rn - 1 AS INTEGER) AS cluster, v AS c FROM (
+        SELECT s.v, ROW_NUMBER() OVER (ORDER BY s.vec_id) AS rn
+        FROM s) z, p WHERE z.rn <= p.k1
+)""",
     ]
     cent = "g0"
     for it in range(_IVF_ITERS - 1):

@@ -78,8 +78,18 @@ def _neighborhood_pairs(
             (F.col("rn_b") > F.col("rn_a"))
             & (F.col("rn_b") <= F.col("rn_a") + window)
         )
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= max_dist)
+        # banded levenshtein: with a threshold the DP runs O(len * k)
+        # instead of O(len^2) and returns -1 above the bound — the verify
+        # is the hot loop (w levenshteins per record), so at tight
+        # thresholds the band is ~6x less work; the census path
+        # (max_dist effectively infinite) keeps the full DP
+        .withColumn(
+            "dist",
+            F.levenshtein("name_a", "name_b", max_dist)
+            if max_dist <= 16
+            else F.levenshtein("name_a", "name_b"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select(
             "key_a",
             "key_b",
@@ -229,24 +239,24 @@ LIMIT {_PAIR_TOPK}
 
 def _er_survivorship(members: DataFrame) -> DataFrame:
     """The survivorship tail shared by [[er_golden_records]] and
-    ``scripts/er_knob_bench.py``: one golden record per (component,
-    sub-block) from a ``(p_partkey, p_name, p_retailprice, component)``
-    relation.
+    ``scripts/er_knob_bench.py``: ONE golden record per component from a
+    ``(p_partkey, p_name, p_retailprice, component)`` relation.
 
-    Saturation cap (round 7 — the r6 verdict's ER watch item): the
-    part-name vocabulary is bounded, so at 10x data the transitive
-    closure concentrates — the biggest component grew 347 -> 3,470 and
-    would hold ~347k records at 1000x. Components above
-    ``_ER_CLUSTER_CAP`` members are therefore sub-blocked into
-    ``ceil(m / cap)`` hash buckets (deterministic md5(p_partkey) mod,
-    bit-identical in DuckDB), and survivorship runs per
-    (component, sub): window sizes are bounded by ~cap forever, and the
-    cap does not bind at sf0.01/sf0.1 (max component 347), so small-sf
-    output is unchanged. Survivorship itself is a hash aggregation, not
-    a window: the survivor is ``MAX(struct(price, -key, name))`` and
-    the censuses are plain MIN/MAX/COUNT, so map-side partial
-    aggregation collapses even a hot component to one row per task
-    before the shuffle — saturation cannot skew a reducer.
+    Saturation cap (round 7 — the r6 verdict's ER watch item; round 8
+    restores the per-entity contract): the part-name vocabulary is
+    bounded, so at 10x data the transitive closure concentrates — the
+    biggest component grew 347 -> 3,470 and would hold ~347k records at
+    1000x. Components above ``_ER_CLUSTER_CAP`` members are therefore
+    sub-blocked into ``ceil(m / cap)`` deterministic hash buckets and
+    survivorship runs as a TWO-STAGE reduce: per-(component, sub)
+    partials (groups bounded by ~cap forever), then a per-component
+    reduce over the tiny ceil(m/cap)-row partial relation — so the
+    output is one golden record per resolved entity at every scale
+    (min/max/count/MAX(struct) all compose associatively), unlike the
+    round-7 shape that emitted one row per sub-block above the cap.
+    Every aggregate is algebraic, so map-side partial aggregation
+    collapses hot components before each shuffle — saturation cannot
+    skew a reducer.
     """
     sizes = members.groupBy("component").agg(F.count(F.lit(1)).alias("m"))
     nsub = F.expr(f"(m + {_ER_CLUSTER_CAP - 1}) div {_ER_CLUSTER_CAP}")
@@ -267,14 +277,21 @@ def _er_survivorship(members: DataFrame) -> DataFrame:
             F.col("p_name").alias("nm"),
         )
     )
+    partials = subbed.groupBy("component", "sub").agg(
+        F.min("p_partkey").alias("min_key"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+        survivor.alias("g"),
+    )
     return (
-        subbed.groupBy("component", "sub")
+        partials.groupBy("component")
         .agg(
-            F.min("p_partkey").alias("cluster_id"),
-            F.count(F.lit(1)).alias("n_members"),
-            F.min("p_retailprice").alias("min_price"),
-            F.max("p_retailprice").alias("max_price"),
-            survivor.alias("g"),
+            F.min("min_key").alias("cluster_id"),
+            F.sum("n").alias("n_members"),
+            F.min("min_price").alias("min_price"),
+            F.max("max_price").alias("max_price"),
+            F.max("g").alias("g"),
         )
         .select(
             "cluster_id",
@@ -295,16 +312,15 @@ def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     components via the large-star/small-star transform
     (``operators/starcc.py``) -> one GOLDEN RECORD per multi-member
     cluster by survivorship rules (highest retail price wins, ties to
-    the smallest key). Output: cluster id (min member key — for
-    components split by the saturation cap, the sub-block's min key),
-    member count, the surviving record, and the price spread the merge
-    hides.
+    the smallest key). Output: cluster id (min member key), member
+    count, the surviving record, and the price spread the merge hides.
 
     Scale: every stage is bounded — candidate generation is the
     2w-neighbor block join (never a pair space), the star CC rounds are
     edge-list shuffles with O(log^2 n) rounds, and survivorship is a
-    partial-aggregating hash groupBy with saturated components
-    sub-blocked at {cap} members (see :func:`_er_survivorship`). The
+    two-stage partial-aggregating hash groupBy with saturated components
+    sub-blocked at {cap} members in the first stage (see
+    :func:`_er_survivorship`). The
     oracle rebuilds the clusters with a recursive-CTE closure — two
     algorithms, one answer, as in [[dedup_clusters_star]].
     """.format(d=_ER_MAX_DIST, cap=_ER_CLUSTER_CAP)
@@ -348,30 +364,21 @@ reach AS (
 comp AS (
     SELECT v AS p_partkey, LEAST(v, MIN(r)) AS component FROM reach GROUP BY v
 ),
-sizes AS (
-    SELECT component, COUNT(*) AS m FROM comp GROUP BY component
-),
-subbed AS (
-    SELECT c.p_partkey, c.component,
-           CASE WHEN s.m <= {_ER_CLUSTER_CAP} THEN 0
-                ELSE CAST(CAST(('0x' || substr(md5(CAST(c.p_partkey AS VARCHAR)),
-                                               1, 15)) AS UBIGINT) AS BIGINT)
-                     % ((s.m + {_ER_CLUSTER_CAP - 1}) // {_ER_CLUSTER_CAP})
-           END AS sub
-    FROM comp c JOIN sizes s USING (component)
-),
 members AS (
-    SELECT sb.component, sb.sub, p.p_partkey, p.p_name, p.p_retailprice
-    FROM subbed sb JOIN part p USING (p_partkey)
+    SELECT c.component, p.p_partkey, p.p_name, p.p_retailprice
+    FROM comp c JOIN part p USING (p_partkey)
 ),
+-- per-component survivorship: the Spark side's two-stage
+-- (component, sub) -> component reduce composes associatively, so the
+-- oracle states the contract directly — one golden record per entity
 surv AS (
-    SELECT component, sub, p_partkey, p_name, p_retailprice,
-           ROW_NUMBER() OVER (PARTITION BY component, sub
+    SELECT component, p_partkey, p_name, p_retailprice,
+           ROW_NUMBER() OVER (PARTITION BY component
                               ORDER BY p_retailprice DESC, p_partkey) AS rk,
-           COUNT(*) OVER (PARTITION BY component, sub) AS n_members,
-           MIN(p_partkey) OVER (PARTITION BY component, sub) AS cluster_id,
-           MIN(p_retailprice) OVER (PARTITION BY component, sub) AS min_price,
-           MAX(p_retailprice) OVER (PARTITION BY component, sub) AS max_price
+           COUNT(*) OVER (PARTITION BY component) AS n_members,
+           MIN(p_partkey) OVER (PARTITION BY component) AS cluster_id,
+           MIN(p_retailprice) OVER (PARTITION BY component) AS min_price,
+           MAX(p_retailprice) OVER (PARTITION BY component) AS max_price
     FROM members
 )
 SELECT cluster_id, n_members,

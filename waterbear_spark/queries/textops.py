@@ -566,8 +566,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: two shuffles (token explode -> (doc, term) counts; df per
     term) and a per-doc window over a handful of scored terms. The df
-    relation is vocabulary-sized, broadcastable at any corpus scale; no
-    pair space, no Python.
+    relation is vocabulary-sized and therefore UNBOUNDED under Heaps'
+    law, so its join is deliberately unhinted — both sides are already
+    keyed by term, and AQE demotes the shuffle join to broadcast when
+    the vocabulary happens to be small. No pair space, no Python.
     """
     toks = (
         table(spark, sf_dir, "documents")
@@ -582,7 +584,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("doc_id").alias("n_docs"))
     )
     scored = (
-        tf.join(F.broadcast(df_counts), "term")
+        tf.join(df_counts, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",

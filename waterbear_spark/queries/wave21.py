@@ -215,7 +215,13 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.explode(_tokens(F.col("text"))).alias("tok")
     )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # pre-aggregate the raw token stream to (doc, tok) term frequencies so
+    # the NLL lookup joins two vocabulary-sized relations.  The join is
+    # deliberately UNHINTED: the vocabulary is unbounded under Heaps' law,
+    # so a forced broadcast would OOM at corpus scale — AQE demotes the
+    # shuffle join to broadcast when the relation happens to be small.
+    dt = toks.groupBy("doc_id", "lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = dt.groupBy("tok").agg(F.sum("c").alias("cnt"))
     tot = vocab.agg(F.sum("cnt").alias("t"))
     # one ln per distinct vocabulary entry, quantized to micro-nats
     nll = vocab.crossJoin(F.broadcast(tot)).select(
@@ -225,11 +231,11 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nll_fp"),
     )
     per_doc = (
-        toks.join(F.broadcast(nll), "tok")
+        dt.join(nll, "tok")
         .groupBy("doc_id", "lang")
         .agg(
-            F.count(F.lit(1)).alias("n_toks"),
-            F.sum("nll_fp").alias("s_fp"),
+            F.sum("c").alias("n_toks"),
+            F.sum(F.col("c") * F.col("nll_fp")).alias("s_fp"),
         )
         .withColumn("mean_nll", F.col("s_fp").cast("double") / F.col("n_toks"))
     )

@@ -21,10 +21,13 @@
   operator shape (per-domain loss -> excess -> exponential reweight ->
   normalized mixture) with an exactly oracle-checkable loss.
 
-Scale: the sweep is three bounded broadcast semi-joins over one
-persisted shingle relation; the mix weights are one (source, token)
-aggregation + a |sources|-row closed form. Nothing pairs, nothing
-iterates, nothing collects.
+Scale: the sweep scans the train-side shingle relation once per width
+(a left join against the broadcast 10-doc benchmark side yields the doc
+census and the contamination count in the same pass — nothing persists);
+the mix weights pre-aggregate to a vocabulary-sized (source, token)
+relation and equi-join it UNHINTED against the NLL table (Heaps'-law
+unbounded, so never force-broadcast) + a |sources|-row closed form.
+Nothing pairs, nothing iterates, nothing collects.
 """
 
 from __future__ import annotations
@@ -49,34 +52,43 @@ def contamination_ngram_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parts = []
     for n in _SWEEP_NS:
+        # no persist: the only relation worth caching is the full train-side
+        # shingle explosion, which at corpus scale would never fit executor
+        # storage memory — instead the train side is scanned exactly ONCE
+        # per width (the left join below yields train_docs AND
+        # contaminated_docs from the same pass), and the 10-doc benchmark
+        # side is recomputed where reused (trivial).
         shingled = docs.filter(F.size("toks") >= n).select(
             "doc_id", F.array_distinct(_shingles(F.col("toks"), n)).alias("arr")
-        ).persist()
+        )
         bench = (
             shingled.filter(F.col("doc_id") < _BENCH_DOCS)
             .select(F.explode("arr").alias("s"))
             .distinct()
         )
-        train = shingled.filter(F.col("doc_id") >= _BENCH_DOCS)
-        hit_docs = (
-            train.select("doc_id", F.explode("arr").alias("s"))
-            .join(F.broadcast(bench), "s")
-            .select("doc_id")
-            .distinct()
+        flags = (
+            shingled.filter(F.col("doc_id") >= _BENCH_DOCS)
+            .select("doc_id", F.explode("arr").alias("s"))
+            .join(F.broadcast(bench.withColumn("hit", F.lit(1))), "s", "left")
+            .groupBy("doc_id")
+            .agg(F.max("hit").alias("hit"))
         )
         parts.append(
-            train.agg(F.count(F.lit(1)).alias("train_docs"))
-            .crossJoin(F.broadcast(bench.agg(F.count(F.lit(1)).alias("bench_ngrams"))))
-            .crossJoin(
-                F.broadcast(hit_docs.agg(F.count(F.lit(1)).alias("contaminated_docs")))
+            flags.agg(
+                F.count(F.lit(1)).alias("train_docs"),
+                # COALESCE: SUM over an empty corpus is NULL, the original
+                # COUNT-based census reported 0
+                F.coalesce(
+                    F.sum(F.when(F.col("hit") == 1, 1).otherwise(0)), F.lit(0)
+                ).alias("contaminated_docs"),
             )
+            .crossJoin(F.broadcast(bench.agg(F.count(F.lit(1)).alias("bench_ngrams"))))
             .select(
                 F.lit(n).alias("ngram_n"),
                 "bench_ngrams",
                 "train_docs",
                 "contaminated_docs",
-                # guarded: COUNT(*) yields 0 (not NULL) on an empty
-                # corpus, and ANSI integer div by zero raises
+                # guarded: ANSI integer div by zero raises
                 F.when(
                     F.col("train_docs") > 0,
                     F.expr("(contaminated_docs * 10000) div train_docs"),
@@ -153,7 +165,12 @@ def doremi_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = table(spark, sf_dir, "documents").select(
         "source", F.explode(_tokens(F.col("text"))).alias("tok")
     )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # pre-aggregate to (source, tok) term frequencies so the NLL lookup
+    # joins two vocabulary-sized relations.  UNHINTED join: the vocabulary
+    # is unbounded under Heaps' law, so a forced broadcast would OOM at
+    # corpus scale — AQE demotes to broadcast when actually small.
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = st.groupBy("tok").agg(F.sum("c").alias("cnt"))
     tot = vocab.agg(F.sum("cnt").alias("t"))
     nll = vocab.crossJoin(F.broadcast(tot)).select(
         "tok",
@@ -162,13 +179,13 @@ def doremi_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nll_fp"),
     )
     per_src = (
-        toks.join(F.broadcast(nll), "tok")
+        st.join(nll, "tok")
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("sn"),
+            F.sum("c").alias("sn"),
             # DECIMAL(38,0): per-source micro-nat totals pass 2^63 at
             # 100 TB scale (same overflow note as unigram entropy)
-            F.sum(F.col("nll_fp").cast("decimal(38,0)")).alias("ss"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("nll_fp")).alias("ss"),
         )
         .withColumn("mean_nll_fp", F.col("ss").cast("double") / F.col("sn"))
     )

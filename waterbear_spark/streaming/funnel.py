@@ -107,9 +107,13 @@ def funnel_flags(docs: DataFrame) -> DataFrame:
 
 def funnel_census(docs: DataFrame) -> DataFrame:
     """The 5-row gate-attrition census (gate_idx, gate, n_in, n_fail,
-    n_out) over a documents relation — identical output to the batch
-    catalog query ``quality_gate_funnel``; streamable in ``complete``
-    output mode with a single stateful aggregation."""
+    n_out) over a documents relation — the same ROWS as the batch
+    catalog query ``quality_gate_funnel``, compared order-insensitively:
+    ``gate_idx`` is in the output, but this function deliberately omits
+    an ``orderBy`` so the one plan serves both batch and streaming
+    callers (comparisons must sort on gate_idx first, as the equality
+    tests do). Streamable in ``complete`` output mode with a single
+    stateful aggregation."""
     flags = funnel_flags(docs)
     cum = [F.lit(True)]
     for i in range(5):
