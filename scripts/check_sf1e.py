@@ -6,6 +6,10 @@ Six of the seven run against their regular catalog oracles: DuckDB's
 IEJoin handles sorted_neighborhood's rank-range join and the basket
 self-joins fine at sf1 (they were only ever *slow*, not intractable —
 the prior block was a shared 10-minute command window, not the plans).
+``frequent_triples``' catalog oracle was restructured in round 8 from a
+3-way basket self-join (which blew a 51 CPU-hour budget at sf1) to a
+per-basket UNNEST enumeration — identical relation, linear in orders —
+so it now certifies at sf1 like the rest.
 
 ``er_golden_records`` is the one true blocker: its catalog oracle
 builds connected components with a recursive-CTE transitive closure,
@@ -39,11 +43,7 @@ import duckdb
 from pyspark.sql import SparkSession
 
 from waterbear_spark.queries.catalog import ORACLE_SQL, QUERIES
-from waterbear_spark.queries.mining import (
-    _ER_CLUSTER_CAP,
-    _ER_MAX_DIST,
-    _SN_WINDOW,
-)
+from waterbear_spark.queries.mining import _ER_MAX_DIST, _SN_WINDOW
 from waterbear_spark.queries.tables import TABLES
 from waterbear_spark.testing import compare_frames
 
@@ -75,34 +75,24 @@ JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + {_SN_WINDOW}
 WHERE levenshtein(a.p_name, b.p_name) <= {_ER_MAX_DIST}
 """
 
-# same survivorship tail as mining.ER_GOLDEN_SQL (incl. the r7
-# saturation sub-blocking), reading components from the injected
+# same survivorship tail as mining.ER_GOLDEN_SQL — since round 8 that is
+# plain per-component survivorship (the engine's internal saturation
+# sub-blocking is output-invariant: its two-stage reduce composes to the
+# per-component answer) — reading components from the injected
 # union-find table instead of the recursive closure
-_ER_TAIL_SQL = f"""
-WITH sizes AS (
-    SELECT component, COUNT(*) AS m FROM comp GROUP BY component
-),
-subbed AS (
-    SELECT c.p_partkey, c.component,
-           CASE WHEN s.m <= {_ER_CLUSTER_CAP} THEN 0
-                ELSE CAST(CAST(('0x' || substr(md5(CAST(c.p_partkey AS VARCHAR)),
-                                               1, 15)) AS UBIGINT) AS BIGINT)
-                     % ((s.m + {_ER_CLUSTER_CAP - 1}) // {_ER_CLUSTER_CAP})
-           END AS sub
-    FROM comp c JOIN sizes s USING (component)
-),
-members AS (
-    SELECT sb.component, sb.sub, p.p_partkey, p.p_name, p.p_retailprice
-    FROM subbed sb JOIN part p USING (p_partkey)
+_ER_TAIL_SQL = """
+WITH members AS (
+    SELECT c.component, p.p_partkey, p.p_name, p.p_retailprice
+    FROM comp c JOIN part p USING (p_partkey)
 ),
 surv AS (
-    SELECT component, sub, p_partkey, p_name, p_retailprice,
-           ROW_NUMBER() OVER (PARTITION BY component, sub
+    SELECT component, p_partkey, p_name, p_retailprice,
+           ROW_NUMBER() OVER (PARTITION BY component
                               ORDER BY p_retailprice DESC, p_partkey) AS rk,
-           COUNT(*) OVER (PARTITION BY component, sub) AS n_members,
-           MIN(p_partkey) OVER (PARTITION BY component, sub) AS cluster_id,
-           MIN(p_retailprice) OVER (PARTITION BY component, sub) AS min_price,
-           MAX(p_retailprice) OVER (PARTITION BY component, sub) AS max_price
+           COUNT(*) OVER (PARTITION BY component) AS n_members,
+           MIN(p_partkey) OVER (PARTITION BY component) AS cluster_id,
+           MIN(p_retailprice) OVER (PARTITION BY component) AS min_price,
+           MAX(p_retailprice) OVER (PARTITION BY component) AS max_price
     FROM members
 )
 SELECT cluster_id, n_members,

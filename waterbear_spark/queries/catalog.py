@@ -48,6 +48,7 @@ from waterbear_spark.queries import (
     wave22,
     wave23,
     wave24,
+    wave25,
 )
 
 QUERIES = {
@@ -92,6 +93,7 @@ QUERIES = {
     **wave22.QUERIES,
     **wave23.QUERIES,
     **wave24.QUERIES,
+    **wave25.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface.
     # Everything else stays UDF-free by policy EXCEPT the documented
     # per-bucket BLAS family (embedding_knn_label, dedup_embedding_cosine,
@@ -142,6 +144,7 @@ ORACLE_SQL = {
     **wave22.ORACLES,
     **wave23.ORACLES,
     **wave24.ORACLES,
+    **wave25.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -168,38 +171,26 @@ assert set(ORACLE_SQL) <= set(QUERIES), "oracle without query"
 # CORRECTNESS_LOCAL.json (scripts/check_oracle.py, full catalog) remains
 # the per-round local certification on top.
 _PRIORITY = [
-    # --- round 7 ---
-    # the 10 wave-19/20/21 queries: the only catalog entries with no
-    # driver correctness row yet (the r6 verdict's evidence-lag item;
-    # they were deferred out of the r6 window and now rotate in first):
-    "gopher_repetition_filters",
-    "dsir_importance_weights",
-    "lsh_band_planner",
-    "tokenizer_fertility_audit",
-    "pq_reconstruction_audit",
-    "ann_ivf_probe_sweep",
-    "hard_negative_mining",
-    "class_balance_weights",
+    # --- round 8 ---
+    # new this round (certified same-commit at sf0.01+sf0.1):
+    "dup_span_removal_manifest",
+    # semantics/plan changed this round, so prior driver evidence
+    # predates the change (all re-certified locally at sf0.01+sf0.1 in
+    # the same commits): er_golden_records' survivorship now reduces to
+    # ONE golden record per component (the r7 sub-block split is gone);
+    # frequent_triples' oracle swapped to the per-basket enumeration;
+    # the vocabulary-relation family dropped its forced broadcasts and
+    # pre-aggregates the token stream; contamination_ngram_sweep moved
+    # to a single-pass left join:
+    "er_golden_records",
+    "frequent_triples",
     "perplexity_buckets",
-    "cross_source_dup_matrix",
-    # the IVF quantizer family: semantics changed this round (two-level
-    # sample-trained k-means in llm._ivf_index, oracle CTEs in
-    # lockstep), so prior evidence predates the change:
-    "ann_ivf_kmeans",
-    "semdedup_cells",
-    "ann_recall_report",
-    # wave-22 (new this round, certified same-commit at sf0.01+sf0.1):
-    "ivf_balance_audit",
-    "boilerplate_prefix_census",
-    "token_coverage_curve",
-    "embedding_norm_audit",
-    # wave-23 (new this round, certified same-commit at sf0.01+sf0.1):
-    "length_filter_sweep",
-    "padding_waste_sweep",
-    "unigram_entropy_by_source",
-    # wave-24 (new this round, certified same-commit at sf0.01+sf0.1):
-    "contamination_ngram_sweep",
     "doremi_mix_weights",
+    "tfidf_top_terms",
+    "contamination_ngram_sweep",
+    # the 7-slot head leaves 43 window slots for the stalest
+    # previously-verified rows (the r7 verdict's rotation ask: >=40
+    # r1-r3-verified rows refreshed in the r8 window)
 ]
 
 # Queries introduced THIS round whose driver evidence can wait one

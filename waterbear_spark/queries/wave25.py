@@ -1,0 +1,163 @@
+"""Round-8 wave-25 operator: cross-document duplicated-span REMOVAL
+manifest — the actionable half of substring dedup.
+
+[[dup_span_census]] measures how much of each document is duplicated;
+this wave emits the keep/cut MANIFEST a dedup pass would execute, the
+windowed-digest form of Lee et al. 2021 ("Deduplicating Training Data
+Makes Language Models Better", arXiv:2107.06499) suffix-array substring
+dedup restricted to spans duplicated ACROSS documents:
+
+* every overlapping ``_MANIFEST_K``-token window is digested (md5 of the
+  space-joined window — row-local, identical bytes in DuckDB);
+* a window is cut from a document iff its digest occurs in at least one
+  OTHER document and this document is not the digest's keeper (keeper =
+  min doc_id over the digest's documents — the deterministic "keep the
+  first copy" rule);
+* per document, overlapping/adjacent cut windows merge into maximal
+  islands (gaps-and-islands over window start positions), and the
+  manifest reports each island as a 1-based token span
+  ``[cut_start, cut_end]`` plus its token count.
+
+A downstream pass applies the manifest with one ``slice``-based rewrite
+per document; the keeper copy of every duplicated span survives, so no
+content is lost corpus-wide.
+
+Scale: digesting is one transform over each token array (no explode
+before hashing); the only corpus-sized shuffles key on the 128-bit
+digest (grouping for the keeper census, then one UNHINTED equi-join of
+the window stream against the digest-keyed census — the census is
+vocabulary-shaped and unbounded, so it is never hint-broadcast); island
+merging is a per-document window bounded by document length. Inherent
+cost ~1 digest per corpus token, the same bound as the census operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from waterbear_spark.queries.llm import TOKENS_SQL, _tokens
+from waterbear_spark.queries.tables import table
+
+_MANIFEST_K = 10  # tokens per window — same granularity as dup_span_census
+
+
+def dup_span_removal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/cut manifest for cross-document duplicated spans — see module
+    docstring. Output: (doc_id, cut_start, cut_end, cut_tokens), one row
+    per maximal cut island, 1-based token positions, ordered."""
+    return _removal_manifest(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def _removal_manifest(docs: DataFrame, k: int = _MANIFEST_K) -> DataFrame:
+    """The manifest core over any ``(doc_id, text)`` relation — split out
+    so the planted-duplicate tests drive it with synthetic corpora."""
+    arr = docs.select("doc_id", _tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= k
+    )
+    # (doc_id, s, dig): s = 1-based window start, dig = md5 of the
+    # k-token window; digests are computed inside the per-row transform
+    # so only 16-byte digests (never window text) reach the shuffle
+    wins = arr.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - k + 1),
+                lambda i: F.md5(F.array_join(F.slice(F.col("t"), i, k), " ")),
+            )
+        ).alias("p0", "dig"),
+    ).select("doc_id", (F.col("p0") + 1).alias("s"), "dig")
+    # keeper census per digest: min doc keeps; cross-doc iff min != max
+    census = wins.groupBy("dig").agg(
+        F.min("doc_id").alias("keeper"), F.max("doc_id").alias("mx")
+    )
+    cut = (
+        wins.join(census, "dig")  # unhinted: census is vocabulary-shaped
+        .filter(
+            (F.col("keeper") != F.col("mx"))
+            & (F.col("doc_id") > F.col("keeper"))
+        )
+        .select("doc_id", "s")
+    )
+    # merge overlapping/adjacent cut windows ([s, s+k-1]) into maximal
+    # islands: a window starts a new island iff it begins after the
+    # running max end + 1 of everything before it
+    w_ord = Window.partitionBy("doc_id").orderBy("s")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    isl = (
+        cut.withColumn("pe", F.max(F.col("s") + (k - 1)).over(w_prev))
+        .withColumn(
+            "new_isl",
+            F.when(
+                F.col("pe").isNull() | (F.col("s") > F.col("pe") + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_isl").over(w_ord))
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("s").alias("cut_start"),
+            (F.max("s") + (k - 1)).alias("cut_end"),
+        )
+        .select(
+            "doc_id",
+            "cut_start",
+            "cut_end",
+            (F.col("cut_end") - F.col("cut_start") + 1).alias("cut_tokens"),
+        )
+        .orderBy("doc_id", "cut_start")
+    )
+
+
+DUP_SPAN_REMOVAL_SQL = f"""
+WITH d AS (
+    SELECT doc_id, {TOKENS_SQL} AS t FROM documents
+),
+wins AS (
+    SELECT doc_id, i AS s,
+           md5(array_to_string(list_slice(t, i, i + {_MANIFEST_K - 1}), ' ')) AS dig
+    FROM d, UNNEST(generate_series(1, len(t) - {_MANIFEST_K - 1})) AS g(i)
+    WHERE len(t) >= {_MANIFEST_K}
+),
+census AS (
+    SELECT dig, MIN(doc_id) AS keeper, MAX(doc_id) AS mx
+    FROM wins GROUP BY dig
+),
+cut AS (
+    SELECT w.doc_id, w.s
+    FROM wins w JOIN census c USING (dig)
+    WHERE c.keeper <> c.mx AND w.doc_id > c.keeper
+),
+run AS (
+    SELECT doc_id, s,
+           MAX(s + {_MANIFEST_K - 1}) OVER (
+               PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+    FROM cut
+),
+isl AS (
+    SELECT doc_id, s,
+           SUM(CASE WHEN pe IS NULL OR s > pe + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s) AS island
+    FROM run
+)
+SELECT doc_id,
+       MIN(s) AS cut_start,
+       MAX(s) + {_MANIFEST_K - 1} AS cut_end,
+       MAX(s) + {_MANIFEST_K - 1} - MIN(s) + 1 AS cut_tokens
+FROM isl
+GROUP BY doc_id, island
+ORDER BY doc_id, cut_start
+"""
+
+
+QUERIES = {
+    "dup_span_removal_manifest": dup_span_removal_manifest,
+}
+
+ORACLES = {
+    "dup_span_removal_manifest": DUP_SPAN_REMOVAL_SQL,
+}
