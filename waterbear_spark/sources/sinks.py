@@ -209,31 +209,82 @@ def merge_upsert(
     updates: DataFrame,
     keys: list[str],
     fmt: str | None = None,
+    delete_condition: str | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
-    """Upsert ``updates`` into the table at ``target_path``:
-    matched keys are replaced, unmatched keys are inserted.
+    """MERGE ``updates`` into the table at ``target_path``: matched keys
+    are replaced, unmatched keys are inserted, and — when
+    ``delete_condition`` (a SQL predicate over the update row, e.g. the
+    CDC flag ``_op = 'D'``) is given — matching update rows DELETE their
+    target keys instead, so one batch can carry update+insert+delete.
 
     Delta available -> a real MERGE (file-pruned, transactional).
     Parquet fallback -> anti-join keep + union, staged write, directory
     swap (atomic enough for single-writer pipelines; Delta is the answer
     for concurrent writers).
+
+    Contract pinned to Delta MERGE semantics (the fallback must not
+    silently mean something else):
+
+    * duplicate keys in one batch raise — Delta's MERGE errors when a
+      target row matches multiple source rows, and the naive fallback
+      would instead insert both copies (a divergence, not a feature);
+    * ``merge_schema=True`` allows the batch to ADD columns (old rows
+      read NULL for them — Delta's ``mergeSchema`` autoMerge); without
+      it a schema change raises, as Delta does;
+    * a delete of a key absent from the target is a no-op.
     """
     fmt = fmt or ("delta" if HAS_DELTA else "parquet")
+
+    # Delta parity: one target row must match at most one source row
+    dup = (
+        updates.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+    )
+    if dup.limit(1).count():
+        raise ValueError(
+            f"merge_upsert: duplicate keys {keys} in one update batch — "
+            "Delta MERGE rejects multiple source matches per target row"
+        )
+
     if fmt == "delta" and HAS_DELTA:  # pragma: no cover - delta not in env
+        if merge_schema:
+            spark.conf.set(
+                "spark.databricks.delta.schema.autoMerge.enabled", "true"
+            )
         target = DeltaTable.forPath(spark, target_path)
         cond = " AND ".join(f"t.{k} = u.{k}" for k in keys)
-        (
-            target.alias("t")
-            .merge(updates.alias("u"), cond)
-            .whenMatchedUpdateAll()
-            .whenNotMatchedInsertAll()
-            .execute()
-        )
+        m = target.alias("t").merge(updates.alias("u"), cond)
+        if delete_condition is not None:
+            m = m.whenMatchedDelete(condition=delete_condition)
+        (m.whenMatchedUpdateAll().whenNotMatchedInsertAll().execute())
         return spark.read.format("delta").load(target_path)
 
     target = spark.read.format(fmt).load(target_path)
+    if delete_condition is not None:
+        # the anti-join below removes EVERY update key from the target
+        # (deletes included); only the non-delete rows are re-inserted.
+        # After the split the CDC flag (and any other column the batch
+        # carries only to drive the condition) is projected away unless
+        # the table is evolving — the explicit-clause MERGE idiom, where
+        # the _op column never lands in the table.
+        is_del = F.coalesce(F.expr(delete_condition), F.lit(False))
+        upserts = updates.filter(~is_del)
+        if not merge_schema:
+            upserts = upserts.drop(
+                *[c for c in upserts.columns if c not in target.columns]
+            )
+    else:
+        upserts = updates
+    new_cols = [c for c in upserts.columns if c not in target.columns]
+    if new_cols and not merge_schema:
+        raise ValueError(
+            f"merge_upsert: update batch adds columns {new_cols} — pass "
+            "merge_schema=True to evolve the table (Delta mergeSchema)"
+        )
     kept = target.join(updates.select(*keys), on=keys, how="left_anti")
-    merged = kept.unionByName(updates)
+    merged = kept.unionByName(upserts, allowMissingColumns=merge_schema)
 
     staging = f"{target_path}__staging_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").format(fmt).save(staging)
