@@ -315,27 +315,120 @@ def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     the smallest key). Output: cluster id (min member key), member
     count, the surviving record, and the price spread the merge hides.
 
-    Scale: every stage is bounded — candidate generation is the
-    2w-neighbor block join (never a pair space), the star CC rounds are
-    edge-list shuffles with O(log^2 n) rounds, and survivorship is a
-    two-stage partial-aggregating hash groupBy with saturated components
-    sub-blocked at {cap} members in the first stage (see
-    :func:`_er_survivorship`). The
-    oracle rebuilds the clusters with a recursive-CTE closure — two
-    algorithms, one answer, as in [[dedup_clusters_star]].
+    Round-8 rewrite — EXACT-NAME RUN CONTRACTION (the r7 verdict's ER
+    wall item; at sf1 the star-CC over the 999k record-level pairs was
+    ~22 s of a ~29 s wall): records are ranked by (p_name, p_partkey),
+    so records sharing a name occupy one CONSECUTIVE rank run, and
+
+    * within a run, consecutive records are rank-distance 1 at edit
+      distance 0, so every run is internally connected by construction
+      (any window w >= 1, threshold d >= 0);
+    * an edge between two runs A < B exists iff the boundary rank gap
+      ``first_rank(B) - last_rank(A)`` is <= w (the closest cross-run
+      record pair realizes exactly that gap) and the NAME-level edit
+      distance is <= d (identical for every record pair of the runs);
+      a gap <= w also bounds B to the next w runs, since every
+      intervening run holds >= 1 record.
+
+    The record-level component structure therefore equals the expansion
+    of the run-level one, and the pipeline contracts to: one groupBy to
+    runs, sorted-neighborhood + star-CC over the (distinct-name-sized)
+    run relation with run vertex id = the run's min member key (so
+    component labels stay "min member key" byte-for-byte), runs with
+    >= 2 members or an incident edge expand back to records, and
+    survivorship is unchanged. Verified-pair counts, the levenshtein
+    budget, and the CC edge list all shrink from record-pairs to
+    run-pairs (at sf1: 999,040 -> 0 cross-run edges over 64 runs).
+
+    Scale: every stage is bounded — run ranking is the same distributed
+    prefix-rank as [[sorted_neighborhood_pairs]] (over the smaller run
+    relation), candidate generation is the 2w-neighbor block join over
+    runs (never a pair space), the star CC rounds are run-edge-list
+    shuffles, and survivorship is a two-stage partial-aggregating hash
+    groupBy with saturated components sub-blocked at {cap} members in
+    the first stage (see :func:`_er_survivorship`). The oracle rebuilds
+    the clusters from RECORD-level pairs with a recursive-CTE closure —
+    two algorithms AND two granularities, one answer, as in
+    [[dedup_clusters_star]].
     """.format(d=_ER_MAX_DIST, cap=_ER_CLUSTER_CAP)
     from waterbear_spark.operators.starcc import star_connected_components
 
-    pairs = _neighborhood_pairs(spark, sf_dir, _ER_MAX_DIST).select(
-        "key_a", "key_b"
-    )
-    labels = star_connected_components(pairs, src="key_a", dst="key_b")
     parts = table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_retailprice"
     )
-    members = parts.join(
-        labels, parts["p_partkey"] == labels["vertex"]
-    ).select("p_partkey", "p_name", "p_retailprice", "component")
+    runs = parts.groupBy("p_name").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("p_partkey").alias("rid")
+    )
+    # distributed rank of runs by name + record-rank boundaries: rank
+    # within the 1-char prefix group, then add broadcast per-prefix
+    # offsets (runs and records prefix-sum over the tiny prefix census)
+    g = F.substring("p_name", 1, 1)
+    pref = runs.groupBy(g.alias("g")).agg(
+        F.count(F.lit(1)).alias("nruns"), F.sum("cnt").alias("nrecs")
+    )
+    w_off = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)
+    offs = pref.select(
+        "g",
+        F.coalesce(F.sum("nruns").over(w_off), F.lit(0)).alias("runs_off"),
+        F.coalesce(F.sum("nrecs").over(w_off), F.lit(0)).alias("recs_off"),
+    )
+    w_in = Window.partitionBy("g").orderBy("p_name")
+    w_prev = w_in.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = (
+        runs.withColumn("g", g)
+        .withColumn("pos_in", F.row_number().over(w_in))
+        .withColumn("recs_before", F.coalesce(F.sum("cnt").over(w_prev), F.lit(0)))
+        .join(F.broadcast(offs), "g")
+        .select(
+            "p_name",
+            "cnt",
+            "rid",
+            (F.col("runs_off") + F.col("pos_in")).cast("long").alias("pos"),
+            (F.col("recs_off") + F.col("recs_before") + 1)
+            .cast("long")
+            .alias("first_rank"),
+            (F.col("recs_off") + F.col("recs_before") + F.col("cnt"))
+            .cast("long")
+            .alias("last_rank"),
+        )
+    )
+    blk = lambda c: F.floor((F.col(c) - 1) / _SN_WINDOW)  # noqa: E731
+    a = ranked.select(
+        F.col("rid").alias("rid_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("pos").alias("pos_a"),
+        F.col("last_rank").alias("lr_a"),
+        F.explode(F.array(blk("pos"), blk("pos") + 1)).alias("jblk"),
+    )
+    b = ranked.select(
+        F.col("rid").alias("rid_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("first_rank").alias("fr_b"),
+        blk("pos").alias("jblk"),
+    )
+    run_edges = (
+        a.join(b, "jblk")
+        .filter(
+            (F.col("pos_b") > F.col("pos_a"))
+            & (F.col("pos_b") <= F.col("pos_a") + _SN_WINDOW)
+            & (F.col("fr_b") - F.col("lr_a") <= _SN_WINDOW)
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b", _ER_MAX_DIST))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= _ER_MAX_DIST))
+        .select("rid_a", "rid_b")
+    )
+    labels = star_connected_components(run_edges, src="rid_a", dst="rid_b")
+    run_comp = (
+        ranked.join(labels, ranked["rid"] == labels["vertex"], "left")
+        .filter((F.col("cnt") >= 2) | F.col("component").isNotNull())
+        .select(
+            "p_name", F.coalesce("component", "rid").alias("component")
+        )
+    )
+    members = parts.join(run_comp, "p_name").select(
+        "p_partkey", "p_name", "p_retailprice", "component"
+    )
     return _er_survivorship(members).orderBy("cluster_id")
 
 
