@@ -127,6 +127,25 @@ HEAVY.update(
     }
 )
 
+# round-8: the vocabulary-relation family (the r7 verdict's ask — the
+# one LLM family with no 10x measurement; all five now join the
+# Heaps-law-unbounded vocab relation UNHINTED after the broadcast fix),
+# plus the new cross-doc span-removal manifest (digest-keyed shuffle +
+# per-doc islands — the dup_span_census shape with a join back)
+from waterbear_spark.queries import wave21, wave22, wave23, wave24, wave25  # noqa: E402
+
+HEAVY.update(
+    {
+        "perplexity_buckets": wave21.perplexity_buckets,
+        "doremi_mix_weights": wave24.doremi_mix_weights,
+        "unigram_entropy_by_source": wave23.unigram_entropy_by_source,
+        "token_coverage_curve": wave22.token_coverage_curve,
+        "tfidf_top_terms": textops.tfidf_top_terms,
+        "dup_span_removal_manifest": wave25.dup_span_removal_manifest,
+        "contamination_ngram_sweep": wave24.contamination_ngram_sweep,
+    }
+)
+
 
 def run_all(spark, sf_dir, iters=2):
     # min over iterations: the first pass pays one-off codegen and file

@@ -124,6 +124,19 @@ def measure_prefix(spark, sf_dir: str) -> list[dict]:
     return out
 
 
+def measure_golden(spark, sf_dir: str) -> dict:
+    """Wall time of the shipped er_golden_records (cold + warm) — the
+    round-8 contraction target metric."""
+    from waterbear_spark.queries.mining import er_golden_records
+
+    walls = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n = len(er_golden_records(spark, sf_dir).collect())
+        walls.append(round(time.perf_counter() - t0, 2))
+    return {"golden_records": n, "wall_cold_s": walls[0], "wall_warm_s": walls[1]}
+
+
 def main():
     spark = (
         SparkSession.builder.master(
@@ -145,6 +158,10 @@ def main():
         report[tag] = {
             "by_window": measure(spark, sf_dir),
             "by_prefix_len": measure_prefix(spark, sf_dir),
+            # the SHIPPED query end-to-end (round 8: exact-name run
+            # contraction means it no longer flows through the
+            # record-level pair path measured above)
+            "er_golden_end_to_end": measure_golden(spark, sf_dir),
         }
     print(json.dumps(report))
     spark.stop()

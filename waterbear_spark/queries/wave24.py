@@ -9,7 +9,7 @@
   over-flag common phrases, long widths miss paraphrases — this is the
   table that justifies the production width (GPT-3 used 13-grams, C4
   analyses 5-8). Per width: row-local distinct shingles, the tiny
-  benchmark side broadcast, one semi-join count — never a pair space.
+  benchmark side broadcast, one left-join census — never a pair space.
 * ``doremi_mix_weights`` — DoReMi-style domain reweighting (Xie et al.
   2023, arXiv:2305.10429) in its closed-form unigram proxy: per source,
   the mean unigram NLL under the corpus LM (micro-nat integer sums, the
