@@ -83,3 +83,26 @@ def test_short_docs_are_skipped(spark):
     texts = [_words("s", _MANIFEST_K - 1), _words("s", _MANIFEST_K - 1)]
     # identical but sub-window-length documents produce no windows at all
     assert _removal_manifest(_docs(spark, texts)).count() == 0
+
+
+def test_rewrite_splices_out_planted_span(spark, tmp_path):
+    from waterbear_spark.queries.wave25 import dup_span_rewrite
+
+    k = _MANIFEST_K
+    shared = _words("dup", k)
+    pre, post = _words("c", 4), _words("e", 3)
+    d0 = _words("a", 3) + " " + shared  # keeper
+    d1 = pre + " " + shared + " " + post  # victim
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _docs(spark, [d0, d1]).withColumn("text", F.col("text")).write.parquet(
+        str(sf / "documents.parquet")
+    )
+    got = dup_span_rewrite(spark, str(sf)).collect()
+    # only the victim is affected; its text is the planted span spliced out
+    assert len(got) == 1
+    r = got[0]
+    assert r["doc_id"] == 1
+    assert r["n_before"] == 4 + k + 3
+    assert r["n_after"] == 7
+    assert r["text_after"] == pre + " " + post

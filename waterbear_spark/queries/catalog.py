@@ -174,6 +174,7 @@ _PRIORITY = [
     # --- round 8 ---
     # new this round (certified same-commit at sf0.01+sf0.1):
     "dup_span_removal_manifest",
+    "dup_span_rewrite",
     # semantics/plan changed this round, so prior driver evidence
     # predates the change (all re-certified locally at sf0.01+sf0.1 in
     # the same commits): er_golden_records' survivorship now reduces to

@@ -18,9 +18,11 @@ dedup restricted to spans duplicated ACROSS documents:
   manifest reports each island as a 1-based token span
   ``[cut_start, cut_end]`` plus its token count.
 
-A downstream pass applies the manifest with one ``slice``-based rewrite
-per document; the keeper copy of every duplicated span survives, so no
-content is lost corpus-wide.
+``dup_span_rewrite`` is that downstream pass: it applies the manifest
+with one row-local indexed filter over each affected document's token
+array and emits the deduplicated text plus before/after token counts;
+the keeper copy of every duplicated span survives, so no content is
+lost corpus-wide.
 
 Scale: digesting is one transform over each token array (no explode
 before hashing); the only corpus-sized shuffles key on the 128-bit
@@ -112,8 +114,48 @@ def _removal_manifest(docs: DataFrame, k: int = _MANIFEST_K) -> DataFrame:
     )
 
 
-DUP_SPAN_REMOVAL_SQL = f"""
-WITH d AS (
+def dup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the removal manifest: for every document the manifest
+    touches, emit the deduplicated text with its cut islands spliced out
+    (keeper copies elsewhere in the corpus survive, so no content is
+    lost). Output: (doc_id, n_before, n_after, text_after) for affected
+    documents — the executable end of the measure
+    ([[dup_span_census]]) -> plan ([[dup_span_removal_manifest]]) ->
+    apply chain.
+
+    Scale: the manifest aggregates to a per-doc island array (bounded by
+    doc_len / k entries), joins back to the affected documents only, and
+    the splice is one row-local indexed ``filter`` over the token array —
+    no extra corpus shuffle beyond the manifest's own.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("t")
+    )
+    manifest = dup_span_removal_manifest(spark, sf_dir)
+    islands = manifest.groupBy("doc_id").agg(
+        F.collect_list(F.struct("cut_start", "cut_end")).alias("isl")
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — i is the 0-based token index
+        F.col("isl"),
+        lambda r: (r["cut_start"] <= i + 1) & (i + 1 <= r["cut_end"]),
+    )
+    return (
+        docs.join(islands, "doc_id")
+        .withColumn("kept", F.filter("t", lambda x, i: ~covered(i)))
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_before"),
+            F.size("kept").cast("long").alias("n_after"),
+            F.array_join("kept", " ").alias("text_after"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# shared CTE chain: tokenized docs -> window digests -> keeper census ->
+# cut windows -> islands -> the per-doc manifest (man)
+_MANIFEST_CTES = f"""
+d AS (
     SELECT doc_id, {TOKENS_SQL} AS t FROM documents
 ),
 wins AS (
@@ -143,21 +185,54 @@ isl AS (
            SUM(CASE WHEN pe IS NULL OR s > pe + 1 THEN 1 ELSE 0 END)
                OVER (PARTITION BY doc_id ORDER BY s) AS island
     FROM run
-)
-SELECT doc_id,
-       MIN(s) AS cut_start,
-       MAX(s) + {_MANIFEST_K - 1} AS cut_end,
-       MAX(s) + {_MANIFEST_K - 1} - MIN(s) + 1 AS cut_tokens
-FROM isl
-GROUP BY doc_id, island
+),
+man AS (
+    SELECT doc_id,
+           MIN(s) AS cut_start,
+           MAX(s) + {_MANIFEST_K - 1} AS cut_end,
+           MAX(s) + {_MANIFEST_K - 1} - MIN(s) + 1 AS cut_tokens
+    FROM isl
+    GROUP BY doc_id, island
+)"""
+
+DUP_SPAN_REMOVAL_SQL = f"""
+WITH {_MANIFEST_CTES}
+SELECT doc_id, cut_start, cut_end, cut_tokens
+FROM man
 ORDER BY doc_id, cut_start
+"""
+
+DUP_SPAN_REWRITE_SQL = f"""
+WITH {_MANIFEST_CTES},
+affected AS (SELECT DISTINCT doc_id FROM man),
+pos AS (
+    SELECT d.doc_id, generate_subscripts(d.t, 1) AS i, unnest(d.t) AS tok
+    FROM d JOIN affected USING (doc_id)
+),
+kept AS (
+    SELECT p.doc_id, p.i, p.tok
+    FROM pos p
+    WHERE NOT EXISTS (SELECT 1 FROM man m
+                      WHERE m.doc_id = p.doc_id
+                        AND p.i BETWEEN m.cut_start AND m.cut_end)
+)
+SELECT d.doc_id,
+       len(d.t) AS n_before,
+       COUNT(k.i) AS n_after,
+       COALESCE(string_agg(k.tok, ' ' ORDER BY k.i), '') AS text_after
+FROM d JOIN affected USING (doc_id)
+LEFT JOIN kept k ON k.doc_id = d.doc_id
+GROUP BY d.doc_id, len(d.t)
+ORDER BY d.doc_id
 """
 
 
 QUERIES = {
     "dup_span_removal_manifest": dup_span_removal_manifest,
+    "dup_span_rewrite": dup_span_rewrite,
 }
 
 ORACLES = {
     "dup_span_removal_manifest": DUP_SPAN_REMOVAL_SQL,
+    "dup_span_rewrite": DUP_SPAN_REWRITE_SQL,
 }
