@@ -175,6 +175,7 @@ _PRIORITY = [
     # new this round (certified same-commit at sf0.01+sf0.1):
     "dup_span_removal_manifest",
     "dup_span_rewrite",
+    "ann_ivfpq_adc_search",
     # semantics/plan changed this round, so prior driver evidence
     # predates the change (all re-certified locally at sf0.01+sf0.1 in
     # the same commits): er_golden_records' survivorship now reduces to

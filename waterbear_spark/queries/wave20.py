@@ -184,13 +184,18 @@ def pq_reconstruction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_sql() -> str:
+def _pq_ctes() -> tuple[list[str], list[str], list[str]]:
+    """The per-subspace PQ Lloyd chains as a reusable CTE list — shared
+    by the reconstruction-audit oracle and [[ann_ivfpq_adc_search]]'s.
+    Returns (ctes, final_assign_names, final_centroid_names): one
+    a{{m}}{{last}} (vec_id, v, code, score) and one c{{m}}{{last}}
+    (cluster, c) per subspace."""
     score = "list_dot_product(c.c, c.c) - 2 * list_dot_product(s.v, c.c)"
     ctes = [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         f"w AS (SELECT len(v) // {_PQ_M} AS w FROM e LIMIT 1)",
     ]
-    finals = []
+    assigns, cents = [], []
     for m in range(_PQ_M):
         ctes.append(
             f"s{m} AS (SELECT vec_id, v[1 + {m} * w.w : {m + 1} * w.w] AS v "
@@ -226,10 +231,18 @@ def _pq_sql() -> str:
 )"""
                 )
                 cent = nxt
-        finals.append(
-            f"SELECT {m} AS subspace, vec_id, code, "
-            f"score + list_dot_product(v, v) AS err FROM a{m}{_PQ_ITERS - 1}"
-        )
+        assigns.append(f"a{m}{_PQ_ITERS - 1}")
+        cents.append(cent)
+    return ctes, assigns, cents
+
+
+def _pq_sql() -> str:
+    ctes, assigns, _cents = _pq_ctes()
+    finals = [
+        f"SELECT {m} AS subspace, vec_id, code, "
+        f"score + list_dot_product(v, v) AS err FROM {assigns[m]}"
+        for m in range(_PQ_M)
+    ]
     joined = ",\n".join(ctes)
     union = "\n    UNION ALL\n    ".join(finals)
     return f"""
@@ -395,12 +408,199 @@ ORDER BY s.nprobe, s.query_id
 PROBE_SWEEP_SQL = _probe_sweep_sql()
 
 
+_ADC_NPROBE = 2  # cells visited per probe (the middle of the sweep's dial)
+_ADC_TOPK = 5
+_ADC_FP = 1_000_000  # micro-units: per-subspace distances quantized before
+# the cross-subspace sum so the 4-part total is an exact integer on both
+# engines (double += is order-sensitive; SUM order is not guaranteed)
+
+
+def ann_ivfpq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ asymmetric-distance (ADC) search — the QUERY path the
+    index family builds toward (Jégou et al. 2011 §III): for each of the
+    5 audit probes, visit the {np} nearest IVF cells of the SHIPPED
+    two-level index (``llm._ivf_index``), score every candidate by the
+    ADC approximation  d(q, v) ~= sum_m ||q_m - c_{{m, code_m(v)}}||^2
+    (one 128-bit-code lookup per subspace against a per-probe
+    M x K = {m} x {k} distance table — never the raw vectors), and
+    return the top {t} by (distance, vec_id).
+
+    Output: (query_id, rank, vec_id, adc_dist). Candidates touch only
+    PQ codes: the scoring join carries (vec_id, m, code) rows against a
+    broadcast 5 x M x K LUT, which is why IVF-PQ serves queries from
+    RAM at billion scale — the audit trio ([[pq_reconstruction_audit]],
+    [[ann_ivf_probe_sweep]], [[ann_recall_report]]) measures the dials
+    this query runs with.
+
+    Scale: the LUT is probe-side (5 x {m} x {k} rows); candidates are
+    nprobe bounded cells per probe (~2048 vectors each by the index's
+    cell-size target); the only corpus-sized relation is the code table
+    (M rows per vector), equi-joined on vec_id against the small
+    candidate set (AQE broadcasts the candidate side). Per-subspace
+    distances are quantized to micro-units BEFORE the cross-subspace
+    sum, so both engines add exact integers in any order.
+    """.format(np=_ADC_NPROBE, m=_PQ_M, k=_PQ_K, t=_ADC_TOPK)
+    from pyspark.sql import Window
+
+    from waterbear_spark.queries.llm import _ivf_index
+
+    dim = _embedding_dim(spark, sf_dir)
+    width = dim // _PQ_M
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cells, cent, _params = _ivf_index(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < _SWEEP_K).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+
+    # coarse: rank the shipped fine centroids per probe, visit nprobe
+    coarse_score = dot("c", "c") - 2 * dot("qv", "c")
+    w_rk = Window.partitionBy("query_id").orderBy("score", "cluster")
+    probe_cells = (
+        probes.crossJoin(F.broadcast(cent))
+        .select("query_id", "cluster", coarse_score.alias("score"))
+        .withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= _ADC_NPROBE)
+        .select("query_id", F.col("cluster").alias("cell"))
+    )
+    # PQ codes per (vector, subspace) + the driver-bounded codebooks
+    codes_parts, cb_rows = [], []
+    for m in range(_PQ_M):
+        sub = emb.select("vec_id", F.slice("v", 1 + m * width, width).alias("v"))
+        assigned, codebook = _kmeans(sub, _PQ_K, _PQ_ITERS)
+        codes_parts.append(
+            assigned.select(F.lit(m).alias("m"), "vec_id", "code")
+        )
+        cb_rows.extend((m, cid, codebook[cid]) for cid in sorted(codebook))
+    codes = reduce(lambda a, b: a.unionByName(b), codes_parts)
+    cb = spark.createDataFrame(cb_rows, "m int, code int, c array<double>")
+    # per-probe ADC lookup table: ||q_m - c||^2 in micro-units
+    qm = F.slice("qv", 1 + F.col("m") * width, width)
+    qc = F.aggregate(
+        F.zip_with(qm, F.col("c"), lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    qq = F.aggregate(
+        F.zip_with(qm, qm, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    part = dot("c", "c") - 2 * qc + qq
+    lut = probes.crossJoin(F.broadcast(cb)).select(
+        "query_id",
+        "m",
+        "code",
+        F.floor(part * _ADC_FP + F.lit(0.5)).cast("long").alias("part_fp"),
+    )
+    cand = (
+        cells.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("part_fp").alias("s_fp"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy("s_fp", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= _ADC_TOPK)
+        .select(
+            "query_id",
+            F.col("rank").cast("int"),
+            "vec_id",
+            F.round(F.col("s_fp") / F.lit(float(_ADC_FP)), 6).alias("adc_dist"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _adc_sql() -> str:
+    from waterbear_spark.queries.llm import _ivf_ctes
+
+    ivf_ctes, ivf_final, cent_final = _ivf_ctes()
+    pq_ctes, assigns, cents = _pq_ctes()
+    # the two chains share the identical `e` CTE — keep the IVF copy
+    seen = {c.split(" AS ", 1)[0].strip() for c in ivf_ctes}
+    merged = ivf_ctes + [
+        c for c in pq_ctes if c.split(" AS ", 1)[0].strip() not in seen
+    ]
+    codes_union = "\n    UNION ALL\n    ".join(
+        f"SELECT {m} AS m, vec_id, code FROM {assigns[m]}" for m in range(_PQ_M)
+    )
+    cbs_union = "\n    UNION ALL\n    ".join(
+        f"SELECT {m} AS m, cluster AS code, c FROM {cents[m]}" for m in range(_PQ_M)
+    )
+    qm = "q.qv[1 + cb.m * w.w : (cb.m + 1) * w.w]"
+    joined = ",\n".join(merged)
+    return f"""
+WITH {joined},
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_SWEEP_K}),
+coarse AS (
+    SELECT query_id, cluster AS cell FROM (
+        SELECT q.query_id, c.cluster,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_dot_product(c.c, c.c)
+                            - 2 * list_dot_product(q.qv, c.c), c.cluster
+               ) AS rk
+        FROM q CROSS JOIN {cent_final} c
+    ) WHERE rk <= {_ADC_NPROBE}
+),
+codes AS (
+    {codes_union}
+),
+cbs AS (
+    {cbs_union}
+),
+lut AS (
+    SELECT q.query_id, cb.m, cb.code,
+           CAST(FLOOR((list_dot_product(cb.c, cb.c)
+                       - 2 * list_dot_product({qm}, cb.c)
+                       + list_dot_product({qm}, {qm}))
+                      * {_ADC_FP} + 0.5) AS BIGINT) AS part_fp
+    FROM q CROSS JOIN cbs cb, w
+),
+cand AS (
+    SELECT p.query_id, a.vec_id
+    FROM coarse p
+    JOIN {ivf_final} a ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+scored AS (
+    SELECT c.query_id, c.vec_id, SUM(l.part_fp) AS s_fp
+    FROM cand c
+    JOIN codes k ON k.vec_id = c.vec_id
+    JOIN lut l ON l.query_id = c.query_id AND l.m = k.m AND l.code = k.code
+    GROUP BY c.query_id, c.vec_id
+)
+SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id,
+       ROUND(s_fp / {float(_ADC_FP)}, 6) AS adc_dist
+FROM (
+    SELECT query_id, vec_id, s_fp,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY s_fp, vec_id) AS rn
+    FROM scored
+) WHERE rn <= {_ADC_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+ADC_SEARCH_SQL = _adc_sql()
+
+
 QUERIES = {
     "pq_reconstruction_audit": pq_reconstruction_audit,
     "ann_ivf_probe_sweep": ann_ivf_probe_sweep,
+    "ann_ivfpq_adc_search": ann_ivfpq_adc_search,
 }
 
 ORACLES = {
     "pq_reconstruction_audit": PQ_AUDIT_SQL,
     "ann_ivf_probe_sweep": PROBE_SWEEP_SQL,
+    "ann_ivfpq_adc_search": ADC_SEARCH_SQL,
 }
