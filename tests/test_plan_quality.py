@@ -127,6 +127,9 @@ NESTED_LOOP_OK = {
     # 5-probe x K-centroid ranking grid and the (nprobe x probe) spine:
     # deliberate broadcast cross joins of bounded micro-relations
     "ann_ivf_probe_sweep",
+    # the same 5-probe x K-centroid coarse grid plus the 5 x (M x K)
+    # ADC lookup table: both sides bounded micro-relations
+    "ann_ivfpq_adc_search",
     # IVF coarse assignment: corpus scan x broadcast 1-row packed
     # centroid relation (k1 structs), argmin row-local — the r7
     # two-level quantizer's no-plan-literal assignment shape

@@ -82,10 +82,15 @@ def _kmeans(
     evaluated as (c.c - 2 v.c) + v.v so both engines share the
     parenthesization) and the final centroids.
     """
-    init = {
-        int(r["vec_id"]): list(r["v"])
-        for r in vecs.filter(F.col("vec_id") < k).collect()
-    }
+    # init = the k LOWEST vec_ids (TakeOrdered, bounded), cluster ids
+    # 0..k-1 in vec_id order — not ``vec_id < k``, which silently seeds
+    # nothing on sparse/non-contiguous ids (the llm._ivf_index round-8
+    # fix, applied to the PQ level in lockstep with its oracle CTE);
+    # identical on contiguous ids, where rank-1 == vec_id
+    seed_rows = sorted(
+        vecs.orderBy("vec_id").limit(k).collect(), key=lambda r: r["vec_id"]
+    )
+    init = {i: list(r["v"]) for i, r in enumerate(seed_rows)}
     if not init:
         # empty table: no centroids to seed — emit the output shape with
         # zero rows (same contract as llm._ivf_cells)
@@ -202,9 +207,15 @@ def _pq_ctes() -> tuple[list[str], list[str], list[str]]:
             "FROM e, w)"
         )
         cent = f"c{m}0"
+        # init mirrors the Spark side: the K lowest vec_ids, cluster ids
+        # 0..K-1 (row_number, not ``vec_id < K`` — sparse ids would seed
+        # nothing)
         ctes.append(
-            f"{cent} AS (SELECT vec_id AS cluster, v AS c FROM s{m} "
-            f"WHERE vec_id < {_PQ_K})"
+            f"""{cent} AS (
+    SELECT CAST(rn - 1 AS INTEGER) AS cluster, v AS c FROM (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM s{m}) z
+    WHERE z.rn <= {_PQ_K}
+)"""
         )
         for it in range(_PQ_ITERS):
             ctes.append(
