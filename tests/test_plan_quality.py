@@ -130,6 +130,12 @@ NESTED_LOOP_OK = {
     # the same 5-probe x K-centroid coarse grid plus the 5 x (M x K)
     # ADC lookup table: both sides bounded micro-relations
     "ann_ivfpq_adc_search",
+    # inherits the ADC chain's bounded grids; its own additions are
+    # equi-joins on the R-row shortlist
+    "ann_refine_rerank",
+    # brute-force audit: corpus scan x broadcast 5-probe relation (the
+    # same deliberate shape as embedding_topk's truth set)
+    "matryoshka_recall",
     # IVF coarse assignment: corpus scan x broadcast 1-row packed
     # centroid relation (k1 structs), argmin row-local — the r7
     # two-level quantizer's no-plan-literal assignment shape

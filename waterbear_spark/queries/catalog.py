@@ -49,6 +49,7 @@ from waterbear_spark.queries import (
     wave23,
     wave24,
     wave25,
+    wave26,
 )
 
 QUERIES = {
@@ -94,6 +95,7 @@ QUERIES = {
     **wave23.QUERIES,
     **wave24.QUERIES,
     **wave25.QUERIES,
+    **wave26.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface.
     # Everything else stays UDF-free by policy EXCEPT the documented
     # per-bucket BLAS family (embedding_knn_label, dedup_embedding_cosine,
@@ -145,6 +147,7 @@ ORACLE_SQL = {
     **wave23.ORACLES,
     **wave24.ORACLES,
     **wave25.ORACLES,
+    **wave26.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -176,6 +179,9 @@ _PRIORITY = [
     "dup_span_removal_manifest",
     "dup_span_rewrite",
     "ann_ivfpq_adc_search",
+    "ann_refine_rerank",
+    "matryoshka_recall",
+    "bloom_decontaminate",
     # semantics/plan changed this round, so prior driver evidence
     # predates the change (all re-certified locally at sf0.01+sf0.1 in
     # the same commits): er_golden_records' survivorship now reduces to

@@ -453,6 +453,32 @@ def ann_ivfpq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.format(np=_ADC_NPROBE, m=_PQ_M, k=_PQ_K, t=_ADC_TOPK)
     from pyspark.sql import Window
 
+    scored, _probes, _emb = _adc_scored(spark, sf_dir)
+    w_top = Window.partitionBy("query_id").orderBy("s_fp", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= _ADC_TOPK)
+        .select(
+            "query_id",
+            F.col("rank").cast("int"),
+            "vec_id",
+            F.round(F.col("s_fp") / F.lit(float(_ADC_FP)), 6).alias("adc_dist"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _adc_scored(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The ADC scoring core shared by [[ann_ivfpq_adc_search]] and the
+    two-stage [[ann_refine_rerank]] (wave 26): returns
+    ``(scored, probes, emb)`` where ``scored`` is the full per-candidate
+    ADC table ``(query_id, vec_id, s_fp)`` (micro-unit fixed point, NOT
+    yet top-k-truncated), ``probes`` is ``(query_id, qv)`` and ``emb``
+    is ``(vec_id, v)`` for refine stages that need raw vectors."""
+    from pyspark.sql import Window
+
     from waterbear_spark.queries.llm import _ivf_index
 
     dim = _embedding_dim(spark, sf_dir)
@@ -517,21 +543,14 @@ def ann_ivfpq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "vec_id")
         .agg(F.sum("part_fp").alias("s_fp"))
     )
-    w_top = Window.partitionBy("query_id").orderBy("s_fp", "vec_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w_top))
-        .filter(F.col("rank") <= _ADC_TOPK)
-        .select(
-            "query_id",
-            F.col("rank").cast("int"),
-            "vec_id",
-            F.round(F.col("s_fp") / F.lit(float(_ADC_FP)), 6).alias("adc_dist"),
-        )
-        .orderBy("query_id", "rank")
-    )
+    return scored, probes, emb
 
 
-def _adc_sql() -> str:
+def _adc_chain() -> str:
+    """The oracle CTE chain through ``scored`` (per-candidate ADC fixed-
+    point distances) — shared by [[ann_ivfpq_adc_search]]'s oracle and
+    wave 26's refine oracle. The chain also defines ``e`` (raw vectors)
+    and ``q`` (probes) for refine stages."""
     from waterbear_spark.queries.llm import _ivf_ctes
 
     ivf_ctes, ivf_final, cent_final = _ivf_ctes()
@@ -588,7 +607,12 @@ scored AS (
     JOIN codes k ON k.vec_id = c.vec_id
     JOIN lut l ON l.query_id = c.query_id AND l.m = k.m AND l.code = k.code
     GROUP BY c.query_id, c.vec_id
-)
+)"""
+
+
+def _adc_sql() -> str:
+    return f"""
+{_adc_chain()}
 SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id,
        ROUND(s_fp / {float(_ADC_FP)}, 6) AS adc_dist
 FROM (
