@@ -50,6 +50,7 @@ from waterbear_spark.queries import (
     wave24,
     wave25,
     wave26,
+    wave27,
 )
 
 QUERIES = {
@@ -96,10 +97,11 @@ QUERIES = {
     **wave24.QUERIES,
     **wave25.QUERIES,
     **wave26.QUERIES,
+    **wave27.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface.
     # Everything else stays UDF-free by policy EXCEPT the documented
     # per-bucket BLAS family (embedding_knn_label, dedup_embedding_cosine,
-    # semdedup_cells): bounded-bucket cosine scoring is the one shape where
+    # semdedup_cells, knn_hubness_audit): bounded-bucket cosine scoring is the one shape where
     # an Arrow-batched matmul beats Catalyst folds ~8-15x (see SCALE.md)
     **udfs.QUERIES,
 }
@@ -148,6 +150,7 @@ ORACLE_SQL = {
     **wave24.ORACLES,
     **wave25.ORACLES,
     **wave26.ORACLES,
+    **wave27.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -182,6 +185,9 @@ _PRIORITY = [
     "ann_refine_rerank",
     "matryoshka_recall",
     "bloom_decontaminate",
+    "novelty_profile_by_source",
+    "quota_sample_manifest",
+    "knn_hubness_audit",
     # semantics/plan changed this round, so prior driver evidence
     # predates the change (all re-certified locally at sf0.01+sf0.1 in
     # the same commits): er_golden_records' survivorship now reduces to
