@@ -51,6 +51,7 @@ from waterbear_spark.queries import (
     wave25,
     wave26,
     wave27,
+    wave28,
 )
 
 QUERIES = {
@@ -98,6 +99,7 @@ QUERIES = {
     **wave25.QUERIES,
     **wave26.QUERIES,
     **wave27.QUERIES,
+    **wave28.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface.
     # Everything else stays UDF-free by policy EXCEPT the documented
     # per-bucket BLAS family (embedding_knn_label, dedup_embedding_cosine,
@@ -151,6 +153,7 @@ ORACLE_SQL = {
     **wave25.ORACLES,
     **wave26.ORACLES,
     **wave27.ORACLES,
+    **wave28.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -188,6 +191,8 @@ _PRIORITY = [
     "novelty_profile_by_source",
     "quota_sample_manifest",
     "knn_hubness_audit",
+    "minhash_estimate_audit",
+    "dedup_threshold_sweep",
     # semantics/plan changed this round, so prior driver evidence
     # predates the change (all re-certified locally at sf0.01+sf0.1 in
     # the same commits): er_golden_records' survivorship now reduces to
