@@ -146,6 +146,24 @@ HEAVY.update(
     }
 )
 
+# round-8 waves 26-28: the two-stage refine (the corpus-sized stages are
+# the shared ADC chain; the refine join itself is probe-bounded), the
+# per-cell BLAS hubness histogram (the semdedup shape), the Bloom screen
+# (corpus-sized distinct + flag join), the first-occurrence novelty
+# census (vocabulary-keyed shuffle + join back), and the MinHash
+# estimator audit (candidate-proportional tail on the banded join)
+from waterbear_spark.queries import wave26, wave27, wave28  # noqa: E402
+
+HEAVY.update(
+    {
+        "ann_refine_rerank": wave26.ann_refine_rerank,
+        "bloom_decontaminate": wave26.bloom_decontaminate,
+        "knn_hubness_audit": wave27.knn_hubness_audit,
+        "novelty_profile_by_source": wave27.novelty_profile_by_source,
+        "minhash_estimate_audit": wave28.minhash_estimate_audit,
+    }
+)
+
 
 def run_all(spark, sf_dir, iters=2):
     # min over iterations: the first pass pays one-off codegen and file

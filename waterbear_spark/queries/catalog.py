@@ -188,11 +188,6 @@ _PRIORITY = [
     "ann_refine_rerank",
     "matryoshka_recall",
     "bloom_decontaminate",
-    "novelty_profile_by_source",
-    "quota_sample_manifest",
-    "knn_hubness_audit",
-    "minhash_estimate_audit",
-    "dedup_threshold_sweep",
     # semantics/plan changed this round, so prior driver evidence
     # predates the change (all re-certified locally at sf0.01+sf0.1 in
     # the same commits): er_golden_records' survivorship now reduces to
@@ -215,12 +210,21 @@ _PRIORITY = [
 # Queries introduced THIS round whose driver evidence can wait one
 # rotation: they sort as if verified in round _DEFER_ROUND so they
 # don't crowd older never-verified names out of the 50-slot window.
-# Round 7 adds no such queries — deferral REQUIRES committed
-# same-round local certification (see README "certification rule");
-# the r6 deferral shipped wave-21 with no evidence at all, which the
-# r6 verdict rightly flagged.
-_DEFER: set[str] = set()
-_DEFER_ROUND = 7
+# Deferral REQUIRES committed same-round local certification (see
+# README "certification rule"); the r6 deferral shipped wave-21 with
+# no evidence at all, which the r6 verdict rightly flagged. Round 8
+# defers the wave-27/28 five (same-commit sf0.01+sf0.1 certs in
+# CORRECTNESS_LOCAL_W27/W28) so the window keeps >= 40 slots for the
+# stalest r1-r3-verified rows — the r7 verdict's rotation ask — while
+# the wave-26 trio and the six semantics-changed queries stay pinned.
+_DEFER: set[str] = {
+    "novelty_profile_by_source",
+    "quota_sample_manifest",
+    "knn_hubness_audit",
+    "minhash_estimate_audit",
+    "dedup_threshold_sweep",
+}
+_DEFER_ROUND = 8
 
 
 def _last_verified_round() -> dict[str, int]:
