@@ -84,8 +84,14 @@ SHOWCASE = {
     "quality_gate_funnel": "five gates in one scan + one doc-keyed mode aggregate; attrition from a single 5-struct explode",
     "epoch_allocation": "|sources|-row allocation: two broadcast 1-row scalars, exact decimal floor-div waterfall",
     "embedding_quantization_audit": "per-dim scales (64-row broadcast) back onto the exploded components, one label aggregate",
-    "er_golden_records": "ER end-to-end (r7 tail): star-CC edges, saturation sub-block salt, survivorship as one partial-agg groupBy — no windows",
+    "er_golden_records": "ER end-to-end (r8): exact-name runs contracted before blocking, star-CC over run edges, two-stage partial-agg survivorship",
     "ivf_balance_audit": "index QA: occupancy groupBy on the shipped assignment, micro-relation rollup per coarse cell",
+    "ann_ivfpq_adc_search": "IVF-PQ serving (r8): candidates scored by code-table equi-joins against a broadcast per-probe LUT — raw vectors never touched",
+    "ann_refine_rerank": "two-stage refine (r8): ADC shortlist via rank window, raw vectors equi-joined for the R rows per probe only",
+    "bloom_decontaminate": "Bloom screen (r8): fixed 4096-position broadcast filter; per-shingle flags reattach through an unhinted vocab equi-join",
+    "knn_hubness_audit": "hubness audit (r8): one cell-key shuffle into a per-cell BLAS NN histogram (FlatMapGroupsInPandas) — edges never leave the worker",
+    "dup_span_removal_manifest": "substring-dedup manifest (r8): row-local window digests, digest-keyed census join, per-doc island windows",
+    "quota_sample_manifest": "domain caps (r8): rank filter directly on the window (WindowGroupLimit bounds per-source state at N), census joined back",
 }
 
 

@@ -136,6 +136,9 @@ NESTED_LOOP_OK = {
     # brute-force audit: corpus scan x broadcast 5-probe relation (the
     # same deliberate shape as embedding_topk's truth set)
     "matryoshka_recall",
+    # inherits the ADC chain's bounded grids plus the same brute-truth
+    # corpus x 5-probe broadcast pass
+    "ann_refine_recall",
     # IVF coarse assignment: corpus scan x broadcast 1-row packed
     # centroid relation (k1 structs), argmin row-local — the r7
     # two-level quantizer's no-plan-literal assignment shape
@@ -143,6 +146,8 @@ NESTED_LOOP_OK = {
     "semdedup_cells",
     # audits the same index -> inherits the packed-centroid cross join
     "ivf_balance_audit",
+    # NN histogram over the same index -> inherits the same cross join
+    "knn_hubness_audit",
     # 1-row corpus-total scalar against the shared-prefix relation
     "boilerplate_prefix_census",
     # per-width census assembly: three 1-row aggregates joined per row

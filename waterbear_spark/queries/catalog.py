@@ -52,6 +52,7 @@ from waterbear_spark.queries import (
     wave26,
     wave27,
     wave28,
+    wave29,
 )
 
 QUERIES = {
@@ -100,6 +101,7 @@ QUERIES = {
     **wave26.QUERIES,
     **wave27.QUERIES,
     **wave28.QUERIES,
+    **wave29.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface.
     # Everything else stays UDF-free by policy EXCEPT the documented
     # per-bucket BLAS family (embedding_knn_label, dedup_embedding_cosine,
@@ -154,6 +156,7 @@ ORACLE_SQL = {
     **wave26.ORACLES,
     **wave27.ORACLES,
     **wave28.ORACLES,
+    **wave29.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -213,16 +216,19 @@ _PRIORITY = [
 # Deferral REQUIRES committed same-round local certification (see
 # README "certification rule"); the r6 deferral shipped wave-21 with
 # no evidence at all, which the r6 verdict rightly flagged. Round 8
-# defers the wave-27/28 five (same-commit sf0.01+sf0.1 certs in
-# CORRECTNESS_LOCAL_W27/W28) so the window keeps >= 40 slots for the
-# stalest r1-r3-verified rows — the r7 verdict's rotation ask — while
-# the wave-26 trio and the six semantics-changed queries stay pinned.
+# defers the wave-27/28/29 seven (same-commit sf0.01+sf0.1 certs in
+# CORRECTNESS_LOCAL_W27/W28/W29) so the window keeps >= 38 slots for
+# the stalest r1-r3-verified rows — the r7 verdict's rotation ask —
+# while the wave-26 trio and the six semantics-changed queries stay
+# pinned.
 _DEFER: set[str] = {
     "novelty_profile_by_source",
     "quota_sample_manifest",
     "knn_hubness_audit",
     "minhash_estimate_audit",
     "dedup_threshold_sweep",
+    "ann_refine_recall",
+    "embedding_anisotropy_audit",
 }
 _DEFER_ROUND = 8
 
