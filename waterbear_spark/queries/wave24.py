@@ -52,15 +52,20 @@ def contamination_ngram_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parts = []
     for n in _SWEEP_NS:
-        # no persist: the only relation worth caching is the full train-side
-        # shingle explosion, which at corpus scale would never fit executor
-        # storage memory — instead the train side is scanned exactly ONCE
-        # per width (the left join below yields train_docs AND
-        # contaminated_docs from the same pass), and the 10-doc benchmark
-        # side is recomputed where reused (trivial).
+        # persist: the materialization barrier the shingle explode needs —
+        # without it the array_distinct(shingles) expression re-evaluates
+        # under Generate (decontaminate_overlap's measured finding; this
+        # sweep benched 50 s -> ~3 s at sf0.1 once re-persisted). What is
+        # cached is the (doc_id, arr) SHINGLE-SET frame, not the explosion;
+        # at 100 TB it spills to disk-backed storage like any hot relation.
+        # The r7->r8 interim dropped these persists to fix the never-
+        # unpersisted leak the round-7 advice flagged; the quadratic
+        # re-evaluation is the worse trade, so the persists return (a lazy
+        # builder has no post-materialization unpersist hook — long-lived
+        # sessions reclaim via clearCache, which bench.py issues per pass).
         shingled = docs.filter(F.size("toks") >= n).select(
             "doc_id", F.array_distinct(_shingles(F.col("toks"), n)).alias("arr")
-        )
+        ).persist()
         bench = (
             shingled.filter(F.col("doc_id") < _BENCH_DOCS)
             .select(F.explode("arr").alias("s"))

@@ -288,9 +288,13 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", _tokens(F.col("text")).alias("toks"))
         .filter(F.size("toks") >= 3)  # _shingles requires >= k tokens
     )
+    # persist = the anti-Generate-re-evaluation barrier (see
+    # decontaminate_overlap); three subtrees consume the shingle sets
+    # (bench filter, train explode, final flag join) — benched ~15x
+    # faster persisted at sf0.1
     sh = docs.select(
         "doc_id", "source", F.array_distinct(_shingles(F.col("toks"))).alias("arr")
-    )
+    ).persist()
     bench = (
         sh.filter(F.col("doc_id") < 10)
         .select(F.explode("arr").alias("s"))

@@ -72,11 +72,15 @@ def novelty_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", _tokens(F.col("text")).alias("toks"))
         .filter(F.size("toks") >= 3)
     )
+    # persist = the materialization barrier every shingle-exploding query
+    # needs (decontaminate_overlap's measured finding): without it the
+    # array_distinct(shingles) expression re-evaluates under Generate and
+    # the per-doc cost goes quadratic — benched 26 s -> 1.75 s at sf0.1
     sh = docs.select(
         "doc_id",
         "source",
         F.array_distinct(_shingles(F.col("toks"))).alias("arr"),
-    )
+    ).persist()
     ex = sh.select(
         "doc_id", "source", F.size("arr").alias("n_sh"), F.explode("arr").alias("s")
     )
