@@ -23,7 +23,9 @@
 
 Scale: the sweep scans the train-side shingle relation once per width
 (a left join against the broadcast 10-doc benchmark side yields the doc
-census and the contamination count in the same pass — nothing persists);
+census and the contamination count in the same pass; the shingle-SET
+frame is persisted per width as the Generate materialization barrier —
+see the in-function note);
 the mix weights pre-aggregate to a vocabulary-sized (source, token)
 relation and equi-join it UNHINTED against the NLL table (Heaps'-law
 unbounded, so never force-broadcast) + a |sources|-row closed form.

@@ -392,10 +392,10 @@ flags AS (
 )
 SELECT t.source,
        COUNT(*) AS probed,
-       SUM(CASE WHEN f.bloom THEN 1 ELSE 0 END) AS bloom_pos,
-       SUM(CASE WHEN f.exact THEN 1 ELSE 0 END) AS exact_pos,
-       SUM(CASE WHEN f.bloom THEN 1 ELSE 0 END)
-           - SUM(CASE WHEN f.exact THEN 1 ELSE 0 END) AS false_pos,
+       CAST(SUM(CASE WHEN f.bloom THEN 1 ELSE 0 END) AS BIGINT) AS bloom_pos,
+       CAST(SUM(CASE WHEN f.exact THEN 1 ELSE 0 END) AS BIGINT) AS exact_pos,
+       CAST(SUM(CASE WHEN f.bloom THEN 1 ELSE 0 END)
+            - SUM(CASE WHEN f.exact THEN 1 ELSE 0 END) AS BIGINT) AS false_pos,
        ROUND((SUM(CASE WHEN f.bloom THEN 1 ELSE 0 END)
               - SUM(CASE WHEN f.exact THEN 1 ELSE 0 END))
              / GREATEST(COUNT(*) - SUM(CASE WHEN f.exact THEN 1 ELSE 0 END),

@@ -209,8 +209,8 @@ census AS (
 SELECT c.source, c.n_docs,
        COALESCE(k.kept, 0) AS kept,
        c.n_docs - COALESCE(k.kept, 0) AS cut,
-       COALESCE(k.kept_chars, 0) AS kept_chars,
-       c.total_chars - COALESCE(k.kept_chars, 0) AS cut_chars
+       CAST(COALESCE(k.kept_chars, 0) AS BIGINT) AS kept_chars,
+       CAST(c.total_chars - COALESCE(k.kept_chars, 0) AS BIGINT) AS cut_chars
 FROM census c LEFT JOIN kept k USING (source)
 ORDER BY c.source
 """

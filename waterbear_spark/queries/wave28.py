@@ -224,7 +224,8 @@ jac AS (
     FROM pairs
 ),
 spine AS (
-    SELECT UNNEST([{", ".join(str(t) for t in _SWEEP_TAUS)}]) AS threshold
+    SELECT CAST(UNNEST([{", ".join(str(t) for t in _SWEEP_TAUS)}]) AS DOUBLE)
+        AS threshold
 ),
 ex AS (
     SELECT s.threshold, j.doc_a, j.doc_b
