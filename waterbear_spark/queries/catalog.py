@@ -183,31 +183,29 @@ assert set(ORACLE_SQL) <= set(QUERIES), "oracle without query"
 # CORRECTNESS_LOCAL.json (scripts/check_oracle.py, full catalog) remains
 # the per-round local certification on top.
 _PRIORITY = [
-    # --- round 8 ---
-    # new this round (certified same-commit at sf0.01+sf0.1):
-    "dup_span_removal_manifest",
-    "dup_span_rewrite",
-    "ann_ivfpq_adc_search",
-    "ann_refine_rerank",
-    "matryoshka_recall",
-    "bloom_decontaminate",
-    # semantics/plan changed this round, so prior driver evidence
-    # predates the change (all re-certified locally at sf0.01+sf0.1 in
-    # the same commits): er_golden_records' survivorship now reduces to
-    # ONE golden record per component (the r7 sub-block split is gone);
-    # frequent_triples' oracle swapped to the per-basket enumeration;
-    # the vocabulary-relation family dropped its forced broadcasts and
-    # pre-aggregates the token stream; contamination_ngram_sweep moved
-    # to a single-pass left join:
-    "er_golden_records",
-    "frequent_triples",
-    "perplexity_buckets",
-    "doremi_mix_weights",
-    "tfidf_top_terms",
-    "contamination_ngram_sweep",
-    # the 7-slot head leaves 43 window slots for the stalest
-    # previously-verified rows (the r7 verdict's rotation ask: >=40
-    # r1-r3-verified rows refreshed in the r8 window)
+    # --- round 9 ---
+    # the wave-27/28/29 seven, deferred one rotation in r8 per the
+    # documented policy (same-commit local certs in
+    # CORRECTNESS_LOCAL_W27/W28/W29): this is their driver rotation —
+    # the r8 verdict's #1 ask (309/309 cumulative driver evidence)
+    "ann_refine_recall",
+    "dedup_threshold_sweep",
+    "embedding_anisotropy_audit",
+    "knn_hubness_audit",
+    "minhash_estimate_audit",
+    "novelty_profile_by_source",
+    "quota_sample_manifest",
+    # plan changed this round (hashes locally re-certified at
+    # sf0.01+sf0.1+sf1 in the same commit): lm_quality_score and
+    # rake_keywords now pre-aggregate the exploded token / phrase
+    # relation before the vocabulary join (the r8 verdict's two >3.5x
+    # 10x-scaling outliers — now 1.56x and 0.95x)
+    "lm_quality_score",
+    "rake_keywords",
+    # the 9-slot head leaves 41 window slots for the stalest
+    # previously-verified rows (all 26 r2 rows + 15 of the 48 r3 rows),
+    # bringing the stale r1-r3 pool from 74 to 33 (<= 40 per the r8
+    # verdict's rotation ask)
 ]
 
 # Queries introduced THIS round whose driver evidence can wait one
@@ -215,22 +213,11 @@ _PRIORITY = [
 # don't crowd older never-verified names out of the 50-slot window.
 # Deferral REQUIRES committed same-round local certification (see
 # README "certification rule"); the r6 deferral shipped wave-21 with
-# no evidence at all, which the r6 verdict rightly flagged. Round 8
-# defers the wave-27/28/29 seven (same-commit sf0.01+sf0.1 certs in
-# CORRECTNESS_LOCAL_W27/W28/W29) so the window keeps >= 38 slots for
-# the stalest r1-r3-verified rows — the r7 verdict's rotation ask —
-# while the wave-26 trio and the six semantics-changed queries stay
-# pinned.
-_DEFER: set[str] = {
-    "novelty_profile_by_source",
-    "quota_sample_manifest",
-    "knn_hubness_audit",
-    "minhash_estimate_audit",
-    "dedup_threshold_sweep",
-    "ann_refine_recall",
-    "embedding_anisotropy_audit",
-}
-_DEFER_ROUND = 8
+# no evidence at all, which the r6 verdict rightly flagged. Round 9
+# defers nothing so far: the r8 deferral (the wave-27/28/29 seven)
+# is exactly this round's _PRIORITY head, completing their rotation.
+_DEFER: set[str] = set()
+_DEFER_ROUND = 9
 
 
 def _last_verified_round() -> dict[str, int]:

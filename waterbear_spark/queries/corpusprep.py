@@ -166,16 +166,26 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines) and one final division. Ranking ties break by
     doc_id.
 
-    Scale: two shuffles — the vocabulary aggregate (token domain, heavily
-    combinable map-side) and the token->logprob equi-join back to the
-    exploded corpus (at 100 TB the vocab side is MBs: broadcast). No
-    pair space, no Python.
+    Scale: the exploded token stream is pre-aggregated to distinct
+    ``(doc_id, t, n)`` BEFORE anything joins it — the logprob join then
+    carries each (doc, token) pair once instead of at full occurrence
+    multiplicity, which is what kept the 10x-data ratio superlinear when
+    repetition grows with corpus size. The vocabulary aggregate derives
+    from the same pre-aggregated relation (sum of n, combinable
+    map-side), and the vocab side of the join is MBs at any scale so AQE
+    demotes it to broadcast. The per-doc sum is exact integer arithmetic
+    either way (sum over occurrences == sum of n * lp_micro), so hashes
+    are unchanged. No pair space, no Python.
     """
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", _tokens(F.col("text")).alias("toks")
     )
-    tok = docs.select("doc_id", F.explode("toks").alias("t"))
-    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    tok_cnt = (
+        docs.select("doc_id", F.explode("toks").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = tok_cnt.groupBy("t").agg(F.sum("n").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     logp = vocab.crossJoin(F.broadcast(total)).select(
         "t",
@@ -187,11 +197,11 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lp_micro"),
     )
     scored = (
-        tok.join(logp, "t")
+        tok_cnt.join(logp, "t")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("lp_micro").alias("lp_sum"),
+            F.sum("n").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("lp_micro")).alias("lp_sum"),
         )
         .select(
             "doc_id",

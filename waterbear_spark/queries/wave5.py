@@ -240,9 +240,12 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine determinism: word scores are one IEEE division rounded
     into exact decimal, so the phrase sum is order-free; both engines
     run the byte-identical regex pipeline (lowercase -> punctuation and
-    stopwords to '|' -> split). Scale: two shuffles — word-stat
-    aggregate (vocabulary-sized) broadcast back onto the exploded
-    phrase-word relation, then the phrase aggregate; top-k via
+    stopwords to '|' -> split). Scale: the ONLY occurrence-multiplied
+    shuffle is the distinct-phrase aggregate (map-side combinable);
+    word stats derive from the distinct-phrase relation weighted by
+    n_occurrences (freq = sum n, degree = sum n*plen — identical values
+    by commutativity, so hashes are unchanged), so the word explode and
+    the score join-back both run over distinct phrases only. Top-k via
     TakeOrdered, no global sort.
     """.format(k=_RAKE_TOPK, m=_RAKE_MAX_PHRASE)
     docs = table(spark, sf_dir, "documents")
@@ -261,28 +264,29 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("phrase", F.split("phrase", " ").alias("words"))
         .filter(F.size("words").between(2, _RAKE_MAX_PHRASE))
     )
-    phrases = phrases.persist()
-    pw = phrases.select(
-        "phrase", F.size("words").alias("plen"), F.explode("words").alias("word")
+    # collapse to DISTINCT phrases first: the occurrence-multiplied
+    # stream crosses exactly one (combinable) shuffle, and everything
+    # downstream — word stats, word explode, score join-back — runs on
+    # the distinct-phrase relation weighted by n_occurrences
+    dist = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.max(F.size("words")).alias("n_words"),
+    ).persist()
+    dw = dist.select(
+        "phrase",
+        "n_occurrences",
+        "n_words",
+        F.explode(F.split("phrase", " ")).alias("word"),
     )
-    wstats = pw.groupBy("word").agg(
-        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("degree")
+    wstats = dw.groupBy("word").agg(
+        F.sum("n_occurrences").alias("freq"),
+        F.sum(F.col("n_occurrences") * F.col("n_words")).alias("degree"),
     )
     wscore = wstats.select(
         "word",
         F.round(F.col("degree").cast("double") / F.col("freq"), 6)
         .cast(DEC)
         .alias("wscore"),
-    )
-    # score each DISTINCT phrase once (occurrence multiplicity lives in
-    # n_occurrences) so the phrase score is a plain decimal sum — no
-    # engine-dependent decimal division
-    dist = phrases.groupBy("phrase").agg(
-        F.count(F.lit(1)).alias("n_occurrences"),
-        F.max(F.size("words")).alias("n_words"),
-    )
-    dw = dist.select(
-        "phrase", F.explode(F.split("phrase", " ")).alias("word")
     )
     return (
         dw.join(wscore, "word")
