@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""SemDeDup cell-occupancy proof (verdict r8 ask #4).
+
+``semdedup_cells`` (wave17.py) argues its scalability from a DESIGN
+bound: the IVF quantizer targets ``_IVF_TARGET_CELL`` (2048) vectors per
+cell, so per-cell pair work is <= 2048^2 and total FLOPs are
+O(n * 2048) — linear in the corpus. The r8 scaling bench measured a
+5.16x wall ratio at 10x data, which is superlinear ONLY if cells
+overfill; if instead the sf0.1 cells are UNDER-full (the 8-cell floor
+binds below ~16k vectors), per-vector work legitimately grows until
+cells saturate at the target, after which scaling is linear.
+
+This script turns that argument into a measurement. Per scale
+(sf0.1, sf1) it reports:
+
+* the quantizer's design parameters (kneed, k1, k2, train cap);
+* the REALIZED occupancy distribution of the shipped ``_ivf_cells``
+  assignment — max / p99 / mean cell size vs the 2048 design bound;
+* the pair-FLOP census ``sum(n_c^2)`` and its per-vector quotient —
+  the quantity the wall clock actually follows;
+* the predicted sf1/sf0.1 wall ratio from the FLOP model next to the
+  measured ``semdedup_cells`` walls (min of 2 runs, warm JVM).
+
+Interpretation contract: the bound HOLDS if max occupancy stays within
+a small constant of the 2048 target at both scales (k-means balance is
+approximate, not exact) and the FLOP-model ratio explains the measured
+wall ratio to within noise. Saturation math: cells saturate once
+n >= 8 * 2048 = 16384 vectors, i.e. between sf0.1 (2k) and sf1 (20k) —
+so the sf1/sf0.1 window is exactly the pre-saturation knee and is
+EXPECTED superlinear; sf1 -> sf10 and beyond is the linear regime.
+
+Prints one JSON line; committed as SEMDEDUP_OCCUPANCY_r{N}.json,
+findings recorded in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from waterbear_spark.queries import wave17
+from waterbear_spark.queries.llm import (
+    _IVF_TARGET_CELL,
+    _ivf_cells,
+    _ivf_k12,
+    _ivf_kneed,
+    _ivf_train_cap,
+)
+from waterbear_spark.queries.tables import table
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF1 = os.path.join(REPO, "localdata", "sf1")
+
+
+def occupancy(spark, sf_dir):
+    n = table(spark, sf_dir, "embeddings").count()
+    k1, k2 = _ivf_k12(n)
+    sizes = (
+        _ivf_cells(spark, sf_dir)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    stats = sizes.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("sz").alias("max_sz"),
+        F.expr("percentile(sz, 0.99)").alias("p99_sz"),
+        F.round(F.avg("sz"), 1).alias("mean_sz"),
+        F.sum(F.col("sz") * F.col("sz")).alias("pair_flops"),
+    ).collect()[0]
+    return {
+        "n_vectors": n,
+        "design": {
+            "kneed": _ivf_kneed(n),
+            "k1": k1,
+            "k2": k2,
+            "target_cell": _IVF_TARGET_CELL,
+            "train_cap": _ivf_train_cap(n),
+        },
+        "n_cells": stats["n_cells"],
+        "max_cell": stats["max_sz"],
+        "p99_cell": float(stats["p99_sz"]),
+        "mean_cell": float(stats["mean_sz"]),
+        "pair_flops": int(stats["pair_flops"]),
+        "flops_per_vector": round(stats["pair_flops"] / n, 1),
+    }
+
+
+def wall(spark, sf_dir):
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        wave17.semdedup_cells(spark, sf_dir).collect()
+        runs.append(round(time.time() - t0, 3))
+    return min(runs)
+
+
+def main():
+    if not os.path.isdir(SF1):
+        sys.exit("localdata/sf1 missing - run scripts/make_sf1.py first")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("semdedup-occupancy")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+
+    small, big = occupancy(spark, SF01), occupancy(spark, SF1)
+    w_small, w_big = wall(spark, SF01), wall(spark, SF1)
+    out = {
+        "metric": "semdedup_cell_occupancy",
+        "target_cell_bound": _IVF_TARGET_CELL,
+        "sf0.1": {**small, "semdedup_wall_s": w_small},
+        "sf1": {**big, "semdedup_wall_s": w_big},
+        "flop_model_ratio": round(big["pair_flops"] / small["pair_flops"], 2),
+        "wall_ratio": round(w_big / w_small, 2),
+        "bound_holds": {
+            "sf0.1": small["max_cell"] <= 2 * _IVF_TARGET_CELL,
+            "sf1": big["max_cell"] <= 2 * _IVF_TARGET_CELL,
+        },
+        "saturation_n": 8 * _IVF_TARGET_CELL,
+        "note": (
+            "sf0.1 (n<16384) is below cell saturation, so per-vector "
+            "FLOPs legitimately grow until cells reach the 2048 target; "
+            "the linear O(n*2048) regime starts at n>=16384"
+        ),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
