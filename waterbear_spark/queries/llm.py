@@ -584,16 +584,26 @@ ORDER BY doc_id
 # similarity search
 # ---------------------------------------------------------------------------
 
+_DIM_MEMO: dict = {}
+
+
 def _embedding_dim(spark: SparkSession, sf_dir: str) -> int:
-    """Vector width (driver-side metadata lookup, one 1-row job). An
+    """Vector width (driver-side metadata lookup, one 1-row job,
+    memoised per application + corpus — ~a dozen queries ask). An
     empty table yields a 1-dim placeholder: every consumer's row-local
     math stays well-formed and produces zero rows either way."""
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    hit = _DIM_MEMO.get(key)
+    if hit is not None:
+        return hit
     row = (
         table(spark, sf_dir, "embeddings")
         .select(F.size("embedding").alias("d"))
         .first()
     )
-    return row["d"] if row is not None else 1
+    dim = row["d"] if row is not None else 1
+    _DIM_MEMO[key] = dim
+    return dim
 
 
 def _dot_expr(a: str, b: str, dim: int) -> Column:
@@ -939,11 +949,54 @@ def _ivf_index(
     (the full vector relation + the coarse assignment) are unpersisted
     once the final (cells, centroids) relations are materialised — a
     long-lived session holds only the two small output relations.
+
+    Across sessions the index is STAGED as a table
+    (``sources/ann_index.py``, round 9): the first build writes
+    (cells, centroids) as parquet under ``spark-warehouse/ann_index``
+    keyed by a corpus fingerprint + every quantizer dial, and later
+    sessions serve queries from the staged relations — the production
+    shape (indexes are shipped, not rebuilt per query). Staleness or a
+    knob change invalidates the stage; ``SPARK_GRAFT_ANN_REBUILD=1``
+    forces the from-scratch path (the bench/cert twin). Staged reads
+    stay continuously certified because the DuckDB oracles re-derive
+    the index from scratch on every check.
     """
+    from waterbear_spark.sources import ann_index as _store
+
     memo_key = (spark.sparkContext.applicationId, str(sf_dir))
     hit = _IVF_MEMO.get(memo_key)
     if hit is not None:
         return hit
+    fp = _store.corpus_fingerprint(spark, sf_dir)
+    n = fp["n"]
+    k1, k2 = _ivf_k12(n)
+    cap = _ivf_train_cap(n)
+    params = {"n": n, "k1": k1, "k2": k2, "cap": cap}
+    if n == 0:
+        # empty table: emit the output shapes with zero rows instead of
+        # building untyped empty aggregates
+        empty = table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        out = (
+            empty.select("vec_id", F.lit(None).cast("int").alias("cell")),
+            spark.createDataFrame([], "cluster int, c array<double>"),
+            params,
+        )
+        _IVF_MEMO[memo_key] = out
+        return out
+    stage_dir = _store.component_dir(sf_dir, "ivf")
+    stage_meta = {**fp, "k1": k1, "k2": k2, "cap": cap, "iters": _IVF_ITERS}
+    staged = _store.staged_read(spark, stage_dir, stage_meta)
+    if staged is not None:
+        cells = staged["cells"].persist()
+        centroids = staged["centroids"].persist()
+        cells.count()
+        centroids.count()
+        out = (cells, centroids, params)
+        _IVF_MEMO[memo_key] = out
+        return out
     emb = (
         table(spark, sf_dir, "embeddings")
         .select(
@@ -951,21 +1004,7 @@ def _ivf_index(
         )
         .persist()
     )
-    n = emb.count()  # also materializes the persisted cache
-    k1, k2 = _ivf_k12(n)
-    cap = _ivf_train_cap(n)
-    params = {"n": n, "k1": k1, "k2": k2, "cap": cap}
-    if n == 0:
-        # empty table: emit the output shapes with zero rows instead of
-        # building untyped empty aggregates
-        emb.unpersist()
-        out = (
-            emb.select("vec_id", F.lit(None).cast("int").alias("cell")),
-            spark.createDataFrame([], "cluster int, c array<double>"),
-            params,
-        )
-        _IVF_MEMO[memo_key] = out
-        return out
+    emb.count()  # materializes the persisted cache
     samp = emb.filter(F.col("vec_id") < cap)
 
     # level-1 init: the k1 LOWEST sample vec_ids via row_number (not
@@ -1023,6 +1062,9 @@ def _ivf_index(
     centroids.count()
     ac.unpersist()
     emb.unpersist()
+    _store.staged_write(
+        spark, stage_dir, {"cells": cells, "centroids": centroids}, stage_meta
+    )
     out = (cells, centroids, params)
     _IVF_MEMO[memo_key] = out
     return out

@@ -1,0 +1,129 @@
+"""Staged ANN index store: ship the IVF(+PQ) index as a table, not a
+per-query rebuild.
+
+At production scale an ANN index is BUILT once (a batch job over the
+corpus) and SERVED many times (query paths read the staged cells /
+centroids / PQ codes from storage) — rebuilding a billion-vector
+quantizer inside every search query would be absurd. This module gives
+the repo that shape: small parquet relations under
+``spark-warehouse/ann_index/<corpus slug>/<component>/`` plus a
+``meta.json`` staleness contract, written atomically (tmp dir + rename)
+so concurrent sessions never observe a half-staged index.
+
+Staleness contract: the staged component carries the corpus fingerprint
+(row count, max and sum of ``vec_id`` — one column-pruned aggregate
+over the embeddings table) and every quantizer dial (k1/k2/cap for IVF,
+M/K/iters for PQ). A reader presents the meta it EXPECTS; any mismatch
+— data changed, knobs changed — reads as "absent" and triggers a
+rebuild-and-restage. Forcing a from-scratch build (the certification /
+bench twin) is ``SPARK_GRAFT_ANN_REBUILD=1``.
+
+Correctness is continuously certified, not assumed: the DuckDB oracles
+for the IVF/PQ query family re-derive the index from scratch on every
+check, so a staged index only hash-matches if it is bit-identical to a
+fresh build — which it is, because the build recipe is deterministic
+(see ``llm._ivf_index``) and parquet round-trips int/double exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_FP_MEMO: dict = {}
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def store_root() -> str:
+    """Root of the staged-index store (env-overridable for tests)."""
+    return os.environ.get(
+        "SPARK_GRAFT_ANN_INDEX_DIR",
+        os.path.join(_REPO, "spark-warehouse", "ann_index"),
+    )
+
+
+def component_dir(sf_dir: str, component: str) -> str:
+    slug = "".join(c if c.isalnum() or c in "._-" else "_" for c in str(sf_dir))
+    return os.path.join(store_root(), slug, component)
+
+
+def corpus_fingerprint(spark: SparkSession, sf_dir: str) -> dict:
+    """(n, max_vec_id, sum_vec_id) of the embeddings table — one
+    column-pruned aggregate, memoised per (application, corpus)."""
+    from waterbear_spark.queries.tables import table
+
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    hit = _FP_MEMO.get(key)
+    if hit is not None:
+        return hit
+    row = (
+        table(spark, sf_dir, "embeddings")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("vec_id").alias("mx"),
+            F.sum("vec_id").alias("sm"),
+        )
+        .collect()[0]
+    )
+    fp = {
+        "n": int(row["n"]),
+        "max_vec_id": None if row["mx"] is None else int(row["mx"]),
+        "sum_vec_id": None if row["sm"] is None else int(row["sm"]),
+    }
+    _FP_MEMO[key] = fp
+    return fp
+
+
+def staged_read(
+    spark: SparkSession, path: str, expect_meta: dict
+) -> dict[str, DataFrame] | None:
+    """Load a staged component iff its meta matches ``expect_meta``
+    exactly; None (-> caller rebuilds) on absence or any mismatch."""
+    if os.environ.get("SPARK_GRAFT_ANN_REBUILD") == "1":
+        return None
+    meta_path = os.path.join(path, "meta.json")
+    try:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    frames = meta.get("frames")
+    if meta.get("meta") != expect_meta or not frames:
+        return None
+    out = {}
+    for name in frames:
+        sub = os.path.join(path, name)
+        if not os.path.isdir(sub):
+            return None
+        out[name] = spark.read.parquet(sub)
+    return out
+
+
+def staged_write(
+    spark: SparkSession, path: str, frames: dict[str, DataFrame], meta: dict
+) -> None:
+    """Atomically (re)stage a component: write every frame plus
+    meta.json into a tmp sibling, then rename onto ``path``. A
+    concurrent winner's directory is left in place (it passed the same
+    deterministic build); failures leave no debris."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    try:
+        for name, df in frames.items():
+            df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+        with open(os.path.join(tmp, "meta.json"), "w") as fh:
+            json.dump({"meta": meta, "frames": sorted(frames)}, fh)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
