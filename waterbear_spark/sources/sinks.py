@@ -203,6 +203,31 @@ def compact_files(
     return n_files
 
 
+class CheckViolationError(ValueError):
+    """A write/merge produced rows violating a table CHECK constraint —
+    the Delta behavior (InvariantViolationException): the transaction
+    fails and the table is left untouched."""
+
+
+def _enforce_checks(df: DataFrame, checks: dict[str, str], action: str) -> None:
+    """Delta CHECK-constraint parity: every row the transaction WRITES
+    must satisfy every constraint (NULL predicate results count as
+    violations, matching Delta, where CHECK (expr) requires expr to be
+    TRUE for accepted rows). Raises :class:`CheckViolationError` naming
+    the first violated constraint and a violation count; callers invoke
+    this BEFORE any table mutation so a failed check leaves the target
+    byte-identical (Delta's transactionality)."""
+    for name, expr in checks.items():
+        bad = df.filter(~F.coalesce(F.expr(expr), F.lit(False)))
+        n = bad.limit(1001).count()
+        if n:
+            raise CheckViolationError(
+                f"{action}: CHECK constraint `{name}` ({expr}) violated by "
+                f"{'>1000' if n > 1000 else n} written row(s) — transaction "
+                "aborted, target unchanged (Delta invariant semantics)"
+            )
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,
@@ -211,6 +236,7 @@ def merge_upsert(
     fmt: str | None = None,
     delete_condition: str | None = None,
     merge_schema: bool = False,
+    check_constraints: dict[str, str] | None = None,
 ) -> DataFrame:
     """MERGE ``updates`` into the table at ``target_path``: matched keys
     are replaced, unmatched keys are inserted, and — when
@@ -232,7 +258,13 @@ def merge_upsert(
     * ``merge_schema=True`` allows the batch to ADD columns (old rows
       read NULL for them — Delta's ``mergeSchema`` autoMerge); without
       it a schema change raises, as Delta does;
-    * a delete of a key absent from the target is a no-op.
+    * a delete of a key absent from the target is a no-op;
+    * ``check_constraints`` ({name: SQL predicate}) replays Delta table
+      CHECK constraints: every row the merge WRITES (updates + inserts
+      — the post-image; deletes and untouched rows are exempt) must
+      satisfy every predicate, NULL counting as a violation, else
+      :class:`CheckViolationError` aborts BEFORE any mutation and the
+      target stays byte-identical.
     """
     fmt = fmt or ("delta" if HAS_DELTA else "parquet")
 
@@ -249,6 +281,13 @@ def merge_upsert(
         )
 
     if fmt == "delta" and HAS_DELTA:  # pragma: no cover - delta not in env
+        if check_constraints:
+            post = updates
+            if delete_condition is not None:
+                post = updates.filter(
+                    ~F.coalesce(F.expr(delete_condition), F.lit(False))
+                )
+            _enforce_checks(post, check_constraints, "merge_upsert")
         if merge_schema:
             spark.conf.set(
                 "spark.databricks.delta.schema.autoMerge.enabled", "true"
@@ -283,6 +322,8 @@ def merge_upsert(
             f"merge_upsert: update batch adds columns {new_cols} — pass "
             "merge_schema=True to evolve the table (Delta mergeSchema)"
         )
+    if check_constraints:
+        _enforce_checks(upserts, check_constraints, "merge_upsert")
     kept = target.join(updates.select(*keys), on=keys, how="left_anti")
     merged = kept.unionByName(upserts, allowMissingColumns=merge_schema)
 
@@ -407,3 +448,81 @@ def overwrite_partitions(
         .partitionBy(*partition_cols)
         .parquet(target_path)
     )
+
+
+def replace_where(
+    spark: SparkSession,
+    target_path: str,
+    df: DataFrame,
+    predicate: str,
+    fmt: str | None = None,
+    check_constraint_enabled: bool = True,
+) -> DataFrame:
+    """Delta ``replaceWhere`` on an arbitrary predicate: atomically
+    delete every target row matching ``predicate`` and insert ``df`` —
+    the declarative "replace this REGION of the table" overwrite
+    (backfill a date range, restate one source, rebuild one tenant)
+    that, unlike :func:`overwrite_partitions`, is not limited to hive
+    partition boundaries (Delta supports arbitrary-column replaceWhere
+    since 1.1).
+
+    Contract pinned to Delta semantics:
+
+    * rows where the predicate evaluates NULL are KEPT (delete takes
+      only predicate-TRUE rows);
+    * with ``check_constraint_enabled`` (Delta's
+      ``replaceWhere.constraintCheck.enabled``, default true) the write
+      RAISES if ``df`` contains any row that does NOT satisfy the
+      predicate — replacing a region with out-of-region rows is almost
+      always a bug; pass False to replicate Delta's opt-out;
+    * an empty ``df`` is a pure region delete;
+    * a predicate matching nothing is a pure insert (``df`` must still
+      satisfy it);
+    * the constraint check runs BEFORE any mutation, so a failed write
+      leaves the target byte-identical;
+    * ``df`` must match the target schema exactly — replaceWhere is not
+      a schema-evolution path (Delta: overwriteSchema is a separate,
+      whole-table opt-in).
+
+    Parquet fallback scale shape: one predicate-filtered scan of the
+    target (at 100 TB, partition/file pruning applies when the
+    predicate covers layout columns) + the staged-swap write; with
+    Delta it becomes a metadata-level file replacement.
+    """
+    fmt = fmt or ("delta" if HAS_DELTA else "parquet")
+
+    if check_constraint_enabled:
+        _enforce_checks(
+            df, {"replaceWhere": predicate}, "replace_where"
+        )
+
+    if fmt == "delta" and HAS_DELTA:  # pragma: no cover - delta not in env
+        (
+            df.write.format("delta")
+            .mode("overwrite")
+            .option("replaceWhere", predicate)
+            .option(
+                "spark.databricks.delta.replaceWhere.constraintCheck.enabled",
+                str(check_constraint_enabled).lower(),
+            )
+            .save(target_path)
+        )
+        return spark.read.format("delta").load(target_path)
+
+    target = spark.read.format(fmt).load(target_path)
+    if set(df.columns) != set(target.columns):
+        raise ValueError(
+            f"replace_where: frame columns {sorted(df.columns)} != table "
+            f"columns {sorted(target.columns)} — replaceWhere does not "
+            "evolve schemas"
+        )
+    kept = target.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+    merged = kept.unionByName(df)
+
+    staging = f"{target_path}__staging_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").format(fmt).save(staging)
+    backup = f"{target_path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(target_path, backup)
+    os.rename(staging, target_path)
+    shutil.rmtree(backup)
+    return spark.read.format(fmt).load(target_path)
