@@ -161,6 +161,10 @@ NESTED_LOOP_OK = {
     "class_balance_weights",
     # 1-row corpus-token-total scalar onto the vocabulary relation
     "perplexity_buckets",
+    # ntile boundaries: one broadcast array row against the scored docs
+    # (same operator as quantile_normalize_lengths / decile_lift_table),
+    # plus the 1-row token-total scalar on the 4-row phase relation
+    "curriculum_schedule",
 }
 
 

@@ -53,6 +53,7 @@ from waterbear_spark.queries import (
     wave27,
     wave28,
     wave29,
+    wave30,
 )
 
 QUERIES = {
@@ -102,6 +103,7 @@ QUERIES = {
     **wave27.QUERIES,
     **wave28.QUERIES,
     **wave29.QUERIES,
+    **wave30.QUERIES,
     # pandas_* queries intentionally exercise the Arrow/pandas UDF surface.
     # Everything else stays UDF-free by policy EXCEPT the documented
     # per-bucket BLAS family (embedding_knn_label, dedup_embedding_cosine,
@@ -157,6 +159,7 @@ ORACLE_SQL = {
     **wave27.ORACLES,
     **wave28.ORACLES,
     **wave29.ORACLES,
+    **wave30.ORACLES,
     **udfs.ORACLES,
 }
 
@@ -214,9 +217,16 @@ _PRIORITY = [
 # Deferral REQUIRES committed same-round local certification (see
 # README "certification rule"); the r6 deferral shipped wave-21 with
 # no evidence at all, which the r6 verdict rightly flagged. Round 9
-# defers nothing so far: the r8 deferral (the wave-27/28/29 seven)
-# is exactly this round's _PRIORITY head, completing their rotation.
-_DEFER: set[str] = set()
+# defers the wave-30 four (same-commit sf0.01+sf0.1+sf1 certs in
+# CORRECTNESS_LOCAL_WAVE30) so the window keeps its 41 slots for the
+# stale r1-r3 pool while the wave-27/28/29 seven complete their own
+# rotation in the _PRIORITY head.
+_DEFER: set[str] = {
+    "ann_index_manifest",
+    "near_dup_degree_census",
+    "curriculum_schedule",
+    "embedding_covariance",
+}
 _DEFER_ROUND = 9
 
 
