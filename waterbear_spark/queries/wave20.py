@@ -51,7 +51,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from waterbear_spark.queries.llm import _embedding_dim
+from waterbear_spark.queries.llm import _embedding_dim, _fold_dot
 from waterbear_spark.queries.tables import DEC, table
 
 _PQ_M = 4  # subspaces
@@ -151,26 +151,39 @@ def _kmeans(
 
 def pq_reconstruction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(subspace, code) PQ occupancy + mean squared reconstruction
-    error — see module docstring."""
+    error — see module docstring.
+
+    Round 9: the audit serves from the shared staged/memoised PQ
+    component (``_pq_codes``) instead of re-running the M per-subspace
+    Lloyd loops, and re-derives each vector's squared error from its
+    assigned centroid with the exact ``(c.c - 2 v.c) + v.v``
+    parenthesization the build used — the centroid self-product is now
+    a sequential JVM fold instead of a driver-Python fold, which is the
+    same IEEE operation sequence, so every err (and hence every MSE) is
+    bit-identical to the from-scratch build and the oracle."""
     dim = _embedding_dim(spark, sf_dir)
     width = dim // _PQ_M
-    emb = (
-        table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-        )
-        .persist()
+    codes, cb = _pq_codes(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    parts = []
-    for m in range(_PQ_M):
-        sub = emb.select("vec_id", F.slice("v", 1 + m * width, width).alias("v"))
-        assigned, _ = _kmeans(sub, _PQ_K, _PQ_ITERS)
-        parts.append(
-            assigned.select(
-                F.lit(m).alias("subspace"), "vec_id", "code", "err"
-            )
-        )
-    allm = reduce(lambda a, b: a.unionByName(b), parts)
+    sub = codes.join(emb, "vec_id").select(
+        F.col("m").alias("subspace"),
+        "vec_id",
+        "code",
+        F.slice("v", 1 + F.col("m") * width, width).alias("sv"),
+    )
+    cent = cb.select(
+        F.col("m").alias("subspace"), F.col("code"), F.col("c")
+    )
+    allm = sub.join(F.broadcast(cent), ["subspace", "code"]).select(
+        "subspace",
+        "vec_id",
+        "code",
+        ((_fold_dot("c", "c") - 2 * _fold_dot("sv", "c")) + _fold_dot("sv", "sv")).alias(
+            "err"
+        ),
+    )
     return (
         allm.groupBy("subspace", "code")
         .agg(
