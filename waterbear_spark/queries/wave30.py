@@ -61,6 +61,7 @@ from waterbear_spark.queries.llm import (
     SHINGLES_SQL,
     TOKENS_SQL,
     _embedding_dim,
+    _fan_out,
     _ivf_ctes,
     _ivf_index,
     _shingles,
@@ -135,13 +136,14 @@ def near_dup_degree_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-degree histogram of the LSH band graph — see module
     docstring. Output: (degree, n_docs) over every shingled document,
     degree 0 included, ordered by degree."""
-    sets = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", _tokens(F.col("text")).alias("toks"))
-        .filter(F.size("toks") >= 3)
-        .select(
-            "doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("arr")
-        )
+    docs = _fan_out(
+        spark,
+        table(spark, sf_dir, "documents").select(
+            "doc_id", _tokens(F.col("text")).alias("toks")
+        ),
+    )
+    sets = docs.filter(F.size("toks") >= 3).select(
+        "doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("arr")
     )
 
     def seeded_md5(seed: int):
