@@ -205,9 +205,18 @@ _PRIORITY = [
     # 10x-scaling outliers — now 1.56x and 0.95x)
     "lm_quality_score",
     "rake_keywords",
-    # the 9-slot head leaves 41 window slots for the stalest
-    # previously-verified rows (all 26 r2 rows + 15 of the 48 r3 rows),
-    # bringing the stale r1-r3 pool from 74 to 33 (<= 40 per the r8
+    # PQ training moved to the bounded vec_id < 16384 sample (the IVF
+    # precedent; CORRECTNESS_LOCAL_PQ9, 15/15 at three scales). At the
+    # driver's sf0.01 the sample is the corpus so values are unchanged
+    # by construction, but the recipe changed — pin for fresh evidence
+    # (ann_refine_recall is already above; ann_index_manifest is in the
+    # wave-30 deferral):
+    "pq_reconstruction_audit",
+    "ann_ivfpq_adc_search",
+    "ann_refine_rerank",
+    # the 12-slot head leaves 38 window slots for the stalest
+    # previously-verified rows (all 26 r2 rows + 12 of the 48 r3 rows),
+    # bringing the stale r1-r3 pool from 74 to 36 (<= 40 per the r8
     # verdict's rotation ask)
 ]
 

@@ -28,13 +28,16 @@
   probe's own cell) into the cost/recall DIAL a production deployment
   actually tunes; same brute-force truth set ([[embedding_topk]]).
 
-Scale: PQ training is M bounded driver loops (each iteration one scan
-scoring against K broadcast literals + a (code, dim)-keyed decimal
-mean, K x width tiny); the audit output is M*K rows. The probe sweep
-adds only a (5 probes x K cells) ranking grid and equi-joins candidate
-cells back to the one-scan assignment — probe-side work, never a pair
-space. At 100 TB both train on a sample and assign full-corpus in one
-pass, the standard IVF-PQ build shape.
+Scale: PQ training is M bounded driver loops whose update passes (r9)
+touch only the ``vec_id < _PQ_TRAIN_CAP`` sample — each iteration one
+SAMPLE scan scoring against K broadcast literals + a (code, dim)-keyed
+decimal mean, K x width tiny — and the full corpus is scanned exactly
+once per subspace, for the final assignment; the audit output is M*K
+rows. The probe sweep adds only a (5 probes x K cells) ranking grid
+and equi-joins candidate cells back to the one-scan assignment —
+probe-side work, never a pair space. Train-on-sample +
+assign-full-corpus-once is the standard IVF-PQ build shape, and it is
+now the implemented one, not an aspiration.
 
 Float determinism: every dot product is a sequential left fold (the
 IEEE order of DuckDB's ``list_dot_product``), centroid means are exact
@@ -57,6 +60,14 @@ from waterbear_spark.queries.tables import DEC, table
 _PQ_M = 4  # subspaces
 _PQ_K = 8  # codes per subspace codebook (a bits dial — never scales with n)
 _PQ_ITERS = 3  # assignment passes; centroid updates run ITERS-1 times
+# codebook-training sample bound (round 9, the IVF precedent): centroid
+# updates touch only the deterministic ``vec_id < _PQ_TRAIN_CAP`` prefix
+# (== llm's _IVF_TRAIN_FLOOR), so training cost stops scaling with the
+# corpus while the one full-corpus pass per subspace is the assignment.
+# Below the cap (sf0.01/sf0.1) the sample IS the corpus — hashes
+# unchanged; at/above it (sf1: 20k vectors) both engines derive the
+# same sample-trained codebooks through the mirrored t{m} CTEs.
+_PQ_TRAIN_CAP = 16384
 
 _SWEEP_NPROBE = (1, 2, 4)
 _SWEEP_K = 5  # probe count and truth depth (matches embedding_topk)
@@ -70,7 +81,7 @@ def _vv(col: str) -> Column:
 
 
 def _kmeans(
-    vecs: DataFrame, k: int, iters: int
+    vecs: DataFrame, k: int, iters: int, train: DataFrame | None = None
 ) -> tuple[DataFrame, dict[int, list[float]]]:
     """Deterministic Lloyd k-means over a (vec_id, v double[]) frame:
     init = vectors 0..k-1, ``iters`` assignment passes, decimal-exact
@@ -81,14 +92,24 @@ def _kmeans(
     (vec_id, code, err = squared distance to the chosen centroid,
     evaluated as (c.c - 2 v.c) + v.v so both engines share the
     parenthesization) and the final centroids.
+
+    ``train`` (round 9, the IVF precedent applied to PQ): when given,
+    the seed rows and the ``iters - 1`` centroid-update passes touch
+    ONLY the train frame; the full ``vecs`` relation is scanned exactly
+    once, for the final assignment. With ``train=None`` (or a train
+    frame covering all of ``vecs``) the result is bit-identical to the
+    all-corpus recipe — same seed rows, same update inputs, same pass
+    count — so small corpora certify unchanged while huge ones stop
+    paying ``(iters - 1) * M`` full scans for codebook training.
     """
-    # init = the k LOWEST vec_ids (TakeOrdered, bounded), cluster ids
-    # 0..k-1 in vec_id order — not ``vec_id < k``, which silently seeds
-    # nothing on sparse/non-contiguous ids (the llm._ivf_index round-8
-    # fix, applied to the PQ level in lockstep with its oracle CTE);
-    # identical on contiguous ids, where rank-1 == vec_id
+    train = vecs if train is None else train
+    # init = the k LOWEST train vec_ids (TakeOrdered, bounded), cluster
+    # ids 0..k-1 in vec_id order — not ``vec_id < k``, which silently
+    # seeds nothing on sparse/non-contiguous ids (the llm._ivf_index
+    # round-8 fix, applied to the PQ level in lockstep with its oracle
+    # CTE); identical on contiguous ids, where rank-1 == vec_id
     seed_rows = sorted(
-        vecs.orderBy("vec_id").limit(k).collect(), key=lambda r: r["vec_id"]
+        train.orderBy("vec_id").limit(k).collect(), key=lambda r: r["vec_id"]
     )
     init = {i: list(r["v"]) for i, r in enumerate(seed_rows)}
     if not init:
@@ -102,7 +123,7 @@ def _kmeans(
         )
         return empty, {}
 
-    def assign(centroids: dict[int, list[float]]) -> DataFrame:
+    def assign(target: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
         cids = sorted(centroids)
         scores = []
         for cid in cids:
@@ -116,7 +137,7 @@ def _kmeans(
             scores.append(F.lit(cc) - 2 * dot)
         arr = F.array(*scores)
         idx = F.array_position(arr, F.array_min(arr)).cast("int")  # 1-based
-        return vecs.select(
+        return target.select(
             "vec_id",
             "v",
             F.element_at(F.array(*[F.lit(c) for c in cids]), idx).alias("code"),
@@ -124,13 +145,10 @@ def _kmeans(
         )
 
     centroids = init
-    assigned = None
-    for it in range(iters):
-        assigned = assign(centroids)
-        if it == iters - 1:
-            break
+    for _ in range(iters - 1):
         stats = (
-            assigned.select("code", F.posexplode("v").alias("dim", "val"))
+            assign(train, centroids)
+            .select("code", F.posexplode("v").alias("dim", "val"))
             .groupBy("code", "dim")
             .agg(
                 F.sum(F.col("val").cast(DEC)).alias("s"),
@@ -146,7 +164,7 @@ def _kmeans(
         centroids = {
             cid: [dims[d] for d in sorted(dims)] for cid, dims in centroids.items()
         }
-    return assigned, centroids
+    return assign(vecs, centroids), centroids
 
 
 def pq_reconstruction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,7 +225,10 @@ def _pq_ctes() -> tuple[list[str], list[str], list[str]]:
     by the reconstruction-audit oracle and [[ann_ivfpq_adc_search]]'s.
     Returns (ctes, final_assign_names, final_centroid_names): one
     a{{m}}{{last}} (vec_id, v, code, score) and one c{{m}}{{last}}
-    (cluster, c) per subspace."""
+    (cluster, c) per subspace. Round 9: training (seeds + the
+    ``ITERS - 1`` update passes) runs over the ``t{{m}}`` sample
+    (``vec_id < _PQ_TRAIN_CAP``, mirroring the Spark build); only the
+    final assignment scans the full ``s{{m}}`` relation."""
     score = "list_dot_product(c.c, c.c) - 2 * list_dot_product(s.v, c.c)"
     ctes = [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
@@ -219,25 +240,29 @@ def _pq_ctes() -> tuple[list[str], list[str], list[str]]:
             f"s{m} AS (SELECT vec_id, v[1 + {m} * w.w : {m + 1} * w.w] AS v "
             "FROM e, w)"
         )
+        ctes.append(
+            f"t{m} AS (SELECT * FROM s{m} WHERE vec_id < {_PQ_TRAIN_CAP})"
+        )
         cent = f"c{m}0"
-        # init mirrors the Spark side: the K lowest vec_ids, cluster ids
-        # 0..K-1 (row_number, not ``vec_id < K`` — sparse ids would seed
-        # nothing)
+        # init mirrors the Spark side: the K lowest TRAIN vec_ids,
+        # cluster ids 0..K-1 (row_number, not ``vec_id < K`` — sparse
+        # ids would seed nothing)
         ctes.append(
             f"""{cent} AS (
     SELECT CAST(rn - 1 AS INTEGER) AS cluster, v AS c FROM (
-        SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM s{m}) z
+        SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM t{m}) z
     WHERE z.rn <= {_PQ_K}
 )"""
         )
         for it in range(_PQ_ITERS):
+            src = f"s{m}" if it == _PQ_ITERS - 1 else f"t{m}"
             ctes.append(
                 f"""a{m}{it} AS (
     SELECT vec_id, v, code, score FROM (
         SELECT s.vec_id, s.v, c.cluster AS code, {score} AS score,
                ROW_NUMBER() OVER (PARTITION BY s.vec_id
                                   ORDER BY {score}, c.cluster) AS rn
-        FROM s{m} s CROSS JOIN {cent} c
+        FROM {src} s CROSS JOIN {cent} c
     ) WHERE rn = 1
 )"""
             )
@@ -508,7 +533,14 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     width = dim // _PQ_M
     fp = _store.corpus_fingerprint(spark, sf_dir)
     stage_dir = _store.component_dir(sf_dir, "pq")
-    stage_meta = {**fp, "m": _PQ_M, "k": _PQ_K, "iters": _PQ_ITERS, "dim": dim}
+    stage_meta = {
+        **fp,
+        "m": _PQ_M,
+        "k": _PQ_K,
+        "iters": _PQ_ITERS,
+        "dim": dim,
+        "train_cap": _PQ_TRAIN_CAP,
+    }
     staged = None if fp["n"] == 0 else _store.staged_read(spark, stage_dir, stage_meta)
     if staged is not None:
         codes = staged["codes"].persist()
@@ -524,7 +556,9 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     codes_parts, cb_rows = [], []
     for m in range(_PQ_M):
         sub = emb.select("vec_id", F.slice("v", 1 + m * width, width).alias("v"))
-        assigned, codebook = _kmeans(sub, _PQ_K, _PQ_ITERS)
+        assigned, codebook = _kmeans(
+            sub, _PQ_K, _PQ_ITERS, train=sub.filter(F.col("vec_id") < _PQ_TRAIN_CAP)
+        )
         codes_parts.append(assigned.select(F.lit(m).alias("m"), "vec_id", "code"))
         cb_rows.extend((m, cid, codebook[cid]) for cid in sorted(codebook))
     codes = reduce(lambda a, b: a.unionByName(b), codes_parts).persist()
