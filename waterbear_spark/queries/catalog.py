@@ -214,10 +214,11 @@ _PRIORITY = [
     "pq_reconstruction_audit",
     "ann_ivfpq_adc_search",
     "ann_refine_rerank",
-    # the 12-slot head leaves 38 window slots for the stalest
-    # previously-verified rows (all 26 r2 rows + 12 of the 48 r3 rows),
-    # bringing the stale r1-r3 pool from 74 to 36 (<= 40 per the r8
-    # verdict's rotation ask)
+    # the 12-slot head + the 8 never-driver-verified rows (the
+    # wave-27/28/29 seven plus approx_distinct's rows-only slot) leave
+    # 37 window slots for the stalest previously-verified rows (all 26
+    # r2 rows + 11 of the 48 r3 rows), bringing the stale r1-r3 pool
+    # from 74 to 37 (<= 40 per the r8 verdict's rotation ask)
 ]
 
 # Queries introduced THIS round whose driver evidence can wait one
