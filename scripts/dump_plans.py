@@ -91,7 +91,7 @@ SHOWCASE = {
     "ann_index_manifest": "staged-index census (r9): four bounded aggregates over the staged/memoised components — the corpus is scanned only by the first-ever build",
     "near_dup_degree_census": "LSH pre-flight (r9): the dedup pipeline's own band equi-join, distinct-partner count, bounded degree histogram",
     "curriculum_schedule": "curriculum manifest (r9): in-row stopword score, distributed exact NTILE, closing windows on the 4-row phase relation",
-    "embedding_covariance": "one-pass covariance (r9): row-local outer-product explode into d(d+1)/2 map-side-combinable cells — no joins, one shuffle",
+    "embedding_covariance": "one-pass covariance (r9): flat row-local product explode into d(d+1)/2 map-side-combinable cells; (i,j) decode + dim sums are broadcast micro-relations joined after the aggregate",
     "bloom_decontaminate": "Bloom screen (r8): fixed 4096-position broadcast filter; per-shingle flags reattach through an unhinted vocab equi-join",
     "knn_hubness_audit": "hubness audit (r8): one cell-key shuffle into a per-cell BLAS NN histogram (FlatMapGroupsInPandas) — edges never leave the worker",
     "dup_span_removal_manifest": "substring-dedup manifest (r8): row-local window digests, digest-keyed census join, per-doc island windows",
