@@ -77,22 +77,51 @@ def test_restage_replaces_and_leaves_no_debris(spark, tmp_path, monkeypatch):
     assert store.staged_read(spark, path, {"n": 1, "rev": 1}) is None
     got = store.staged_read(spark, path, {"n": 1, "rev": 2})
     assert _fp_rows(got["cells"]) == [(1, 5)]
-    # no tmp siblings survive
+    # no tmp or renamed-aside siblings survive (the restage swap renames
+    # the old component aside rather than rmtree-ing it in place, so the
+    # path is never observed absent — but the aside copy must be reaped)
     parent = os.path.dirname(path)
-    assert [d for d in os.listdir(parent) if ".tmp-" in d] == []
+    assert [d for d in os.listdir(parent) if ".tmp-" in d or ".old-" in d] == []
 
 
 def test_corpus_fingerprint_matches_sql(spark):
     fp = store.corpus_fingerprint(spark, SF_SMOKE)
     emb = spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
     row = emb.agg(
-        F.count(F.lit(1)), F.max("vec_id"), F.sum("vec_id")
+        F.count(F.lit(1)),
+        F.min("vec_id"),
+        F.max("vec_id"),
+        F.sum("vec_id"),
+        F.expr("bit_xor(xxhash64(vec_id, embedding))"),
     ).collect()[0]
-    assert (fp["n"], fp["max_vec_id"], fp["sum_vec_id"]) == (
-        row[0],
-        row[1],
-        row[2],
+    assert (
+        fp["n"],
+        fp["min_vec_id"],
+        fp["max_vec_id"],
+        fp["sum_vec_id"],
+        fp["content_hash"],
+    ) == tuple(row)
+
+
+def test_fingerprint_sees_value_changes_under_same_ids(spark, tmp_path):
+    """Regenerating embedding VALUES with unchanged vec_ids must change
+    the fingerprint (the advisor's round-9 staleness gap): id-shape
+    fields (n/min/max/sum) agree, the content hash must not."""
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    rows_a = [(i, [float(i), 1.0]) for i in range(5)]
+    rows_b = [(i, [float(i), 2.0]) for i in range(5)]
+    schema = "vec_id long, embedding array<float>"
+    spark.createDataFrame(rows_a, schema).write.parquet(
+        os.path.join(a_dir, "embeddings.parquet")
     )
+    spark.createDataFrame(rows_b, schema).write.parquet(
+        os.path.join(b_dir, "embeddings.parquet")
+    )
+    fa = store.corpus_fingerprint(spark, a_dir)
+    fb = store.corpus_fingerprint(spark, b_dir)
+    for k in ("n", "min_vec_id", "max_vec_id", "sum_vec_id"):
+        assert fa[k] == fb[k]
+    assert fa["content_hash"] != fb["content_hash"]
 
 
 def test_staged_ivf_equals_fresh_build(spark, tmp_path, monkeypatch):

@@ -1005,7 +1005,15 @@ def _ivf_index(
         .persist()
     )
     emb.count()  # materializes the persisted cache
-    samp = emb.filter(F.col("vec_id") < cap)
+    # sparse-id guard (r10, in lockstep with wave20._pq_codes): an
+    # all-ids-above-cap corpus has an empty training prefix — train on
+    # the full relation instead of seeding nothing. min_vec_id rides
+    # the fingerprint (no extra job); the oracle's s CTE mirrors this
+    # with a NOT EXISTS branch.
+    if fp["min_vec_id"] is not None and fp["min_vec_id"] < cap:
+        samp = emb.filter(F.col("vec_id") < cap)
+    else:
+        samp = emb
 
     # level-1 init: the k1 LOWEST sample vec_ids via row_number (not
     # ``vec_id < k1``, which silently seeds nothing — and so assigns NULL
@@ -1024,7 +1032,10 @@ def _ivf_index(
         cent = _km_update(_km_assign(samp, cent)).localCheckpoint(eager=False)
     ac = _km_assign(emb, cent).withColumnRenamed("cluster", "coarse").persist()
 
-    sc = ac.filter(F.col("vec_id") < cap)
+    if fp["min_vec_id"] is not None and fp["min_vec_id"] < cap:
+        sc = ac.filter(F.col("vec_id") < cap)
+    else:  # sparse-id guard: see samp above
+        sc = ac
     cent2 = (
         sc.withColumn(
             "rn", F.row_number().over(Window.partitionBy("coarse").orderBy("vec_id"))
@@ -1144,7 +1155,11 @@ def _ivf_ctes() -> tuple[list[str], str, str]:
                   (COUNT(*) + {_IVF_TARGET_CELL - 1}) // {_IVF_TARGET_CELL}) AS kneed
            FROM e))
 )""",
-        "s AS (SELECT e.vec_id, e.v FROM e, p WHERE e.vec_id < p.cap)",
+        # sparse-id guard (r10): an empty vec_id < cap prefix falls back
+        # to full-relation training, mirroring the Spark side's
+        # min_vec_id >= cap branch
+        "s AS (SELECT e.vec_id, e.v FROM e, p WHERE e.vec_id < p.cap "
+        "OR NOT EXISTS (SELECT 1 FROM e, p WHERE e.vec_id < p.cap))",
         # level-1 init: the k1 LOWEST sample vec_ids (row_number, not
         # ``vec_id < k1`` — sparse ids would seed nothing); mirrors the
         # Spark side and the fine level's f0
@@ -1162,7 +1177,9 @@ def _ivf_ctes() -> tuple[list[str], str, str]:
     ctes.append(assign_cte("e", cent, "acx", "vec_id, v", False))
     ctes.append("ac AS (SELECT vec_id, v, cluster AS coarse FROM acx)")
     ctes.append(
-        "sc AS (SELECT ac.vec_id, ac.v, ac.coarse FROM ac, p WHERE ac.vec_id < p.cap)"
+        "sc AS (SELECT ac.vec_id, ac.v, ac.coarse FROM ac, p "
+        "WHERE ac.vec_id < p.cap "
+        "OR NOT EXISTS (SELECT 1 FROM ac, p WHERE ac.vec_id < p.cap))"
     )
     ctes.append(
         """f0 AS (

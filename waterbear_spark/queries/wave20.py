@@ -240,8 +240,13 @@ def _pq_ctes() -> tuple[list[str], list[str], list[str]]:
             f"s{m} AS (SELECT vec_id, v[1 + {m} * w.w : {m + 1} * w.w] AS v "
             "FROM e, w)"
         )
+        # sparse-id guard (r10): if NO vec_id falls under the cap the
+        # prefix sample is empty and the codebook would seed nothing —
+        # fall back to training on the full relation, mirroring the
+        # Spark side's fp["min_vec_id"] >= cap branch
         ctes.append(
-            f"t{m} AS (SELECT * FROM s{m} WHERE vec_id < {_PQ_TRAIN_CAP})"
+            f"t{m} AS (SELECT * FROM s{m} WHERE vec_id < {_PQ_TRAIN_CAP} "
+            f"OR NOT EXISTS (SELECT 1 FROM s{m} WHERE vec_id < {_PQ_TRAIN_CAP}))"
         )
         cent = f"c{m}0"
         # init mirrors the Spark side: the K lowest TRAIN vec_ids,
@@ -553,11 +558,27 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    # sparse-id guard (r10, advisor): a corpus whose vec_ids ALL sit at
+    # or above the cap has an empty training prefix — _kmeans would seed
+    # an empty codebook and silently assign nothing. min_vec_id rides
+    # the corpus fingerprint, so the check costs no extra job; train on
+    # the full relation in that case (the pre-sample recipe), mirrored
+    # by the oracle's NOT EXISTS branch in _pq_ctes.
+    sample_nonempty = (
+        fp["min_vec_id"] is not None and fp["min_vec_id"] < _PQ_TRAIN_CAP
+    )
     codes_parts, cb_rows = [], []
     for m in range(_PQ_M):
         sub = emb.select("vec_id", F.slice("v", 1 + m * width, width).alias("v"))
         assigned, codebook = _kmeans(
-            sub, _PQ_K, _PQ_ITERS, train=sub.filter(F.col("vec_id") < _PQ_TRAIN_CAP)
+            sub,
+            _PQ_K,
+            _PQ_ITERS,
+            train=(
+                sub.filter(F.col("vec_id") < _PQ_TRAIN_CAP)
+                if sample_nonempty
+                else None
+            ),
         )
         codes_parts.append(assigned.select(F.lit(m).alias("m"), "vec_id", "code"))
         cb_rows.extend((m, cid, codebook[cid]) for cid in sorted(codebook))

@@ -11,12 +11,16 @@ the repo that shape: small parquet relations under
 so concurrent sessions never observe a half-staged index.
 
 Staleness contract: the staged component carries the corpus fingerprint
-(row count, max and sum of ``vec_id`` — one column-pruned aggregate
-over the embeddings table) and every quantizer dial (k1/k2/cap for IVF,
-M/K/iters for PQ). A reader presents the meta it EXPECTS; any mismatch
-— data changed, knobs changed — reads as "absent" and triggers a
-rebuild-and-restage. Forcing a from-scratch build (the certification /
-bench twin) is ``SPARK_GRAFT_ANN_REBUILD=1``.
+(row count, min/max/sum of ``vec_id`` PLUS an order-insensitive content
+hash ``bit_xor(xxhash64(vec_id, embedding))`` — still one column-pruned
+aggregate over the embeddings table) and every quantizer dial (k1/k2/cap
+for IVF, M/K/iters for PQ). A reader presents the meta it EXPECTS; any
+mismatch — data changed, knobs changed — reads as "absent" and triggers
+a rebuild-and-restage. The content hash is what makes "regenerate the
+embedding VALUES under unchanged vec_ids" read as stale (the round-9
+fingerprint was id-shape only and would have served the old index).
+Forcing a from-scratch build (the certification / bench twin) is
+``SPARK_GRAFT_ANN_REBUILD=1``.
 
 Correctness is continuously certified, not assumed: the DuckDB oracles
 for the IVF/PQ query family re-derive the index from scratch on every
@@ -54,8 +58,17 @@ def component_dir(sf_dir: str, component: str) -> str:
 
 
 def corpus_fingerprint(spark: SparkSession, sf_dir: str) -> dict:
-    """(n, max_vec_id, sum_vec_id) of the embeddings table — one
-    column-pruned aggregate, memoised per (application, corpus)."""
+    """(n, min/max/sum of vec_id, content hash) of the embeddings table
+    — one column-pruned aggregate, memoised per (application, corpus).
+
+    The content hash is ``bit_xor(xxhash64(vec_id, embedding))``:
+    order-insensitive (partition layout cannot move it), overflow-free
+    under ANSI (unlike a bigint SUM of hashes), and sensitive to the
+    embedding VALUES, not just the id shape — so regenerating vectors
+    under the same vec_ids invalidates a staged index instead of
+    silently serving the stale one. ``min_vec_id`` additionally lets
+    the PQ/IVF builders detect an empty ``vec_id < cap`` training
+    prefix (sparse ids) without an extra job."""
     from waterbear_spark.queries.tables import table
 
     key = (spark.sparkContext.applicationId, str(sf_dir))
@@ -66,15 +79,19 @@ def corpus_fingerprint(spark: SparkSession, sf_dir: str) -> dict:
         table(spark, sf_dir, "embeddings")
         .agg(
             F.count(F.lit(1)).alias("n"),
+            F.min("vec_id").alias("mn"),
             F.max("vec_id").alias("mx"),
             F.sum("vec_id").alias("sm"),
+            F.expr("bit_xor(xxhash64(vec_id, embedding))").alias("ch"),
         )
         .collect()[0]
     )
     fp = {
         "n": int(row["n"]),
+        "min_vec_id": None if row["mn"] is None else int(row["mn"]),
         "max_vec_id": None if row["mx"] is None else int(row["mx"]),
         "sum_vec_id": None if row["sm"] is None else int(row["sm"]),
+        "content_hash": None if row["ch"] is None else int(row["ch"]),
     }
     _FP_MEMO[key] = fp
     return fp
@@ -109,21 +126,34 @@ def staged_write(
     spark: SparkSession, path: str, frames: dict[str, DataFrame], meta: dict
 ) -> None:
     """Atomically (re)stage a component: write every frame plus
-    meta.json into a tmp sibling, then rename onto ``path``. A
-    concurrent winner's directory is left in place (it passed the same
-    deterministic build); failures leave no debris."""
+    meta.json into a tmp sibling, then swap it onto ``path``. A restage
+    renames the OLD directory aside before renaming the new one in —
+    never ``rmtree(path)`` first — so no window exposes an absent or
+    partial component: a concurrent reader sees either the old complete
+    stage or the new one (its lazy scans keep working against the
+    renamed-aside files until the final rmtree, by which point any
+    meta-checked read has re-resolved). A concurrent winner's directory
+    is left in place (it passed the same deterministic build); failures
+    leave no debris."""
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     try:
         for name, df in frames.items():
             df.write.mode("overwrite").parquet(os.path.join(tmp, name))
         with open(os.path.join(tmp, "meta.json"), "w") as fh:
             json.dump({"meta": meta, "frames": sorted(frames)}, fh)
+        old = None
         if os.path.isdir(path):
-            shutil.rmtree(path)
+            old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(path, old)
+            except OSError:  # a concurrent restager moved it first
+                old = None
         try:
             os.rename(tmp, path)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
     except Exception:
         shutil.rmtree(tmp, ignore_errors=True)
         raise

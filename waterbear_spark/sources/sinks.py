@@ -288,16 +288,34 @@ def merge_upsert(
                     ~F.coalesce(F.expr(delete_condition), F.lit(False))
                 )
             _enforce_checks(post, check_constraints, "merge_upsert")
+        auto_key = "spark.databricks.delta.schema.autoMerge.enabled"
+        prev_auto = spark.conf.get(auto_key, None)
         if merge_schema:
-            spark.conf.set(
-                "spark.databricks.delta.schema.autoMerge.enabled", "true"
-            )
-        target = DeltaTable.forPath(spark, target_path)
-        cond = " AND ".join(f"t.{k} = u.{k}" for k in keys)
-        m = target.alias("t").merge(updates.alias("u"), cond)
-        if delete_condition is not None:
-            m = m.whenMatchedDelete(condition=delete_condition)
-        (m.whenMatchedUpdateAll().whenNotMatchedInsertAll().execute())
+            spark.conf.set(auto_key, "true")
+        try:
+            target = DeltaTable.forPath(spark, target_path)
+            cond = " AND ".join(f"t.{k} = u.{k}" for k in keys)
+            m = target.alias("t").merge(updates.alias("u"), cond)
+            if delete_condition is not None:
+                # a delete-flagged row that matches NO target key must
+                # stay a no-op (the documented contract and the parquet
+                # fallback's behavior) — an unguarded insert clause would
+                # INSERT it. NULL flags count as not-deleted, matching
+                # the fallback's coalesce(..., false).
+                m = m.whenMatchedDelete(condition=delete_condition)
+                m = m.whenMatchedUpdateAll()
+                m = m.whenNotMatchedInsertAll(
+                    condition=f"NOT coalesce(({delete_condition}), false)"
+                )
+            else:
+                m = m.whenMatchedUpdateAll().whenNotMatchedInsertAll()
+            m.execute()
+        finally:
+            if merge_schema:
+                if prev_auto is None:
+                    spark.conf.unset(auto_key)
+                else:
+                    spark.conf.set(auto_key, prev_auto)
         return spark.read.format("delta").load(target_path)
 
     target = spark.read.format(fmt).load(target_path)
@@ -497,16 +515,27 @@ def replace_where(
         )
 
     if fmt == "delta" and HAS_DELTA:  # pragma: no cover - delta not in env
-        (
-            df.write.format("delta")
-            .mode("overwrite")
-            .option("replaceWhere", predicate)
-            .option(
-                "spark.databricks.delta.replaceWhere.constraintCheck.enabled",
-                str(check_constraint_enabled).lower(),
-            )
-            .save(target_path)
+        # constraintCheck is a SESSION conf, not a writer option — as a
+        # writer option Delta silently ignores it and its default-true
+        # check would still raise under check_constraint_enabled=False.
+        # Set it on the session for the write and restore after.
+        conf_key = (
+            "spark.databricks.delta.replaceWhere.constraintCheck.enabled"
         )
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, str(check_constraint_enabled).lower())
+        try:
+            (
+                df.write.format("delta")
+                .mode("overwrite")
+                .option("replaceWhere", predicate)
+                .save(target_path)
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
         return spark.read.format("delta").load(target_path)
 
     target = spark.read.format(fmt).load(target_path)
