@@ -461,10 +461,18 @@ def main():
     from waterbear_spark.queries.tables import DEC
 
     def boot_report(u_fn):
-        rep = orders.select(
-            "o_orderkey",
-            "o_totalprice",
-            F.explode(F.sequence(F.lit(0), F.lit(wave6._BOOT_R - 1))).alias("b"),
+        # repartition mirrors the shipped query's _fan_out so the A/B
+        # isolates the DRAW cost, not scan-split parallelism
+        rep = (
+            orders.select("o_orderkey", "o_totalprice")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select(
+                "o_orderkey",
+                "o_totalprice",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(wave6._BOOT_R - 1))
+                ).alias("b"),
+            )
         )
         weighted = rep.select(
             "b", "o_totalprice", wave6._pois_w(u_fn()).alias("w")
@@ -486,12 +494,19 @@ def main():
         )
 
     def boot_md5():
+        # the r9 shipped draw: ONE md5 per (row, replicate)
         return boot_report(
             lambda: wave6._u48(
-                F.concat(
-                    F.col("b").cast("string"),
-                    F.lit("|"),
-                    F.col("o_orderkey").cast("string"),
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("b").cast("string"),
+                            F.lit("|"),
+                            F.col("o_orderkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
                 )
             )
         )
@@ -502,15 +517,37 @@ def main():
             / F.lit(float(2**48))
         )
 
+    def boot_split():
+        # the r10 SHIPPED draw: split each digest into two 48-bit
+        # uniforms, halving the md5 budget while staying
+        # DuckDB-derivable (wave6.bootstrap_ci_mean)
+        return wave6.bootstrap_ci_mean(spark, SF_DIR).select(
+            "n_replicates", "boot_mean"
+        )
+
     md5_row, xx_row = boot_md5().collect()[0], boot_xxhash().collect()[0]
-    assert md5_row["n_replicates"] == xx_row["n_replicates"] == wave6._BOOT_R
+    split_row = boot_split().collect()[0]
+    assert (
+        md5_row["n_replicates"]
+        == xx_row["n_replicates"]
+        == split_row["n_replicates"]
+        == wave6._BOOT_R
+    )
     # different draws, same estimator: replicate means agree statistically
-    assert abs(md5_row["boot_mean"] - xx_row["boot_mean"]) / md5_row[
-        "boot_mean"
-    ] < 0.01
+    for other in (xx_row, split_row):
+        assert (
+            abs(md5_row["boot_mean"] - other["boot_mean"]) / md5_row["boot_mean"]
+            < 0.01
+        )
     out["bootstrap_hash_draw"] = {
         "naive": best2(spark, boot_md5),
         "engine": best2(spark, boot_xxhash),
+    }
+    # per-replicate md5 (r9 shipped) vs split-digest md5 (r10 shipped):
+    # the harvested half of the hash budget, oracle determinism intact
+    out["bootstrap_digest_split"] = {
+        "naive": best2(spark, boot_md5),
+        "engine": best2(spark, boot_split),
     }
 
     for k, v in out.items():
