@@ -21,9 +21,15 @@ This script turns that argument into a measurement. Per scale
 * the predicted sf1/sf0.1 wall ratio from the FLOP model next to the
   measured ``semdedup_cells`` walls (min of 2 runs, warm JVM).
 
-Interpretation contract: the bound HOLDS if max occupancy stays within
-a small constant of the 2048 target at both scales (k-means balance is
-approximate, not exact) and the FLOP-model ratio explains the measured
+Interpretation contract (r10, reconciled with the r9 verdict): 2048 is
+the quantizer's TARGET mean occupancy; Lloyd balance is approximate, so
+the DESIGN bound this artifact grades against — and the one
+``semdedup_cells``' docstring states — is 2x the target: max cell
+<= 4096. The memory math backs that as the real constraint: a 4096^2
+float64 similarity matrix is ~134 MB inside one ``applyInPandas``
+worker, safely within executor memory, and per-cell pair work stays
+O(target^2) up to the 2x constant. The bound HOLDS iff max occupancy
+<= 4096 at every scale AND the FLOP-model ratio explains the measured
 wall ratio to within noise. Saturation math: cells saturate once
 n >= 8 * 2048 = 16384 vectors, i.e. between sf0.1 (2k) and sf1 (20k) —
 so the sf1/sf0.1 window is exactly the pre-saturation knee and is
@@ -123,22 +129,31 @@ def main():
 
     small, big = occupancy(spark, SF01), occupancy(spark, SF1)
     w_small, w_big = wall(spark, SF01), wall(spark, SF1)
+    design_bound = 2 * _IVF_TARGET_CELL
     out = {
         "metric": "semdedup_cell_occupancy",
-        "target_cell_bound": _IVF_TARGET_CELL,
+        "target_cell": _IVF_TARGET_CELL,
+        # the graded DESIGN bound: 2048 is the quantizer's TARGET mean;
+        # Lloyd balance is approximate, so the bound is 2x the target.
+        # Memory math: a bound-sized 4096^2 float64 similarity matrix is
+        # ~134 MB per applyInPandas worker — the real per-cell limit.
+        "design_cell_bound": design_bound,
+        "design_bound_matrix_mb": round(design_bound**2 * 8 / 1e6, 1),
         "sf0.1": {**small, "semdedup_wall_s": w_small},
         "sf1": {**big, "semdedup_wall_s": w_big},
         "flop_model_ratio": round(big["pair_flops"] / small["pair_flops"], 2),
         "wall_ratio": round(w_big / w_small, 2),
         "bound_holds": {
-            "sf0.1": small["max_cell"] <= 2 * _IVF_TARGET_CELL,
-            "sf1": big["max_cell"] <= 2 * _IVF_TARGET_CELL,
+            "sf0.1": small["max_cell"] <= design_bound,
+            "sf1": big["max_cell"] <= design_bound,
         },
         "saturation_n": 8 * _IVF_TARGET_CELL,
         "note": (
-            "sf0.1 (n<16384) is below cell saturation, so per-vector "
-            "FLOPs legitimately grow until cells reach the 2048 target; "
-            "the linear O(n*2048) regime starts at n>=16384"
+            "graded against design_cell_bound = 2 * target (approximate "
+            "k-means balance; see module docstring). sf0.1 (n<16384) is "
+            "below cell saturation, so per-vector FLOPs legitimately "
+            "grow until cells reach the 2048 target; the linear "
+            "O(n*2048) regime starts at n>=16384"
         ),
     }
     print(json.dumps(out))

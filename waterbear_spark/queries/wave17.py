@@ -239,10 +239,16 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``embedding_knn_label``): one shuffle on the cell key, then a single
     float64 matmul per cell inside ``applyInPandas``, returning the
     1-row census per cell — the pair space never leaves the worker.
-    Cells are size-bounded at ~2048 by the quantizer's design, so the
-    per-cell matrix is <= 2048^2 (~33 MB) and total work is O(n * 2048)
-    FLOPs — at sf1 this cut the wall 110 s -> single digits (the fold
-    variant burned ~64 boxed ops/pair; the matmul amortises to ~1).
+    Cell-size bound: the quantizer TARGETS 2048 vectors/cell
+    (``llm._IVF_TARGET_CELL``); Lloyd balance is approximate, so the
+    DESIGN bound the scaling argument rests on is 2x the target — 4096
+    vectors/cell, a 4096^2 float64 similarity matrix ~= 134 MB per
+    worker, safely inside executor memory, with total work still
+    O(n * target) FLOPs. ``scripts/semdedup_occupancy.py`` measures the
+    realized occupancy against that 2x bound per scale (committed as
+    SEMDEDUP_OCCUPANCY_r{N}.json; sf1 max cell 2500 = 1.22x target).
+    At sf1 the matmul path cut the wall 110 s -> single digits (the
+    fold variant burned ~64 boxed ops/pair; the matmul amortises to ~1).
 
     Determinism vs the oracle's fold-order dot products: float64 matmul
     differs only below ~1e-12; rounding to 4 decimals absorbs it (the
