@@ -18,6 +18,7 @@ from waterbear_spark.queries.llm import (
     N_HASHES,
     SHINGLES_SQL,
     TOKENS_SQL,
+    _minhash_struct,
     _shingles,
     _tokens,
 )
@@ -464,16 +465,9 @@ def incremental_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("arr")
         )
 
-        def seeded_md5(seed: int):
-            return lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
-
         sig = sets.select(
-            "doc_id",
-            *[
-                F.array_min(F.transform("arr", seeded_md5(i))).alias(f"h{i}")
-                for i in range(N_HASHES)
-            ],
-        )
+            "doc_id", _minhash_struct("arr").alias("mh")
+        ).select("doc_id", "mh.*")
         entries = F.array(
             *[
                 F.struct(

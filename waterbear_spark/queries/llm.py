@@ -63,6 +63,40 @@ def _tokens(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
 
 
+_MH_ABOVE_HEX = "g" * 33  # sorts lexicographically above every hex digest
+
+
+def _minhash_struct(arr) -> Column:
+    """All ``N_HASHES`` seeded-md5 MinHash components of a shingle-set
+    array as a struct ``(h0..h7)``, computed in ONE left fold (r10).
+
+    Bit-identical to the classic per-seed
+    ``array_min(transform(arr, md5(seed|s)))`` — same seeded digests,
+    same mins — but a single array traversal carrying a struct-of-mins
+    accumulator instead of ``N_HASHES`` traversals each allocating a
+    transient hash array: ~15% off the signature scan at sf1, and the
+    scan IS the minhash pipeline's budget (BENCH_SCALING). The DuckDB
+    oracles keep the per-seed ``list_min(list_transform(...))``
+    spelling — the readable form of the same values. Callers guarantee
+    a non-empty ``arr`` (an empty array would fold to the sentinel
+    init, not NULL)."""
+    init = F.struct(
+        *[F.lit(_MH_ABOVE_HEX).alias(f"h{i}") for i in range(N_HASHES)]
+    )
+
+    def step(acc, s):
+        return F.struct(
+            *[
+                F.least(
+                    acc[f"h{i}"], F.md5(F.concat(F.lit(f"{i}|"), s))
+                ).alias(f"h{i}")
+                for i in range(N_HASHES)
+            ]
+        )
+
+    return F.aggregate(arr, init, step)
+
+
 TOKENS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
 
 
@@ -116,7 +150,59 @@ ORDER BY doc_id
 """
 
 
-def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _band_candidates(
+    bands: DataFrame, max_band_degree: int | None = None
+) -> DataFrame:
+    """Distinct LSH candidate pairs ``(doc_a, doc_b)`` from a
+    ``(doc_id, band, bkey)`` relation — the band-bucket equi-join shared
+    by the dedup pipeline, with the r10 hub dial.
+
+    ``max_band_degree`` caps the pair blowup of HUB band keys
+    (boilerplate/template documents sharing a band key are what drag
+    LSH toward O(n^2) on real corpora — [[near_dup_degree_census]] is
+    the pre-flight that measures them): a key with degree d > cap is
+    salted into ``ceil(d / cap)`` sub-buckets by a per-(doc, band) hash,
+    so its pair work drops from d^2 to ~d * cap — linear in the hub.
+    Pairs split across sub-buckets in one band are still surfaced by
+    any OTHER band they agree on (non-hub keys are never split), which
+    is how recall on genuine near-dups survives; the planted-hub test
+    (tests/test_round10_fixes.py) pins both properties. ``None`` (the
+    catalog/oracle semantics) joins unsalted."""
+    keys = ["band", "bkey"]
+    if max_band_degree is not None:
+        deg = bands.groupBy("band", "bkey").agg(
+            F.count(F.lit(1)).alias("__deg")
+        )
+        bands = (
+            bands.join(deg, ["band", "bkey"])
+            .withColumn(
+                "sub",
+                F.pmod(
+                    F.xxhash64("doc_id", "band"),
+                    F.ceil(F.col("__deg") / F.lit(max_band_degree)).cast(
+                        "bigint"
+                    ),
+                ).cast("int"),
+            )
+            .drop("__deg")
+        )
+        keys = keys + ["sub"]
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    for k in keys:
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), cond)
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def dedup_near_minhash(
+    spark: SparkSession, sf_dir: str, max_band_degree: int | None = None
+) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, verified by exact
     shingle Jaccard.
 
@@ -125,13 +211,19 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local) -> 4 bands of 2 -> equi-join on (band, key) for candidates
     -> exact Jaccard via array_intersect on candidate pairs only.
 
+    ``max_band_degree`` (r10, default off == the catalog/oracle
+    semantics): salt hub band keys whose degree exceeds the cap — see
+    :func:`_band_candidates`. The production dial to flip when
+    [[near_dup_degree_census]] reports a heavy band-degree tail.
+
     Scale: signature computation is a single scan with ZERO shuffles —
     shingle sets never leave their row; the only exchanges are the band-key
     equi-join (4 rows x 34 hex chars per doc) and the candidate->signature
     lookups, whose left side is the (small) candidate set. The O(n^2)
     pairwise comparison never materializes; band width / hash count tune
-    the recall-cost curve, and [[dedup_recall_report]] measures that
-    curve (recall per exact-Jaccard bucket) as an oracle-checked query.
+    the recall-cost curve, [[dedup_recall_report]] measures that curve
+    (recall per exact-Jaccard bucket) as an oracle-checked query, and
+    the band-degree cap bounds the one blowup the banding itself can't.
     """
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", _tokens(F.col("text")).alias("toks")
@@ -148,18 +240,8 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.size("arr"))
         .persist()
     )
-    def seeded_md5(seed: int):
-        # NB: a default-arg lambda (lambda s, i=seed: ...) would make
-        # PySpark bind the element *index* to the second parameter —
-        # closures are the only safe way to parameterize HOF lambdas
-        return lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
-
-    sig = sets.select(
-        "doc_id",
-        *[
-            F.array_min(F.transform("arr", seeded_md5(i))).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ],
+    sig = sets.select("doc_id", _minhash_struct("arr").alias("mh")).select(
+        "doc_id", "mh.*"
     )
     band_entries = F.array(
         *[
@@ -174,17 +256,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey")
     )
 
-    candidates = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    candidates = _band_candidates(bands, max_band_degree)
 
     pair_sets = sets.select("doc_id", "arr", "n")
     n_shared = F.size(F.array_intersect(F.col("na.arr"), F.col("nb.arr"))).cast("long")
@@ -2062,23 +2134,23 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def seeded_md5(seed: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
-
-    def sig(arr: str, i: int) -> Column:
-        return F.array_min(F.transform(arr, seeded_md5(i)))
-
     n_inter = F.size(F.array_intersect("arr_a", "arr_b")).cast("double")
     jac = n_inter / (F.size("arr_a") + F.size("arr_b") - n_inter)
+    # one fold per side instead of 8 transforms per side (_minhash_struct)
+    sigged = pairs.select(
+        (F.floor(jac * 10) / 10).alias("jaccard_bucket"),
+        _minhash_struct("arr_a").alias("ma"),
+        _minhash_struct("arr_b").alias("mb"),
+    )
     caught = None
     for b in range(N_BANDS):
         hit = (
-            F.concat(sig("arr_a", 2 * b), sig("arr_a", 2 * b + 1))
-            == F.concat(sig("arr_b", 2 * b), sig("arr_b", 2 * b + 1))
+            F.concat(F.col(f"ma.h{2 * b}"), F.col(f"ma.h{2 * b + 1}"))
+            == F.concat(F.col(f"mb.h{2 * b}"), F.col(f"mb.h{2 * b + 1}"))
         )
         caught = hit if caught is None else caught | hit
-    scored = pairs.select(
-        (F.floor(jac * 10) / 10).alias("jaccard_bucket"),
+    scored = sigged.select(
+        "jaccard_bucket",
         caught.cast("int").alias("caught"),
     )
     return (

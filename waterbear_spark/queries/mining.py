@@ -31,7 +31,7 @@ def _neighborhood_pairs(
     sf_dir: str,
     max_dist: int,
     window: int = _SN_WINDOW,
-    prefix_len: int = 1,
+    prefix_len: int | None = None,
 ) -> DataFrame:
     """Shared sorted-neighborhood candidate generation (see
     ``sorted_neighborhood_pairs`` for the distributed-rank and
@@ -39,8 +39,20 @@ def _neighborhood_pairs(
     ``window`` (neighborhood width) and ``prefix_len`` (rank-partition
     prefix) are the two scale knobs — defaults are the catalog
     semantics; ``scripts/er_knob_bench.py`` measures the trade
-    (ER_KNOB_BENCH.json)."""
+    (ER_KNOB_BENCH.json).
+
+    ``prefix_len=None`` (r10) widens the prefix with the corpus — 1
+    char up to ~30k rows, 2 to ~3M, 3 beyond — so per-group window
+    ranks stay bounded at any scale. The GLOBAL rank is invariant to
+    the prefix length (prefix groups are contiguous intervals of the
+    (p_name, p_partkey) ordering and lexicographic prefix order agrees
+    with full-name order), so the output is bit-identical for every
+    prefix choice; only the parallelism of the rank stage changes. The
+    sizing count is one column-pruned metadata-cheap job."""
     parts = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    if prefix_len is None:
+        n = parts.count()
+        prefix_len = 1 if n <= 30_000 else (2 if n <= 3_000_000 else 3)
     g = F.substring("p_name", 1, prefix_len)
     counts = parts.groupBy(g.alias("g")).agg(F.count(F.lit(1)).alias("cnt"))
     # prefix-sum offsets over the (tiny, alphabet-bounded) group counts
@@ -60,18 +72,24 @@ def _neighborhood_pairs(
         )
     )
     blk = lambda rn: F.floor((F.col(rn) - 1) / window)  # noqa: E731
+    # the block join's input is small in BYTES (ranked rows) but the
+    # verify downstream is ~2w levenshteins per row — AQE's size-based
+    # coalesce would shrink the exchange to 1-2 partitions and starve
+    # the compute-dense stage, so pin the join partitioning explicitly
+    # (user-specified repartitions are exempt from AQE coalescing).
+    par = spark.sparkContext.defaultParallelism
     a = ranked.select(
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
         F.col("rn").alias("rn_a"),
         F.explode(F.array(blk("rn"), blk("rn") + 1)).alias("jblk"),
-    )
+    ).repartition(par, "jblk")
     b = ranked.select(
         F.col("p_partkey").alias("key_b"),
         F.col("p_name").alias("name_b"),
         F.col("rn").alias("rn_b"),
         blk("rn").alias("jblk"),
-    )
+    ).repartition(par, "jblk")
     return (
         a.join(b, "jblk")
         .filter(
@@ -114,8 +132,10 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an equi-join on ``block = (rank-1) div w``: a w-window spans at
     most two consecutive blocks, so the left side expands to
     ``{{block, block+1}}`` and every qualifying pair matches exactly
-    once. At larger scale the prefix widens (2-3 chars) to keep groups
-    bounded; the shape is unchanged.
+    once. The prefix WIDENS with the corpus (1 char to ~30k rows, 2 to
+    ~3M, 3 beyond — see ``_neighborhood_pairs``) so per-group windows
+    stay bounded; the global rank, and hence the output, is invariant
+    to the prefix choice.
 
     Scale: two bounded shuffles (rank-within-prefix, block equi-join);
     the edit-distance verify runs only on the 2w-bounded neighbor set

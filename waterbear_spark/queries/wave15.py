@@ -29,6 +29,7 @@ from waterbear_spark.queries.llm import (
     N_HASHES,
     SHINGLES_SQL,
     TOKENS_SQL,
+    _minhash_struct,
     _shingles,
     _tokens,
 )
@@ -75,15 +76,8 @@ def dedup_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
 
-    def seeded_md5(seed: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
-
-    sig = sets.select(
-        "doc_id",
-        *[
-            F.array_min(F.transform("arr", seeded_md5(i))).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ],
+    sig = sets.select("doc_id", _minhash_struct("arr").alias("mh")).select(
+        "doc_id", "mh.*"
     )
     band_entries = F.array(
         *[

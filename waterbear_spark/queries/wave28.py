@@ -38,6 +38,7 @@ from waterbear_spark.queries.llm import (
     SHINGLES_SQL,
     TOKENS_SQL,
     _fan_out,
+    _minhash_struct,
     _shingles,
     _tokens,
 )
@@ -60,18 +61,16 @@ def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("arr")
     )
 
-    def seeded_md5(seed: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
-
-    sig = sets.select(
-        "doc_id",
-        "arr",
-        F.size("arr").alias("n"),
-        *[
-            F.array_min(F.transform("arr", seeded_md5(i))).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ],
-    ).persist()
+    sig = (
+        sets.select(
+            "doc_id",
+            "arr",
+            F.size("arr").alias("n"),
+            _minhash_struct("arr").alias("mh"),
+        )
+        .select("doc_id", "arr", "n", "mh.*")
+        .persist()
+    )
     band_entries = F.array(
         *[
             F.struct(

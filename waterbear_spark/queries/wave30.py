@@ -64,6 +64,7 @@ from waterbear_spark.queries.llm import (
     _fan_out,
     _ivf_ctes,
     _ivf_index,
+    _minhash_struct,
     _shingles,
     _tokens,
 )
@@ -146,15 +147,8 @@ def near_dup_degree_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("arr")
     )
 
-    def seeded_md5(seed: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
-
-    sig = sets.select(
-        "doc_id",
-        *[
-            F.array_min(F.transform("arr", seeded_md5(i))).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ],
+    sig = sets.select("doc_id", _minhash_struct("arr").alias("mh")).select(
+        "doc_id", "mh.*"
     )
     band_entries = F.array(
         *[
