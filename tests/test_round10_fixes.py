@@ -153,3 +153,22 @@ def test_dedup_near_minhash_verified_output_stable_under_cap(spark):
         )
     )
     assert base == capped
+
+
+def test_capped_catalog_twin_is_subset_of_uncapped(spark):
+    """dedup_near_minhash_capped (the certified dial=2 twin): salting
+    only ever REMOVES candidates, so its verified pairs are a subset of
+    the uncapped query's — and on the smoke corpus the dial engages
+    (strictly fewer rows), so the certified path is the salted join,
+    not a degenerate n_sub=1 pass-through."""
+    from waterbear_spark.queries.llm import dedup_near_minhash_capped
+
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_near_minhash_capped(spark, SF_SMOKE).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_near_minhash(spark, SF_SMOKE).collect()
+    }
+    assert capped <= full

@@ -186,58 +186,50 @@ assert set(ORACLE_SQL) <= set(QUERIES), "oracle without query"
 # CORRECTNESS_LOCAL.json (scripts/check_oracle.py, full catalog) remains
 # the per-round local certification on top.
 _PRIORITY = [
-    # --- round 9 ---
-    # the wave-27/28/29 seven, deferred one rotation in r8 per the
-    # documented policy (same-commit local certs in
-    # CORRECTNESS_LOCAL_W27/W28/W29): this is their driver rotation —
-    # the r8 verdict's #1 ask (309/309 cumulative driver evidence)
-    "ann_refine_recall",
-    "dedup_threshold_sweep",
-    "embedding_anisotropy_audit",
-    "knn_hubness_audit",
-    "minhash_estimate_audit",
-    "novelty_profile_by_source",
-    "quota_sample_manifest",
-    # plan changed this round (hashes locally re-certified at
-    # sf0.01+sf0.1+sf1 in the same commit): lm_quality_score and
-    # rake_keywords now pre-aggregate the exploded token / phrase
-    # relation before the vocabulary join (the r8 verdict's two >3.5x
-    # 10x-scaling outliers — now 1.56x and 0.95x)
-    "lm_quality_score",
-    "rake_keywords",
-    # PQ training moved to the bounded vec_id < 16384 sample (the IVF
-    # precedent; CORRECTNESS_LOCAL_PQ9, 15/15 at three scales). At the
-    # driver's sf0.01 the sample is the corpus so values are unchanged
-    # by construction, but the recipe changed — pin for fresh evidence
-    # (ann_refine_recall is already above; ann_index_manifest is in the
-    # wave-30 deferral):
-    "pq_reconstruction_audit",
-    "ann_ivfpq_adc_search",
-    "ann_refine_rerank",
-    # the 12-slot head + the 8 never-driver-verified rows (the
-    # wave-27/28/29 seven plus approx_distinct's rows-only slot) leave
-    # 37 window slots for the stalest previously-verified rows (all 26
-    # r2 rows + 11 of the 48 r3 rows), bringing the stale r1-r3 pool
-    # from 74 to 37 (<= 40 per the r8 verdict's rotation ask)
-]
-
-# Queries introduced THIS round whose driver evidence can wait one
-# rotation: they sort as if verified in round _DEFER_ROUND so they
-# don't crowd older never-verified names out of the 50-slot window.
-# Deferral REQUIRES committed same-round local certification (see
-# README "certification rule"); the r6 deferral shipped wave-21 with
-# no evidence at all, which the r6 verdict rightly flagged. Round 9
-# defers the wave-30 four (same-commit sf0.01+sf0.1+sf1 certs in
-# CORRECTNESS_LOCAL_WAVE30) so the window keeps its 41 slots for the
-# stale r1-r3 pool while the wave-27/28/29 seven complete their own
-# rotation in the _PRIORITY head.
-_DEFER: set[str] = {
+    # --- round 10 ---
+    # the wave-30 four, deferred one rotation in r9 per the documented
+    # policy (same-commit 3-scale certs in CORRECTNESS_LOCAL_WAVE30):
+    # this is their driver rotation - the r9 verdict's #1 ask
+    # (313/313 cumulative driver evidence)
     "ann_index_manifest",
     "near_dup_degree_census",
     "curriculum_schedule",
     "embedding_covariance",
-}
-_DEFER_ROUND = 9
+    # VALUES changed this round: the Poisson draw now splits each md5
+    # digest into two 48-bit uniforms (16 hashes/row for 32 replicates;
+    # 11.5s -> ~1.9s at sf0.1, STRATEGY_BENCH bootstrap_digest_split) -
+    # locally re-certified at three scales in the same commit
+    # (CORRECTNESS_LOCAL_BOOT10)
+    "bootstrap_ci_mean",
+    # plan changed this round, values certified unchanged
+    # (CORRECTNESS_LOCAL_R10 at sf0.01+sf0.1+sf1): adaptive rank-prefix
+    # + pinned join partitioning (10x ratio 3.21x -> ~1.1x,
+    # BENCH_SCALING_r10), the single-pass minhash fold (3.10x -> ~2.5x),
+    # and the max_band_degree salting path added to the candidate join
+    "sorted_neighborhood_pairs",
+    "minhash_estimate_audit",
+    "dedup_near_minhash",
+    # the 8-slot head + approx_distinct's rows-only slot leave 41
+    # window slots for the stalest previously-verified rows - the whole
+    # remaining r3 pool (37 rows) fits, so after this rotation the
+    # stale floor is >= r4 (the r9 verdict's rotation ask). The other
+    # queries touched by the fold/oracle-guard refactors (recall
+    # report, threshold sweep, cross-modal, incremental merge, the
+    # IVF/PQ family) have value-identical outputs pinned by the same
+    # 3-scale local cert; the round-robin brings them driver-side by
+    # staleness as usual.
+]
+
+# Queries introduced THIS round whose driver evidence can wait one
+# rotation: they sort as if verified in round _DEFER_ROUND so they
+# don't crowd the older never-verified names out of the 50-slot window.
+# Deferral REQUIRES committed same-round local certification (see
+# README "certification rule"). Round 10 adds one query — the certified
+# band-degree-capped dedup twin (3-scale certs in
+# CORRECTNESS_LOCAL_R10) — deferred so the window keeps its 41 slots
+# for the stale r3 pool.
+_DEFER: set[str] = {"dedup_near_minhash_capped"}
+_DEFER_ROUND = 10
 
 
 def _last_verified_round() -> dict[str, int]:

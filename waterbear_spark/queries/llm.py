@@ -167,21 +167,42 @@ def _band_candidates(
     any OTHER band they agree on (non-hub keys are never split), which
     is how recall on genuine near-dups survives; the planted-hub test
     (tests/test_round10_fixes.py) pins both properties. ``None`` (the
-    catalog/oracle semantics) joins unsalted."""
+    [[dedup_near_minhash]] oracle semantics) joins unsalted.
+
+    The salt is the md5 48-bit draw rather than xxhash64 so a DuckDB
+    oracle can derive the identical sub-bucket assignment —
+    [[dedup_near_minhash_capped]] certifies the salted join
+    cross-engine; the hash rides only the 4-rows-per-doc band relation,
+    noise next to the 8-per-shingle signature scan."""
     keys = ["band", "bkey"]
     if max_band_degree is not None:
         deg = bands.groupBy("band", "bkey").agg(
             F.count(F.lit(1)).alias("__deg")
         )
+        salt = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("|"),
+                        F.col("band").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
         bands = (
             bands.join(deg, ["band", "bkey"])
             .withColumn(
                 "sub",
                 F.pmod(
-                    F.xxhash64("doc_id", "band"),
-                    F.ceil(F.col("__deg") / F.lit(max_band_degree)).cast(
-                        "bigint"
-                    ),
+                    salt,
+                    F.ceil(
+                        F.col("__deg") / F.lit(float(max_band_degree))
+                    ).cast("bigint"),
                 ).cast("int"),
             )
             .drop("__deg")
@@ -295,6 +316,79 @@ cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / (na_n + nb_n - n_shared), 4) AS jaccard
+FROM (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(na.arr, nb.arr)) AS BIGINT) AS n_shared,
+           na.n AS na_n, nb.n AS nb_n
+    FROM cand c
+    JOIN sig na ON na.doc_id = c.doc_a
+    JOIN sig nb ON nb.doc_id = c.doc_b
+)
+WHERE ROUND(CAST(n_shared AS DOUBLE) / (na_n + nb_n - n_shared), 4) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# the certified dial setting of [[dedup_near_minhash_capped]]: low
+# enough that real band keys at the cert scales actually get salted
+# (sf0.01 already has degree > 2 hub keys), so the oracle exercises the
+# salted join, not a degenerate n_sub = 1 pass-through
+_CAPPED_DIAL = 2
+
+
+def dedup_near_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[[dedup_near_minhash]] with the band-degree cap ENGAGED at
+    ``max_band_degree = {cap}`` — the certified twin of the r10 hub
+    dial. Semantics: band keys with degree d > {cap} are salted into
+    ``ceil(d / {cap})`` sub-buckets by the md5 48-bit draw on
+    ``doc_id|band``, candidates form only within a sub-bucket, and the
+    exact-Jaccard verify is unchanged. The DuckDB oracle re-derives the
+    degree census, the salt, and the salted join — so the scale dial
+    that bounds LSH's one blowup is itself cross-engine-certified, not
+    just unit-tested. Output shape matches [[dedup_near_minhash]];
+    at a production corpus the cap trades within-hub recall (template
+    boilerplate) for bounded pair work, and [[dedup_recall_report]] /
+    [[near_dup_degree_census]] are the instruments that price that
+    trade.
+    """.format(cap=_CAPPED_DIAL)
+    return dedup_near_minhash(spark, sf_dir, max_band_degree=_CAPPED_DIAL)
+
+
+_SALT_SQL = (
+    "CAST(CAST(('0x' || SUBSTR(MD5(CAST(s.doc_id AS VARCHAR) || '|' || "
+    "CAST(s.band AS VARCHAR)), 1, 12)) AS UBIGINT) AS BIGINT)"
+)
+
+DEDUP_NEAR_CAPPED_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+),
+sig AS (
+    SELECT doc_id, arr, len(arr) AS n,
+           {', '.join(f"list_min(list_transform(arr, s -> md5('{i}|' || s))) AS h{i}" for i in range(N_HASHES))}
+    FROM (SELECT doc_id, list_distinct({SHINGLES_SQL}) AS arr
+          FROM tok WHERE len(toks) >= 3)
+),
+bands AS (
+    {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS bkey FROM sig" for b in range(N_BANDS))}
+),
+deg AS (
+    SELECT band, bkey, COUNT(*) AS deg FROM bands GROUP BY band, bkey
+),
+salted AS (
+    SELECT s.doc_id, s.band, s.bkey,
+           CAST({_SALT_SQL} % CAST(CEIL(d.deg / {float(_CAPPED_DIAL)}) AS BIGINT)
+                AS INTEGER) AS sub
+    FROM bands s JOIN deg d USING (band, bkey)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM salted a JOIN salted b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.sub = b.sub
+     AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, n_shared,
        ROUND(CAST(n_shared AS DOUBLE) / (na_n + nb_n - n_shared), 4) AS jaccard
@@ -2292,6 +2386,7 @@ ORDER BY dim
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_near_minhash": dedup_near_minhash,
+    "dedup_near_minhash_capped": dedup_near_minhash_capped,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
     "leakage_free_split": leakage_free_split,
@@ -2315,6 +2410,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_near_minhash": DEDUP_NEAR_SQL,
+    "dedup_near_minhash_capped": DEDUP_NEAR_CAPPED_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_clusters_star": DEDUP_CLUSTERS_SQL,
     "leakage_free_split": LEAKAGE_FREE_SPLIT_SQL,
