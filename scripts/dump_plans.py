@@ -53,11 +53,12 @@ SHOWCASE = {
     "multimodal_jpeg_dims": "variable-offset JPEG marker walk as a bounded fold — still zero Python, map-only",
     "skew_key_census": "top-k heavy keys via TakeOrderedAndProject: per-partition heaps, window only on k rows",
     "bm25_search": "ranked retrieval: corpus filtered to query terms before any aggregate; df/avgdl broadcast; TakeOrdered top-k",
-    "sorted_neighborhood_pairs": "ER blocking: distributed prefix-offset rank, block equi-join, verify bounded to 2w neighbors",
+    "sorted_neighborhood_pairs": "ER blocking (r10): distributed adaptive-prefix-offset rank, block equi-join pinned to an explicit hash repartition (AQE coalesce would starve the levenshtein verify), verify bounded to 2w neighbors",
     "itemset_pair_lift": "market-basket pairs: basket-bounded self equi-join on order key, broadcast item supports",
     "holt_linear_forecast": "2-state recurrence over the aggregated series: the fold is row-local struct math after two key shuffles",
     "interval_bucket_overlap": "interval→bucket allocation: duration-bounded explode of spanned hours, combinable per-hour sum",
-    "bootstrap_ci_mean": "Poisson bootstrap: 32x row-local explode, replicate means combine map-side, 32-row closing fold",
+    "bootstrap_ci_mean": "Poisson bootstrap (r10): 16x pair explode with digest-split draws (one md5 feeds two replicates), fan-out ahead of the hash stage, replicate means combine map-side, 32-row closing fold",
+    "dedup_near_minhash_capped": "band-degree cap engaged (r10): degree census joined back onto the band relation, md5-salted sub-bucket key in the candidate equi-join, verify unchanged",
     "kmv_set_ops": "KMV sketch algebra: two-phase k-min (bucket-local rank then global), estimates on one-row relations",
     "point_in_polygon": "geofence census: 5-edge crossing fold fully in-row, broadcast nation dim, one bounded aggregate",
     "semi_additive_balance": "dense ledger: spine broadcast onto month-grain aggregates, carry-forward window on state rows",
