@@ -161,6 +161,9 @@ HEAVY.update(
         "knn_hubness_audit": wave27.knn_hubness_audit,
         "novelty_profile_by_source": wave27.novelty_profile_by_source,
         "minhash_estimate_audit": wave28.minhash_estimate_audit,
+        # r10: the certified band-degree-capped dedup twin — its salted
+        # candidate join must scale like the uncapped query it bounds
+        "dedup_near_minhash_capped": llm.dedup_near_minhash_capped,
     }
 )
 
