@@ -917,8 +917,12 @@ def embedding_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # explicit hash repartition on the grouping key (r10): the shuffle
+    # input is byte-small, so AQE's size-based coalesce would pack the
+    # per-bucket matmuls into 1-4 tasks — pin one bucket per task
     return (
-        emb.groupBy("label")
+        emb.repartition(spark.sparkContext.defaultParallelism, "label")
+        .groupBy("label")
         .applyInPandas(bucket_knn, schema=out_schema)
         .orderBy("vec_id")
     )
@@ -1778,8 +1782,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"a_id": ids[ai[keep]], "b_id": ids[bi[keep]], "cos_sim": sims[ai, bi][keep]}
         )
 
+    # pinned partitioning: see embedding_knn_label (AQE would coalesce
+    # the compute-dense per-bucket matmul stage below the bucket count)
     return (
-        keyed.groupBy("band", "key")
+        keyed.repartition(
+            spark.sparkContext.defaultParallelism, "band", "key"
+        )
+        .groupBy("band", "key")
         .applyInPandas(bucket_pairs, schema="a_id long, b_id long, cos_sim double")
         .distinct()
         .orderBy("a_id", "b_id")

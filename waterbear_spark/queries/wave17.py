@@ -287,8 +287,15 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # pin the pair-verify stage's partitioning (r10): the shuffle INPUT
+    # is small in bytes (vectors), so AQE's size-based coalesce would
+    # pack the per-cell matmuls — each O(cell^2 * d) FLOPs — into 1-4
+    # tasks; an explicit hash repartition on the grouping key is exempt
+    # from coalescing and spreads one cell per task
+    par = spark.sparkContext.defaultParallelism
     return (
-        m.groupBy("cell")
+        m.repartition(par, "cell")
+        .groupBy("cell")
         .applyInPandas(cell_census, schema="cell int, n_vecs int, n_dropped int")
         .withColumn(
             "kept_rate",

@@ -252,8 +252,12 @@ def knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         vals, cnts = np.unique(indeg, return_counts=True)
         return pd.DataFrame({"indegree": vals, "n_vectors": cnts})
 
+    # pinned partitioning (r10): same reasoning as semdedup_cells — the
+    # per-cell matmul is FLOP-dense on byte-small input, so exempt it
+    # from AQE's size-based coalesce with an explicit hash repartition
     return (
-        m.groupBy("cell")
+        m.repartition(spark.sparkContext.defaultParallelism, "cell")
+        .groupBy("cell")
         .applyInPandas(cell_hist, schema="indegree int, n_vectors long")
         .groupBy("indegree")
         .agg(F.sum("n_vectors").alias("n_vectors"))
