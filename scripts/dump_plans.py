@@ -80,7 +80,7 @@ SHOWCASE = {
     "rendezvous_sharding": "HRW sharding: in-row 10/11-element argmax, two bounded shard censuses, full outer on shard",
     "spearman_price_quantity": "round-5 rewrite: census + bucketed prefix ranks — no fact-table sort window, parallelism unbound from the 3 flags",
     "ann_recall_report": "probe-sample index audit: truth vs cell/bucket candidate equi-joins, 5x3 broadcast spine",
-    "semdedup_cells": "SemDeDup (r7): one cell-key shuffle into a per-cell BLAS census (FlatMapGroupsInPandas) — pair space never leaves the worker",
+    "semdedup_cells": "SemDeDup (r7/r10): one PINNED cell-key repartition into a per-cell BLAS census (FlatMapGroupsInPandas) — pair space never leaves the worker; the explicit exchange keeps AQE from coalescing the FLOP-dense stage",
     "ann_ivf_kmeans": "two-level IVF (r7): sample-trained centroid DataFrames, broadcast packed-struct assignment + row-local argmin — no plan literals, no corpus shuffle",
     "quality_gate_funnel": "five gates in one scan + one doc-keyed mode aggregate; attrition from a single 5-struct explode",
     "epoch_allocation": "|sources|-row allocation: two broadcast 1-row scalars, exact decimal floor-div waterfall",
@@ -94,7 +94,7 @@ SHOWCASE = {
     "curriculum_schedule": "curriculum manifest (r9): in-row stopword score, distributed exact NTILE, closing windows on the 4-row phase relation",
     "embedding_covariance": "one-pass covariance (r9): flat row-local product explode into d(d+1)/2 map-side-combinable cells; (i,j) decode + dim sums are broadcast micro-relations joined after the aggregate",
     "bloom_decontaminate": "Bloom screen (r8): fixed 4096-position broadcast filter; per-shingle flags reattach through an unhinted vocab equi-join",
-    "knn_hubness_audit": "hubness audit (r8): one cell-key shuffle into a per-cell BLAS NN histogram (FlatMapGroupsInPandas) — edges never leave the worker",
+    "knn_hubness_audit": "hubness audit (r8/r10): one PINNED cell-key repartition into a per-cell BLAS NN histogram (FlatMapGroupsInPandas) — edges never leave the worker",
     "dup_span_removal_manifest": "substring-dedup manifest (r8): row-local window digests, digest-keyed census join, per-doc island windows",
     "quota_sample_manifest": "domain caps (r8): rank filter directly on the window (WindowGroupLimit bounds per-source state at N), census joined back",
 }
