@@ -84,6 +84,38 @@ def test_restage_replaces_and_leaves_no_debris(spark, tmp_path, monkeypatch):
     assert [d for d in os.listdir(parent) if ".tmp-" in d or ".old-" in d] == []
 
 
+def test_failed_swap_restores_old_stage(spark, tmp_path, monkeypatch):
+    """If the tmp->path swap fails for a reason OTHER than a concurrent
+    winner (path absent afterwards), the renamed-aside old stage must be
+    restored and the failure surfaced — never 'success' with the
+    component silently absent (round-10 advisor finding)."""
+    import pytest
+
+    monkeypatch.setenv("SPARK_GRAFT_ANN_INDEX_DIR", str(tmp_path))
+    path = store.component_dir("/c", "ivf")
+    old = {"cells": spark.createDataFrame([(1, 0)], "vec_id long, cell int")}
+    new = {"cells": spark.createDataFrame([(1, 5)], "vec_id long, cell int")}
+    store.staged_write(spark, path, old, {"n": 1, "rev": 1})
+
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if ".tmp-" in src and dst == path:
+            raise OSError("simulated swap failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(store.os, "rename", failing_rename)
+    with pytest.raises(OSError, match="simulated swap failure"):
+        store.staged_write(spark, path, new, {"n": 1, "rev": 2})
+    monkeypatch.setattr(store.os, "rename", real_rename)
+
+    # the OLD complete stage is back at path, and no debris survives
+    got = store.staged_read(spark, path, {"n": 1, "rev": 1})
+    assert got is not None and _fp_rows(got["cells"]) == [(1, 0)]
+    parent = os.path.dirname(path)
+    assert [d for d in os.listdir(parent) if ".tmp-" in d or ".old-" in d] == []
+
+
 def test_corpus_fingerprint_matches_sql(spark):
     fp = store.corpus_fingerprint(spark, SF_SMOKE)
     emb = spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))

@@ -36,6 +36,14 @@ def test_catalog_is_complete():
     assert set(ORACLE_SQL) <= set(QUERIES)
 
 
+def test_every_query_has_a_docstring():
+    """Introspection contract (r10 advisor): a catalog query whose doc
+    is a ``"..." .format(...)`` expression statement has __doc__ None —
+    the idiom was scrubbed in r11; this pins it out for good."""
+    missing = [k for k, fn in QUERIES.items() if not getattr(fn, "__doc__", None)]
+    assert missing == []
+
+
 @pytest.mark.parametrize("name", REPRESENTATIVE)
 def test_query_matches_oracle(spark, oracle, name):
     sdf = QUERIES[name](spark, SF_SMOKE)

@@ -186,50 +186,28 @@ assert set(ORACLE_SQL) <= set(QUERIES), "oracle without query"
 # CORRECTNESS_LOCAL.json (scripts/check_oracle.py, full catalog) remains
 # the per-round local certification on top.
 _PRIORITY = [
-    # --- round 10 ---
-    # the wave-30 four, deferred one rotation in r9 per the documented
-    # policy (same-commit 3-scale certs in CORRECTNESS_LOCAL_WAVE30):
-    # this is their driver rotation - the r9 verdict's #1 ask
-    # (313/313 cumulative driver evidence)
-    "ann_index_manifest",
-    "near_dup_degree_census",
-    "curriculum_schedule",
-    "embedding_covariance",
-    # VALUES changed this round: the Poisson draw now splits each md5
-    # digest into two 48-bit uniforms (16 hashes/row for 32 replicates;
-    # 11.5s -> ~1.9s at sf0.1, STRATEGY_BENCH bootstrap_digest_split) -
-    # locally re-certified at three scales in the same commit
-    # (CORRECTNESS_LOCAL_BOOT10)
-    "bootstrap_ci_mean",
-    # plan changed this round, values certified unchanged
-    # (CORRECTNESS_LOCAL_R10 at sf0.01+sf0.1+sf1): adaptive rank-prefix
-    # + pinned join partitioning (10x ratio 3.21x -> ~1.1x,
-    # BENCH_SCALING_r10), the single-pass minhash fold (3.10x -> ~2.5x),
-    # and the max_band_degree salting path added to the candidate join
-    "sorted_neighborhood_pairs",
-    "minhash_estimate_audit",
-    "dedup_near_minhash",
-    # the 8-slot head + approx_distinct's rows-only slot leave 41
-    # window slots for the stalest previously-verified rows - the whole
-    # remaining r3 pool (37 rows) fits, so after this rotation the
-    # stale floor is >= r4 (the r9 verdict's rotation ask). The other
-    # queries touched by the fold/oracle-guard refactors (recall
-    # report, threshold sweep, cross-modal, incremental merge, the
-    # IVF/PQ family) have value-identical outputs pinned by the same
-    # 3-scale local cert; the round-robin brings them driver-side by
-    # staleness as usual.
+    # --- round 11 ---
+    # the one catalog row with no driver-green record anywhere (its
+    # same-commit 3-scale certs are in CORRECTNESS_LOCAL_R10/SF1E):
+    # its deferred rotation, the r10 verdict's #1 ask — after this the
+    # cumulative driver record is 314/314. The r11 persist of the band
+    # relation in the capped path (llm._band_candidates) is plan-only;
+    # values re-certified at three scales in the same commit
+    # (CORRECTNESS_LOCAL_R11).
+    "dedup_near_minhash_capped",
+    # the 1-slot head + approx_distinct's rows-only slot leave 48
+    # window slots for the stalest previously-verified rows — the whole
+    # r4 floor (40 rows) fits, so after this rotation the stale floor
+    # is >= r5, continuing the freshness ratchet.
 ]
 
 # Queries introduced THIS round whose driver evidence can wait one
 # rotation: they sort as if verified in round _DEFER_ROUND so they
 # don't crowd the older never-verified names out of the 50-slot window.
 # Deferral REQUIRES committed same-round local certification (see
-# README "certification rule"). Round 10 adds one query — the certified
-# band-degree-capped dedup twin (3-scale certs in
-# CORRECTNESS_LOCAL_R10) — deferred so the window keeps its 41 slots
-# for the stale r3 pool.
-_DEFER: set[str] = {"dedup_near_minhash_capped"}
-_DEFER_ROUND = 10
+# README "certification rule"). Round 11 adds no new queries.
+_DEFER: set[str] = set()
+_DEFER_ROUND = 11
 
 
 def _last_verified_round() -> dict[str, int]:

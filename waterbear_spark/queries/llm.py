@@ -176,6 +176,15 @@ def _band_candidates(
     noise next to the 8-per-shingle signature scan."""
     keys = ["band", "bkey"]
     if max_band_degree is not None:
+        # The degree census is a THIRD consumer of the band relation
+        # (alongside both self-join sides): persist it so the MinHash
+        # fold over the shingle sets runs once, not once more per
+        # consumer — the uncapped self-join dedupes its two sides via
+        # exchange reuse, but the groupBy shape does not share that
+        # exchange (r10 advisor finding). Left cached like the shingle
+        # frame in dedup_near_minhash: the candidate join is lazy, so
+        # an eager unpersist here would just force recomputation.
+        bands = bands.persist()
         deg = bands.groupBy("band", "bkey").agg(
             F.count(F.lit(1)).alias("__deg")
         )
@@ -340,21 +349,25 @@ _CAPPED_DIAL = 2
 
 
 def dedup_near_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[[dedup_near_minhash]] with the band-degree cap ENGAGED at
-    ``max_band_degree = {cap}`` — the certified twin of the r10 hub
-    dial. Semantics: band keys with degree d > {cap} are salted into
-    ``ceil(d / {cap})`` sub-buckets by the md5 48-bit draw on
-    ``doc_id|band``, candidates form only within a sub-bucket, and the
-    exact-Jaccard verify is unchanged. The DuckDB oracle re-derives the
-    degree census, the salt, and the salted join — so the scale dial
-    that bounds LSH's one blowup is itself cross-engine-certified, not
-    just unit-tested. Output shape matches [[dedup_near_minhash]];
-    at a production corpus the cap trades within-hub recall (template
-    boilerplate) for bounded pair work, and [[dedup_recall_report]] /
-    [[near_dup_degree_census]] are the instruments that price that
-    trade.
-    """.format(cap=_CAPPED_DIAL)
     return dedup_near_minhash(spark, sf_dir, max_band_degree=_CAPPED_DIAL)
+
+
+# assigned (not an inline literal-with-.format(), which would leave
+# __doc__ None — r10 advisor finding) so help()/introspection keep the
+# semantics of the catalog query
+dedup_near_minhash_capped.__doc__ = """[[dedup_near_minhash]] with the
+band-degree cap ENGAGED at ``max_band_degree = {cap}`` — the certified
+twin of the r10 hub dial. Semantics: band keys with degree d > {cap}
+are salted into ``ceil(d / {cap})`` sub-buckets by the md5 48-bit draw
+on ``doc_id|band``, candidates form only within a sub-bucket, and the
+exact-Jaccard verify is unchanged. The DuckDB oracle re-derives the
+degree census, the salt, and the salted join — so the scale dial that
+bounds LSH's one blowup is itself cross-engine-certified, not just
+unit-tested. Output shape matches [[dedup_near_minhash]]; at a
+production corpus the cap trades within-hub recall (template
+boilerplate) for bounded pair work, and [[dedup_recall_report]] /
+[[near_dup_degree_census]] are the instruments that price that trade.
+""".format(cap=_CAPPED_DIAL)
 
 
 _SALT_SQL = (

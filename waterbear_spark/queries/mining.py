@@ -140,10 +140,12 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two bounded shuffles (rank-within-prefix, block equi-join);
     the edit-distance verify runs only on the 2w-bounded neighbor set
     per row — never a pair space.
-    """.format(w=_SN_WINDOW, d=_SN_MAX_DIST)
+    """
     return _neighborhood_pairs(spark, sf_dir, _SN_MAX_DIST).orderBy(
         "key_a", "key_b"
     )
+
+sorted_neighborhood_pairs.__doc__ = sorted_neighborhood_pairs.__doc__.format(w=_SN_WINDOW, d=_SN_MAX_DIST)
 
 
 SORTED_NEIGHBORHOOD_SQL = f"""
@@ -176,7 +178,7 @@ def itemset_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized and broadcast; the top-k is ``TakeOrderedAndProject``. Lift
     arithmetic casts to double BEFORE multiplying so the intermediate
     products cannot overflow BIGINT at corpus scale.
-    """.format(k=_PAIR_TOPK)
+    """
     # the distinct basket relation fans out four ways (pair sides, item
     # supports, order count) — persist so the dedup shuffle runs once
     li = (
@@ -228,6 +230,8 @@ def itemset_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_pair").desc(), "pa", "pb")
         .limit(_PAIR_TOPK)
     )
+
+itemset_pair_lift.__doc__ = itemset_pair_lift.__doc__.format(k=_PAIR_TOPK)
 
 
 ITEMSET_PAIR_LIFT_SQL = f"""
@@ -370,7 +374,7 @@ def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     the clusters from RECORD-level pairs with a recursive-CTE closure —
     two algorithms AND two granularities, one answer, as in
     [[dedup_clusters_star]].
-    """.format(d=_ER_MAX_DIST, cap=_ER_CLUSTER_CAP)
+    """
     from waterbear_spark.operators.starcc import star_connected_components
 
     parts = table(spark, sf_dir, "part").select(
@@ -450,6 +454,8 @@ def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_name", "p_retailprice", "component"
     )
     return _er_survivorship(members).orderBy("cluster_id")
+
+er_golden_records.__doc__ = er_golden_records.__doc__.format(d=_ER_MAX_DIST, cap=_ER_CLUSTER_CAP)
 
 
 ER_GOLDEN_SQL = f"""

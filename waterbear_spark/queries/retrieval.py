@@ -168,7 +168,7 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     The posting list is serialized with ``array_join`` to one
     comma-delimited string (r5 verdict fix: the driver's hash harness
     cannot hash array columns; the values are unchanged).
-    """.format(cap=_POSTINGS_CAP)
+    """
     toks = table(spark, sf_dir, "documents").select(
         "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "term")
     )
@@ -192,6 +192,8 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+inverted_index_postings.__doc__ = inverted_index_postings.__doc__.format(cap=_POSTINGS_CAP)
 
 
 INVERTED_INDEX_SQL = f"""

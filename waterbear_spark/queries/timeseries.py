@@ -823,7 +823,7 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the recurrence runs on the pre-aggregated (type, day) series
     — calendar-bounded at any corpus size; the heavy work is the
     combinable daily aggregate underneath (same argument as the EMA).
-    """.format(h=_HOLT_HORIZON)
+    """
     daily = (
         table(spark, sf_dir, "events")
         .groupBy("event_type", F.to_date("ts").alias("day"))
@@ -865,6 +865,8 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+holt_linear_forecast.__doc__ = holt_linear_forecast.__doc__.format(h=_HOLT_HORIZON)
 
 
 HOLT_SQL = f"""

@@ -54,7 +54,7 @@ def ldiversity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one hash aggregate on the QI (count + count-distinct), two
     1-row censuses broadcast back — combinable end to end.
-    """.format(k=_LD_K, l=_LD_L)
+    """
     cust = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     rows = cust.join(
@@ -79,6 +79,8 @@ def ldiversity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(sup))
         .orderBy("nation", "segment")
     )
+
+ldiversity_release.__doc__ = ldiversity_release.__doc__.format(k=_LD_K, l=_LD_L)
 
 
 LDIVERSITY_SQL = f"""
@@ -125,7 +127,7 @@ def trajectory_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local IEEE identical on both engines; the per-user sum is
     order-free decimal. The movement-census primitive for trip/route
     analytics.
-    """.format(k=_TRAJ_TOPK)
+    """
     from waterbear_spark.queries.wave3 import _pseudo_deg
 
     ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
@@ -167,6 +169,8 @@ def trajectory_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_km").desc(), "user_id")
         .limit(_TRAJ_TOPK)
     )
+
+trajectory_length.__doc__ = trajectory_length.__doc__.format(k=_TRAJ_TOPK)
 
 
 def _traj_sql() -> str:
@@ -297,7 +301,7 @@ def bigram_backoff_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two vocabulary-sized aggregates over the train split (both
     heavily combinable), one broadcast-able logprob join back onto the
     exploded held-out corpus. No pair space.
-    """.format(b=_BB_BACKOFF, k=_BB_BOTTOM_K)
+    """
     from waterbear_spark.queries.llm import _tokens
 
     bucket = (
@@ -417,6 +421,8 @@ def bigram_backoff_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BB_BOTTOM_K)
     )
 
+bigram_backoff_perplexity.__doc__ = bigram_backoff_perplexity.__doc__.format(b=_BB_BACKOFF, k=_BB_BOTTOM_K)
+
 
 def _bb_sql() -> str:
     from waterbear_spark.queries.llm import TOKENS_SQL
@@ -508,7 +514,7 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both lists are TakeOrdered top-{n} — the fusion runs on
     2x{n} rows regardless of corpus size.
-    """.format(n=_RRF_LIST, k=_RRF_K)
+    """
     from waterbear_spark.queries.llm import _tokens
     from waterbear_spark.queries.wave7 import _eval_scores
 
@@ -548,6 +554,8 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(_RRF_TOPK)
+
+rrf_fusion.__doc__ = rrf_fusion.__doc__.format(n=_RRF_LIST, k=_RRF_K)
 
 
 def _rrf_sql() -> str:

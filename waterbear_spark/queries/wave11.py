@@ -122,7 +122,7 @@ def bipartite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     endpoints share a color — each is an odd cycle witness; zero means
     bipartite (within the reached subgraph). Output: one row with node,
     edge, reached, and conflict counts plus the verdict.
-    """.format(r=_BP_ROUNDS)
+    """
     from waterbear_spark.queries.graph import _und_edges
 
     und = _und_edges(spark, sf_dir).persist()
@@ -173,6 +173,8 @@ def bipartite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_conflicts") == 0).alias("is_bipartite"),
         )
     )
+
+bipartite_check.__doc__ = bipartite_check.__doc__.format(r=_BP_ROUNDS)
 
 
 def _bipartite_sql() -> str:
@@ -235,7 +237,7 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: sigma uses decimal(38,0) cents moments and one sqrt;
     the weight shares quantize to integer parts-per-million BEFORE the
     remainder rank, so the apportionment compares exact integers only.
-    """.format(b=_NEY_BUDGET)
+    """
     o = table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("decimal(19,0)")
     per = o.groupBy("o_orderpriority").agg(
@@ -285,6 +287,8 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+neyman_allocation.__doc__ = neyman_allocation.__doc__.format(b=_NEY_BUDGET)
 
 
 NEYMAN_SQL = f"""
@@ -453,7 +457,7 @@ def welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     effective degrees of freedom — the robust default when variances
     (and group sizes) differ. Exact cents moments; the t and df are
     closing IEEE expressions.
-    """.format(a=_WT_A, b=_WT_B)
+    """
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     cents = F.round(F.col("o_totalprice") * 100).cast("decimal(19,0)")
@@ -500,6 +504,8 @@ def welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t, 6).alias("t_stat"),
         F.round(df, 2).alias("df_welch"),
     )
+
+welch_ttest_segments.__doc__ = welch_ttest_segments.__doc__.format(a=_WT_A, b=_WT_B)
 
 
 def _welch_cell(name: str, tag: str) -> str:

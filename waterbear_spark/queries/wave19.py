@@ -341,7 +341,7 @@ def lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature — see module docstring. ``rank_for_tau`` = 1 marks the
     split whose 50%-collision threshold sits closest to tau={t}
     (ties to fewer bands = cheaper).
-    """.format(h=N_HASHES, t=_PLAN_TAU)
+    """
     rows = spark.range(1, N_HASHES + 1).filter(
         F.lit(N_HASHES) % F.col("id") == 0
     )
@@ -364,6 +364,8 @@ def lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         curve.withColumn("rank_for_tau", F.row_number().over(w).cast("int"))
         .orderBy("bands")
     )
+
+lsh_band_planner.__doc__ = lsh_band_planner.__doc__.format(h=N_HASHES, t=_PLAN_TAU)
 
 
 LSH_PLANNER_SQL = f"""

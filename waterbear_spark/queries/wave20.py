@@ -493,7 +493,7 @@ def ann_ivfpq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set (AQE broadcasts the candidate side). Per-subspace
     distances are quantized to micro-units BEFORE the cross-subspace
     sum, so both engines add exact integers in any order.
-    """.format(np=_ADC_NPROBE, m=_PQ_M, k=_PQ_K, t=_ADC_TOPK)
+    """
     from pyspark.sql import Window
 
     scored, _probes, _emb = _adc_scored(spark, sf_dir)
@@ -509,6 +509,8 @@ def ann_ivfpq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+ann_ivfpq_adc_search.__doc__ = ann_ivfpq_adc_search.__doc__.format(np=_ADC_NPROBE, m=_PQ_M, k=_PQ_K, t=_ADC_TOPK)
 
 
 _PQ_MEMO: dict = {}

@@ -73,7 +73,7 @@ def _dot(a, b) -> Column:
 def ann_refine_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage IVF-PQ search: ADC shortlist (R={r}) -> exact re-rank
     (top {t}) — see module docstring. Output: (query_id, rank, vec_id,
-    exact_dist, adc_rank), ordered.""".format(r=_REFINE_R, t=_ADC_TOPK)
+    exact_dist, adc_rank), ordered."""
     scored, probes, emb = _adc_scored(spark, sf_dir)
     w_adc = Window.partitionBy("query_id").orderBy("s_fp", "vec_id")
     short = (
@@ -106,6 +106,8 @@ def ann_refine_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+ann_refine_rerank.__doc__ = ann_refine_rerank.__doc__.format(r=_REFINE_R, t=_ADC_TOPK)
 
 
 REFINE_RERANK_SQL = f"""
@@ -144,9 +146,7 @@ ORDER BY query_id, rank
 def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force recall@5 of prefix-dim distances vs full-dim truth
     for the {k} audit probes at dims {dims} — see module docstring.
-    Output: (dim_kept, query_id, hits, recall_at_5), ordered.""".format(
-        k=_SWEEP_K, dims=list(_MAT_DIMS)
-    )
+    Output: (dim_kept, query_id, hits, recall_at_5), ordered."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -207,6 +207,8 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim_kept", "query_id")
     )
+
+matryoshka_recall.__doc__ = matryoshka_recall.__doc__.format(k=_SWEEP_K, dims=list(_MAT_DIMS))
 
 
 def _mat_blocks_sql() -> tuple[str, str]:

@@ -154,7 +154,7 @@ ORDER BY source
 def quota_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source cap census at quota {q} — see module docstring.
     Output: (source, n_docs, kept, cut, kept_chars, cut_chars),
-    ordered.""".format(q=_QUOTA)
+    ordered."""
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
@@ -187,6 +187,8 @@ def quota_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+quota_sample_manifest.__doc__ = quota_sample_manifest.__doc__.format(q=_QUOTA)
 
 
 QUOTA_SAMPLE_SQL = f"""

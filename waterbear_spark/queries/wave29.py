@@ -48,7 +48,7 @@ _ANISO_FP = 1_000_000  # cosine micro-units (exact integer averaging)
 def ann_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@{k} of ADC-only vs ADC+refine against brute L2 truth —
     see module docstring. Output: (query_id, adc_hits, adc_recall,
-    refine_hits, refine_recall), one row per probe.""".format(k=_ADC_TOPK)
+    refine_hits, refine_recall), one row per probe."""
     scored, probes, emb = _adc_scored(spark, sf_dir)
     # brute-force L2 truth over the full corpus (probe-bounded pass)
     d = (_dot("v", "v") - 2 * _dot("qv", "v")) + _dot("qv", "qv")
@@ -114,6 +114,8 @@ def ann_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+ann_refine_recall.__doc__ = ann_refine_recall.__doc__.format(k=_ADC_TOPK)
 
 
 REFINE_RECALL_SQL = f"""

@@ -98,7 +98,7 @@ def hypothetical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     percent_rank = |x < v| / n) — exact integer counts and one IEEE
     division each, bit-identical across engines. One pass, map-side
     combinable.
-    """.format(v=_HYP_PRICE)
+    """
     o = table(spark, sf_dir, "orders")
     lt = F.sum(F.when(F.col("o_totalprice") < _HYP_PRICE, 1).otherwise(0))
     le = F.sum(F.when(F.col("o_totalprice") <= _HYP_PRICE, 1).otherwise(0))
@@ -113,6 +113,8 @@ def hypothetical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+hypothetical_rank.__doc__ = hypothetical_rank.__doc__.format(v=_HYP_PRICE)
 
 
 HYPOTHETICAL_RANK_SQL = f"""
@@ -256,7 +258,7 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: map-side token explode (3 tokens/row, no shuffle until the
     {b}-key aggregate), bounded output. This is the schema-free
     featurizer used when the category vocabulary is unbounded.
-    """.format(b=_FH_BUCKETS)
+    """
     o = table(spark, sf_dir, "orders")
     price_band = F.concat(
         F.lit("band="), (F.col("o_totalprice") / 50_000).cast("int").cast("string")
@@ -284,6 +286,8 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+feature_hashing.__doc__ = feature_hashing.__doc__.format(b=_FH_BUCKETS)
 
 
 FEATURE_HASHING_SQL = f"""

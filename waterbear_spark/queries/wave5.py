@@ -50,7 +50,7 @@ def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate + a broadcast 1-row prior — the encoder table this emits
     is what a training pipeline broadcast-joins back onto the facts, so
     the expensive side is one map-side-combinable pass at any scale.
-    """.format(m=_TE_M)
+    """
     o = table(spark, sf_dir, "orders")
     y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
     per_cat = o.groupBy("o_orderpriority").agg(
@@ -86,6 +86,8 @@ def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+target_encoding.__doc__ = target_encoding.__doc__.format(m=_TE_M)
 
 
 TARGET_ENCODING_SQL = f"""
@@ -247,7 +249,7 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     by commutativity, so hashes are unchanged), so the word explode and
     the score join-back both run over distinct phrases only. Top-k via
     TakeOrdered, no global sort.
-    """.format(k=_RAKE_TOPK, m=_RAKE_MAX_PHRASE)
+    """
     docs = table(spark, sf_dir, "documents")
     stop_re = r"\b(" + "|".join(_RAKE_STOP) + r")\b"
     cleaned = docs.select(
@@ -302,6 +304,8 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "phrase")
         .limit(_RAKE_TOPK)
     )
+
+rake_keywords.__doc__ = rake_keywords.__doc__.format(k=_RAKE_TOPK, m=_RAKE_MAX_PHRASE)
 
 
 def _rake_sql() -> str:
@@ -368,7 +372,7 @@ def mase_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     are decimal differences; the final ratio is one IEEE division. One
     shuffle to the (priority, day) grain, then windows over the tiny
     per-priority day series share a single Exchange.
-    """.format(s=_MASE_SEASON)
+    """
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(
         "o_orderpriority",
@@ -399,6 +403,8 @@ def mase_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+mase_forecast_accuracy.__doc__ = mase_forecast_accuracy.__doc__.format(s=_MASE_SEASON)
 
 
 MASE_SQL = f"""

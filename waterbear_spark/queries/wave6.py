@@ -87,7 +87,7 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     {r} replicates cost {p} hashes per row, not {r}. Both substrings
     sit in ONE projection so codegen's subexpression elimination
     evaluates the md5 once.
-    """.format(r=_BOOT_R, p=_BOOT_PAIRS)
+    """
     from waterbear_spark.queries.llm import _fan_out
 
     o = table(spark, sf_dir, "orders")
@@ -164,6 +164,8 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_hi",
     )
 
+bootstrap_ci_mean.__doc__ = bootstrap_ci_mean.__doc__.format(r=_BOOT_R, p=_BOOT_PAIRS)
+
 
 def _pois_case_sql(u: str) -> str:
     branches = " ".join(
@@ -233,7 +235,7 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference — the experiment readout: one combinable aggregate over
     each arm, then closed-form IEEE arithmetic on four integers (sqrt
     is correctly-rounded per IEEE 754, so both engines agree exactly).
-    """.format(a=_AB_A, b=_AB_B)
+    """
     o = table(spark, sf_dir, "orders")
     y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
     arms = (
@@ -265,6 +267,8 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1 - p2 - _Z95 * se_wald, 6).alias("ci_lo"),
         F.round(p1 - p2 + _Z95 * se_wald, 6).alias("ci_hi"),
     )
+
+ab_test_proportions.__doc__ = ab_test_proportions.__doc__.format(a=_AB_A, b=_AB_B)
 
 
 AB_TEST_SQL = f"""
@@ -320,7 +324,7 @@ def harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphs (the edge list broadcasts; each round is one |pairs|
     aggregate with lineage cut). Web-scale graphs swap in HyperBall
     (HLL neighborhood sketches), trading exactness for |V| state.
-    """.format(r=_HC_ROUNDS)
+    """
     from waterbear_spark.queries.graph import _und_edges
 
     und = _und_edges(spark, sf_dir).persist()
@@ -347,6 +351,8 @@ def harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("harmonic").desc(), "node")
     )
+
+harmonic_centrality.__doc__ = harmonic_centrality.__doc__.format(r=_HC_ROUNDS)
 
 
 def _harmonic_sql() -> str:
@@ -408,7 +414,7 @@ def containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (blocking recall, cf. [[dedup_recall_report]]); a true-containment
     pair at >= 50% shares half of A's shingle set, which at typical df
     skew includes many rare shingles.
-    """.format(m=_CT_DF_MAX, k=_CT_MIN_SHARED)
+    """
     from waterbear_spark.queries.llm import _shingles, _tokens
 
     docs = table(spark, sf_dir, "documents").select(
@@ -468,6 +474,8 @@ def containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("containment").desc(), "da", "db")
         .limit(_CT_TOPK)
     )
+
+containment_join.__doc__ = containment_join.__doc__.format(m=_CT_DF_MAX, k=_CT_MIN_SHARED)
 
 
 def _containment_sql() -> str:

@@ -137,7 +137,7 @@ def psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast scalar against the facts; the fold runs over a
     {b}-element array. Output also exposes the per-bin shares so the
     alarm is auditable.
-    """.format(b=_PSI_BINS)
+    """
     o = table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
     bounds = o.agg(
         F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
@@ -205,6 +205,8 @@ def psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return folded.orderBy("bin")
 
+psi_stability.__doc__ = psi_stability.__doc__.format(b=_PSI_BINS)
+
 
 PSI_SQL = f"""
 WITH bounds AS (
@@ -268,7 +270,7 @@ def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments in DECIMAL(38,0) inside ONE conditional aggregate (no
     4-way join assembly); means, variances, and the t-statistic are
     closing IEEE expressions over those exact sums.
-    """.format(t=_DID_TREAT, c=_DID_CTRL)
+    """
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     bounds = o.agg(
@@ -352,6 +354,8 @@ def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(se, 4).alias("se"),
         F.round(did / se, 4).alias("t_stat"),
     )
+
+diff_in_diff.__doc__ = diff_in_diff.__doc__.format(t=_DID_TREAT, c=_DID_CTRL)
 
 
 def _did_cellsql(name: str, treat: str, post: str) -> str:
@@ -465,7 +469,7 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one corpus pass computes (score, rel) per doc row-locally;
     both top-{k} selections are TakeOrdered; the DCG folds run over
     {k}-row relations. MRR is the first rank with rel > 0.
-    """.format(k=_EVAL_K, t=len(_EVAL_TERMS))
+    """
     from waterbear_spark.queries.llm import _tokens
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -538,6 +542,8 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "retrieved_relevant",
     )
 
+retrieval_eval_ndcg.__doc__ = retrieval_eval_ndcg.__doc__.format(k=_EVAL_K, t=len(_EVAL_TERMS))
+
 
 def _eval_sql() -> str:
     from waterbear_spark.queries.llm import TOKENS_SQL
@@ -605,7 +611,7 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     space); attributes arrive by two broadcast joins of the part dim;
     each field is one conditional aggregate, unpivoted in-row — one
     pass over the pair relation for all fields.
-    """.format(m=_FS_MATCH_DIST, u=_FS_NONMATCH_DIST)
+    """
     from waterbear_spark.queries.mining import _neighborhood_pairs
 
     attrs = table(spark, sf_dir, "part").select(
@@ -698,6 +704,8 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(m / u) / _LN2, 4).alias("agree_weight"),
         F.round(F.log((1.0 - m) / (1.0 - u)) / _LN2, 4).alias("disagree_weight"),
     ).orderBy("field")
+
+fellegi_sunter_weights.__doc__ = fellegi_sunter_weights.__doc__.format(m=_FS_MATCH_DIST, u=_FS_NONMATCH_DIST)
 
 
 def _fs_sql() -> str:

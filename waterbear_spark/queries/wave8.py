@@ -58,7 +58,7 @@ def grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters. Points in non-core cells are noise by definition;
     [[grid_neighbor_join]] covers the point-level epsilon join where
     exact point adjacency matters.
-    """.format(c=_DB_CELL, m=_DB_MINPTS)
+    """
     from waterbear_spark.operators.starcc import star_connected_components
     from waterbear_spark.queries.relational_more import _pseudo_coord
 
@@ -116,6 +116,8 @@ def grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_points").desc(), "cluster")
     )
+
+grid_dbscan.__doc__ = grid_dbscan.__doc__.format(c=_DB_CELL, m=_DB_MINPTS)
 
 
 def _dbscan_sql() -> str:
@@ -178,7 +180,7 @@ def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     term and the closing averages are order-free. One shuffle to day
     grain; the backtest window and the final aggregate ride the
     calendar-sized series.
-    """.format(w=_RO_WINDOW)
+    """
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(
         F.date_trunc("day", F.col("o_orderdate").cast("timestamp_ntz")).alias("day")
@@ -213,6 +215,8 @@ def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mape_pct"),
     )
+
+rolling_origin_backtest.__doc__ = rolling_origin_backtest.__doc__.format(w=_RO_WINDOW)
 
 
 ROLLING_ORIGIN_SQL = f"""
@@ -254,7 +258,7 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum-of-C(basket,3) over baskets (single-digit baskets: linear-ish
     in orders, never |parts|^3). Support = triple orders / total
     orders. Top {k} by count.
-    """.format(k=_TRI_TOPK)
+    """
     li = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -285,6 +289,8 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "pa", "pb", "pc")
         .limit(_TRI_TOPK)
     )
+
+frequent_triples.__doc__ = frequent_triples.__doc__.format(k=_TRI_TOPK)
 
 
 # per-basket enumeration, not a 3-way self-join: baskets are bounded
@@ -324,7 +330,7 @@ def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern depth 3 (extends [[top_event_paths]]'s transitions): two
     LEADs on the (ts, event_id)-ordered per-user window, one count.
     One shuffle on user_id; both LEADs share the window Exchange.
-    """.format(k=_TG_TOPK)
+    """
     ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     tri = ev.select(
@@ -338,6 +344,8 @@ def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "e1", "e2", "e3")
         .limit(_TG_TOPK)
     )
+
+event_trigrams.__doc__ = event_trigrams.__doc__.format(k=_TG_TOPK)
 
 
 EVENT_TRIGRAMS_SQL = f"""

@@ -122,7 +122,7 @@ def calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is [[decile_lift_table]]'s sibling for probability quality:
     lift measures discrimination, this measures calibration.
-    """.format(k=_CAL_BINS, kk=2 * _CAL_BINS)
+    """
     from waterbear_spark.operators.ntile import bucketed_ntile
 
     o = table(spark, sf_dir, "orders").select(
@@ -168,6 +168,8 @@ def calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("brier_total"),
     ).orderBy("tile")
+
+calibration_brier.__doc__ = calibration_brier.__doc__.format(k=_CAL_BINS, kk=2 * _CAL_BINS)
 
 
 CALIBRATION_SQL = f"""
@@ -228,7 +230,7 @@ def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the recurrence runs on the day-grain series — calendar-
     bounded at any corpus size; the heavy work is the combinable daily
     aggregate underneath.
-    """.format(m=_HW_M)
+    """
     from waterbear_spark.queries.tables import dsum
 
     daily = (
@@ -303,6 +305,8 @@ def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h")
     )
+
+holt_winters_seasonal.__doc__ = holt_winters_seasonal.__doc__.format(m=_HW_M)
 
 
 def _hw_sql() -> str:

@@ -151,7 +151,19 @@ def staged_write(
         try:
             os.rename(tmp, path)
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(path):
+                # Not a concurrent winner: the swap failed for another
+                # reason AFTER the old stage was renamed aside. Restore
+                # the aside copy so the component is never observed
+                # absent, then surface the failure (readers would
+                # otherwise silently rebuild every session).
+                if old is not None:
+                    os.rename(old, path)
+                    old = None
+                raise
+            # else: a concurrent restager won the swap; its complete
+            # stage is at ``path`` — fall through and reap our aside copy
         if old is not None:
             shutil.rmtree(old, ignore_errors=True)
     except Exception:

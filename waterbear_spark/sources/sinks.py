@@ -294,6 +294,24 @@ def merge_upsert(
             spark.conf.set(auto_key, "true")
         try:
             target = DeltaTable.forPath(spark, target_path)
+            tcols = target.toDF().columns
+            extra = [c for c in updates.columns if c not in tcols]
+            if extra and not merge_schema:
+                if delete_condition is None:
+                    # fallback parity: schema change without opt-in raises
+                    raise ValueError(
+                        f"merge_upsert: update batch adds columns {extra} "
+                        "— pass merge_schema=True to evolve the table"
+                    )
+                # fallback parity (r10 advisor): a batch column that
+                # exists only to drive the delete flag (e.g. CDC ``_op``)
+                # must never land in the table — *UpdateAll/*InsertAll
+                # would write it (or fail), so project the clauses down
+                # to target columns while the merge CONDITIONS still see
+                # the full update row.
+                set_map = {c: f"u.{c}" for c in updates.columns if c in tcols}
+            else:
+                set_map = None  # schemas agree, or autoMerge evolves
             cond = " AND ".join(f"t.{k} = u.{k}" for k in keys)
             m = target.alias("t").merge(updates.alias("u"), cond)
             if delete_condition is not None:
@@ -303,12 +321,19 @@ def merge_upsert(
                 # INSERT it. NULL flags count as not-deleted, matching
                 # the fallback's coalesce(..., false).
                 m = m.whenMatchedDelete(condition=delete_condition)
-                m = m.whenMatchedUpdateAll()
-                m = m.whenNotMatchedInsertAll(
-                    condition=f"NOT coalesce(({delete_condition}), false)"
-                )
-            else:
+                not_del = f"NOT coalesce(({delete_condition}), false)"
+                if set_map is None:
+                    m = m.whenMatchedUpdateAll()
+                    m = m.whenNotMatchedInsertAll(condition=not_del)
+                else:
+                    m = m.whenMatchedUpdate(set=set_map)
+                    m = m.whenNotMatchedInsert(condition=not_del, values=set_map)
+            elif set_map is None:
                 m = m.whenMatchedUpdateAll().whenNotMatchedInsertAll()
+            else:
+                m = m.whenMatchedUpdate(set=set_map).whenNotMatchedInsert(
+                    values=set_map
+                )
             m.execute()
         finally:
             if merge_schema:
