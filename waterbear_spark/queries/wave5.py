@@ -250,15 +250,26 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     the score join-back both run over distinct phrases only. Top-k via
     TakeOrdered, no global sort.
     """
-    docs = table(spark, sf_dir, "documents")
+    # Phrase extraction avoids NEGATED char classes: in this JVM a
+    # `[^a-z0-9 ]+` replace runs ~30x slower than the equivalent
+    # positive-class extract (java.util.regex takes its optimized
+    # scan only for positive constructs; measured 2.6s vs 0.14s for
+    # one pass over the sf1 corpus — the whole query's former budget).
+    # So instead of punct->'|' over the full text, extract the maximal
+    # `[a-z0-9 ]+` runs directly (identical segment multiset: the
+    # pieces between punctuation runs), then break segments at
+    # stopwords. The fan-out spreads the CPU-dense extract when the
+    # scan has fewer splits than cores; no-op at production scale.
+    from waterbear_spark.queries.llm import _fan_out
+
+    docs = _fan_out(spark, table(spark, sf_dir, "documents").select("text"))
     stop_re = r"\b(" + "|".join(_RAKE_STOP) + r")\b"
-    cleaned = docs.select(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]+", "|"),
-            stop_re,
-            "|",
-        ).alias("blob")
+    segs = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9 ]+"), 0)
+        ).alias("seg")
     )
+    cleaned = segs.select(F.regexp_replace("seg", stop_re, "|").alias("blob"))
     phrases = (
         cleaned.select(F.explode(F.split("blob", r"\|+")).alias("raw"))
         .select(F.trim(F.regexp_replace("raw", r" +", " ")).alias("phrase"))
