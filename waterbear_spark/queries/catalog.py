@@ -195,7 +195,16 @@ _PRIORITY = [
     # values re-certified at three scales in the same commit
     # (CORRECTNESS_LOCAL_R11).
     "dedup_near_minhash_capped",
-    # the 1-slot head + approx_distinct's rows-only slot leave 48
+    # plans changed this round, values certified unchanged at three
+    # scales (CORRECTNESS_LOCAL_R11_*): rake_keywords swapped its
+    # negated-char-class punctuation pass for the positive-class
+    # extract (2.6x at sf1); winnowing_fingerprints and
+    # dedup_cross_modal fan their CPU-dense scan stages to cluster
+    # width (AQE_PROBE_r11 A/B: 1.21x / 1.14x)
+    "rake_keywords",
+    "winnowing_fingerprints",
+    "dedup_cross_modal",
+    # the 4-slot head + approx_distinct's rows-only slot leave 45
     # window slots for the stalest previously-verified rows — the whole
     # r4 floor (40 rows) fits, so after this rotation the stale floor
     # is >= r5, continuing the freshness ratchet.

@@ -29,6 +29,7 @@ from waterbear_spark.queries.llm import (
     N_HASHES,
     SHINGLES_SQL,
     TOKENS_SQL,
+    _fan_out,
     _minhash_struct,
     _shingles,
     _tokens,
@@ -67,6 +68,10 @@ def dedup_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", _tokens(F.col("text")).alias("toks")
     )
+    # the shingle+MinHash fold is CPU-per-byte-dense and otherwise runs
+    # at the scan's file-split width; widen to cluster width first
+    # (AQE_PROBE_r11 A/B: 1.14x at sf1; no-op on wide production scans)
+    docs = _fan_out(spark, docs)
     sets = (
         docs.filter(F.size("toks") >= 3)
         .select(

@@ -394,8 +394,16 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate on source. Identical shape at 100 TB; fingerprints (not
     text) are what shuffles.
     """
-    docs = table(spark, sf_dir, "documents").filter(
-        F.length("text") >= _WIN_K + _WIN_W - 1
+    # per-k-gram md5 hashing is the query's budget and runs in the scan
+    # stage, i.e. at file-split width; widen to cluster width first
+    # (AQE_PROBE_r11 A/B: 1.21x at sf1; no-op on wide production scans)
+    from waterbear_spark.queries.llm import _fan_out
+
+    docs = _fan_out(
+        spark,
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .filter(F.length("text") >= _WIN_K + _WIN_W - 1),
     )
     grams = docs.select(
         "doc_id",
