@@ -204,9 +204,18 @@ _PRIORITY = [
     "rake_keywords",
     "winnowing_fingerprints",
     "dedup_cross_modal",
-    # the 4-slot head + approx_distinct's rows-only slot leave 45
-    # window slots for the stalest previously-verified rows — the whole
-    # r4 floor (40 rows) fits, so after this rotation the stale floor
+    # same treatment, second wave: scan-width fan-out on the four
+    # heavy-tail rows whose A/B showed a 1.7-1.9x win at the bench
+    # scale (plus the manifest the rewrite shares); plan-only, values
+    # in the same 3-scale cert
+    "containment_join",
+    "profile_table",
+    "dup_span_rewrite",
+    "dup_span_removal_manifest",
+    "incremental_dedup_merge",
+    # the 9-slot head + approx_distinct's rows-only slot leave 40
+    # window slots for the stalest previously-verified rows — exactly
+    # the r4 floor (40 rows), so after this rotation the stale floor
     # is >= r5, continuing the freshness ratchet.
 ]
 

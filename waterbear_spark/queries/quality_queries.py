@@ -157,7 +157,13 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploding an in-row struct array — no second scan, no union of six
     per-column jobs.
     """
-    orders = table(spark, sf_dir, "orders")
+    # six countDistincts rewrite into one expand(x7) + two-level agg —
+    # CPU-dense partials that otherwise run at the scan's file-split
+    # width; widen to cluster width first (AQE_PROBE_r11 family: 1.9x
+    # at the bench scale; no-op on production-width scans)
+    from waterbear_spark.queries.llm import _fan_out
+
+    orders = _fan_out(spark, table(spark, sf_dir, "orders"))
 
     def norm(kind, c):
         if kind == "double":

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from waterbear_spark.queries.llm import TOKENS_SQL, _tokens
+from waterbear_spark.queries.llm import TOKENS_SQL, _fan_out, _tokens
 from waterbear_spark.queries.tables import table
 
 _MANIFEST_K = 10  # tokens per window — same granularity as dup_span_census
@@ -48,8 +48,11 @@ def dup_span_removal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep/cut manifest for cross-document duplicated spans — see module
     docstring. Output: (doc_id, cut_start, cut_end, cut_tokens), one row
     per maximal cut island, 1-based token positions, ordered."""
+    # the per-window md5 transform is CPU-per-byte-dense and otherwise
+    # runs at the scan's file-split width (AQE_PROBE_r11 family: 1.9x
+    # at the bench scale from widening; no-op on production-width scans)
     return _removal_manifest(
-        table(spark, sf_dir, "documents").select("doc_id", "text")
+        _fan_out(spark, table(spark, sf_dir, "documents").select("doc_id", "text"))
     )
 
 
@@ -128,9 +131,9 @@ def dup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the splice is one row-local indexed ``filter`` over the token array —
     no extra corpus shuffle beyond the manifest's own.
     """
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", _tokens(F.col("text")).alias("t")
-    )
+    docs = _fan_out(
+        spark, table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", _tokens(F.col("text")).alias("t"))
     manifest = dup_span_removal_manifest(spark, sf_dir)
     islands = manifest.groupBy("doc_id").agg(
         F.collect_list(F.struct("cut_start", "cut_end")).alias("isl")

@@ -415,11 +415,14 @@ def containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair at >= 50% shares half of A's shingle set, which at typical df
     skew includes many rare shingles.
     """
-    from waterbear_spark.queries.llm import _shingles, _tokens
+    from waterbear_spark.queries.llm import _fan_out, _shingles, _tokens
 
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", _tokens(F.col("text")).alias("toks")
-    )
+    # shingle hashing dominates and runs at scan width — widen first
+    # (AQE_PROBE_r11 family: 1.9x at the bench scale; no-op on
+    # production-width scans)
+    docs = _fan_out(
+        spark, table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", _tokens(F.col("text")).alias("toks"))
     # array_distinct makes (doc_id, sh) unique already — no distinct
     # shuffle needed after the explode
     sh = docs.filter(F.size("toks") >= 3).select(
