@@ -180,3 +180,36 @@ def test_staged_ivf_equals_fresh_build(spark, tmp_path, monkeypatch):
     staged_cells.unpersist()
     staged_cent.unpersist()
     llm._IVF_MEMO.clear()
+
+
+def test_rebuild_path_serves_staged_relations(spark, tmp_path, monkeypatch):
+    """After a from-scratch build stages the index, the memoised frames
+    must be the STAGED parquet relations, not the build lineage: a later
+    ``clearCache()`` (bench iterations run one per pass) must leave every
+    consumer re-reading two small tables — never re-running the k-means
+    build — and plan lint must hold without cache state (the
+    ``ann_index_manifest`` BroadcastNestedLoopJoin flake)."""
+    from waterbear_spark.queries import llm, wave20, wave30
+
+    monkeypatch.setenv("SPARK_GRAFT_ANN_INDEX_DIR", str(tmp_path))
+    llm._IVF_MEMO.clear()
+    wave20._PQ_MEMO.clear()
+    try:
+        cells, cent, _params = llm._ivf_index(spark, SF_SMOKE)
+        codes, cb = wave20._pq_codes(spark, SF_SMOKE)
+        spark.catalog.clearCache()
+        for df in (cells, cent, codes, cb):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "FileScan parquet" in plan
+            assert "BroadcastNestedLoopJoin" not in plan
+        manifest_plan = (
+            wave30.ann_index_manifest(spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in manifest_plan
+    finally:
+        spark.catalog.clearCache()
+        llm._IVF_MEMO.clear()
+        wave20._PQ_MEMO.clear()

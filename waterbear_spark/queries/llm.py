@@ -1259,6 +1259,22 @@ def _ivf_index(
     _store.staged_write(
         spark, stage_dir, {"cells": cells, "centroids": centroids}, stage_meta
     )
+    # Serve (and memoise) the STAGED relations, not the build lineage:
+    # the staged parquet is bit-identical to the build (deterministic
+    # recipe, exact int/double round-trip), but its plan is a flat
+    # FileScan — so a later ``clearCache()`` (bench iterations, plan
+    # dumps) re-reads two small tables instead of resurrecting the whole
+    # k-means build plan per consuming query. Under
+    # SPARK_GRAFT_ANN_REBUILD=1 ``staged_read`` returns None and the
+    # build frames are served directly (the from-scratch bench twin).
+    served = _store.staged_read(spark, stage_dir, stage_meta)
+    if served is not None:
+        cells.unpersist()
+        centroids.unpersist()
+        cells = served["cells"].persist()
+        centroids = served["centroids"].persist()
+        cells.count()
+        centroids.count()
     out = (cells, centroids, params)
     _IVF_MEMO[memo_key] = out
     return out

@@ -591,6 +591,19 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         _store.staged_write(
             spark, stage_dir, {"codes": codes, "codebooks": cb}, stage_meta
         )
+        # Serve the STAGED relations (flat FileScan plans), mirroring
+        # ``llm._ivf_index``: a later ``clearCache()`` then re-reads two
+        # small parquet tables instead of re-running the M per-subspace
+        # k-means trainings per consuming query. staged_read is None
+        # under SPARK_GRAFT_ANN_REBUILD=1 (from-scratch twin) or on a
+        # concurrent-restage race — the build frames serve in that case.
+        served = _store.staged_read(spark, stage_dir, stage_meta)
+        if served is not None:
+            codes.unpersist()
+            codes = served["codes"].persist()
+            cb = served["codebooks"].persist()
+            codes.count()
+            cb.count()
     out = (codes, cb)
     _PQ_MEMO[memo_key] = out
     return out
