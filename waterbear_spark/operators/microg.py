@@ -1,0 +1,193 @@
+"""Row-local iteration engine for BOUNDED graphs (the top-K nation trade
+graph family).
+
+The nation-graph queries ([[bfs_shortest_paths]], [[weighted_sssp]],
+[[label_propagation_communities]], [[kcore_decomposition]],
+[[harmonic_centrality]]) all share one shape: an expensive star-join
+aggregate over the fact tables reduces the corpus to a TOP-100-edge graph
+(bounded by construction at ANY scale — the rank filter, not the data,
+sets the size), followed by a handful of synchronous rounds over that
+micro-graph. Executing those rounds as distributed joins costs 2-4
+serialized micro-stages per round (broadcast build + shuffle + AQE
+re-plan) — measured 0.4-4.3 s of pure round overhead per query at sf0.1
+on `local[32]` while the useful work is a few thousand integer/string
+comparisons.
+
+This module runs the rounds where bounded work belongs: row-locally, as
+Catalyst higher-order functions over ONE packed edge array (guide §1.2 —
+fix the distributed algorithm before the per-task work; a shuffle per
+round is "fundamentally required" only when state scales with data,
+which a top-K subgraph's state does not). The expensive part — the star
+join that builds the edge list — keeps its distributed plan untouched;
+only the bounded tail collapses, from ~10 serialized micro-stages to one
+projection.
+
+Determinism: every operation is an integer/string min/count or an exact
+decimal fold over arrays — no float accumulation order, no hash-map
+iteration order — so results stay bit-identical to both the previous
+join formulation and the chained-CTE DuckDB oracles (certified at three
+scales on the switch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_edges(edges: DataFrame, *cols: str) -> DataFrame:
+    """One-row frame holding the whole bounded edge list as a sorted
+    ``edges`` array (sorted so downstream folds see a deterministic
+    order, although every fold used here is order-insensitive)."""
+    cols = cols or ("src", "dst")
+    return edges.agg(
+        F.array_sort(F.collect_list(F.struct(*cols))).alias("edges")
+    )
+
+
+def _lookup(arr: Column, key: Column, key_field: str, val_field: str) -> Column:
+    """Value of the first entry whose ``key_field`` equals ``key``; NULL
+    when absent (null-safe equality, so a NULL key row still matches)."""
+    return F.get(
+        F.filter(arr, lambda x: x[key_field].eqNullSafe(key)), F.lit(0)
+    )[val_field]
+
+
+def _min_per_node(merged: Column) -> Column:
+    """Collapse (node, d) entries to one min-d entry per distinct node —
+    the row-local twin of ``groupBy(node).agg(min(d))``."""
+    nodes = F.array_distinct(F.transform(merged, lambda x: x["node"]))
+    return F.transform(
+        nodes,
+        lambda n: F.struct(
+            n.alias("node"),
+            F.array_min(
+                F.transform(
+                    F.filter(merged, lambda x: x["node"].eqNullSafe(n)),
+                    lambda x: x["d"],
+                )
+            ).alias("d"),
+        ),
+    )
+
+
+def _relax_round(edges: Column, acc: Column, step) -> Column:
+    """One synchronous (min, +) relaxation: propagate every edge whose
+    source is reached (``step(e, d_src)`` gives the tentative distance),
+    then keep the min per node. Unreached sources propagate NULL and are
+    filtered — the twin of the inner-join formulation."""
+    prop = F.filter(
+        F.transform(
+            edges,
+            lambda e: F.struct(
+                e["dst"].alias("node"),
+                step(e, _lookup(acc, e["src"], "node", "d")).alias("d"),
+            ),
+        ),
+        lambda p: p["d"].isNotNull(),
+    )
+    return _min_per_node(F.concat(acc, prop))
+
+
+def bfs_distances(edges: Column, rounds: int, source: Column) -> Column:
+    """``rounds`` BFS relaxations from ``source``: array<struct<node,d:int>>
+    (exactly the fixed-round join loop — radius is bounded by design)."""
+    init = F.array(
+        F.struct(source.alias("node"), F.lit(0).alias("d"))
+    )
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(rounds)),
+        init,
+        lambda acc, _: _relax_round(edges, acc, lambda e, d: d + F.lit(1)),
+    )
+
+
+def bellman_ford_distances(edges: Column) -> Column:
+    """Weighted shortest paths from the minimum node, run to the
+    guaranteed fixpoint: |nodes| - 1 relaxations bound every simple path,
+    and extra rounds are no-ops under the monotone min fold — the
+    row-local twin of iterate-until-unchanged. array<struct<node,d:long>>."""
+    src_min = F.array_min(F.transform(edges, lambda e: e["src"]))
+    # empty-graph seed drops out via the filter (type-generic empty array)
+    init = F.filter(
+        F.array(
+            F.struct(src_min.alias("node"), F.lit(0).cast("long").alias("d"))
+        ),
+        lambda x: x["node"].isNotNull(),
+    )
+    n_nodes = F.size(F.array_distinct(F.transform(edges, lambda e: e["src"])))
+    return F.aggregate(
+        F.sequence(F.lit(1), F.greatest(n_nodes - 1, F.lit(1))),
+        init,
+        lambda acc, _: _relax_round(edges, acc, lambda e, d: d + e["w"]),
+    )
+
+
+def lpa_labels(edges: Column, rounds: int) -> Column:
+    """``rounds`` of synchronous label propagation: every node adopts the
+    most frequent label among its out-neighbours, ties broken by the
+    lexicographically smallest label. array<struct<node,label>>."""
+    nodes = F.array_distinct(F.transform(edges, lambda e: e["src"]))
+    init = F.transform(
+        nodes, lambda n: F.struct(n.alias("node"), n.alias("label"))
+    )
+
+    def _round(acc: Column, _) -> Column:
+        def _pick(n: Column) -> Column:
+            cand = F.transform(
+                F.filter(edges, lambda e: e["src"] == n),
+                lambda e: _lookup(acc, e["dst"], "node", "label"),
+            )
+            # min over (-count, label) == (count desc, label asc)
+            return F.array_min(
+                F.transform(
+                    F.array_distinct(cand),
+                    lambda l: F.struct(
+                        (-F.size(F.filter(cand, lambda c: c == l))).alias("negc"),
+                        l.alias("label"),
+                    ),
+                )
+            )["label"]
+
+        return F.transform(
+            nodes, lambda n: F.struct(n.alias("node"), _pick(n).alias("label"))
+        )
+
+    return F.aggregate(F.sequence(F.lit(1), F.lit(rounds)), init, _round)
+
+
+def kcore_surviving_edges(edges: Column, k: int) -> Column:
+    """Peel to the k-core fixpoint: each round keeps nodes whose degree in
+    the surviving subgraph is >= k and drops edges touching dropped nodes.
+    |nodes| rounds guarantee the fixpoint (every effective round removes at
+    least one node; later rounds are no-ops). Returns the surviving
+    symmetric edge array."""
+    n_nodes = F.size(F.array_distinct(F.transform(edges, lambda e: e["src"])))
+    init = F.struct(edges.alias("e"), F.lit(False).alias("done"))
+
+    def _round(acc: Column, _) -> Column:
+        alive = acc["e"]
+
+        # keep an edge iff BOTH endpoints still have degree >= k in the
+        # surviving subgraph (symmetric list: degree == count as src).
+        # Stated as a per-edge degree predicate, not a precomputed keep
+        # set — Catalyst inlines lambda-captured expressions per element,
+        # so a keep-set capture would re-derive the whole set for every
+        # edge (measured 1.5 s of pure interpreted-HOF overhead).
+        def _deg_ok(u: Column) -> Column:
+            return F.size(F.filter(alive, lambda a: a["src"] == u)) >= F.lit(k)
+
+        new_e = F.filter(alive, lambda e: _deg_ok(e["src"]) & _deg_ok(e["dst"]))
+        # early-out: rounds past the fixpoint cost O(1), not O(E^2) —
+        # CASE evaluates only the taken branch, so the |nodes|-round
+        # guarantee stays while converged rounds are free
+        return F.when(acc["done"], acc).otherwise(
+            F.struct(
+                new_e.alias("e"),
+                (F.size(new_e) == F.size(alive)).alias("done"),
+            )
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.greatest(n_nodes, F.lit(1))), init, _round
+    )["e"]

@@ -273,10 +273,12 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     ``llm.dedup_clusters``, mode-propagation finds dense sub-communities
     inside a single connected component.
 
-    Scale: per round, one join of the label vector (|nodes| rows,
-    broadcastable) onto the symmetrized edge list, one count aggregate on
-    (node, label), one row_number argmax — state stays linear in nodes,
-    shuffles linear in edges, the Pregel loop discipline.
+    Scale: the edge list is bounded at 2x``_TOP_EDGES`` rows by
+    construction, so the rounds run row-locally over one packed edge
+    array (``operators/microg.py``); the distributed cost is the
+    star-join aggregate that builds the graph. On an unbounded graph the
+    rounds collapse back to the Pregel loop discipline (label vector
+    join + count aggregate + argmax per round).
     """
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
@@ -317,22 +319,18 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     und = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    und = und.persist()
-    labels = und.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    pick = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("label"))
-    for _ in range(_LPA_ROUNDS):
-        labels = (
-            und.join(F.broadcast(labels), F.col("dst") == F.col("node"))
-            .groupBy("src", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("rk", F.row_number().over(pick))
-            .filter(F.col("rk") == 1)
-            .select(F.col("src").alias("node"), "label")
-        )
+    # bounded graph (2 x _TOP_EDGES rows by construction): the three
+    # mode-propagation rounds run row-locally over one packed edge array
+    # (operators/microg.py) instead of three broadcast+shuffle+window
+    # micro-stage rounds; the distributed cost stays the star-join
+    # aggregate that builds the edge list
+    from waterbear_spark.operators import microg
+
+    packed = microg.pack_edges(und)
+    labels = microg.lpa_labels(F.col("edges"), _LPA_ROUNDS)
     return (
-        labels.groupBy(F.col("label").alias("community"))
+        packed.select(F.explode(labels).alias("x"))
+        .groupBy(F.col("x.label").alias("community"))
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy(F.col("n_members").desc(), "community")
     )
@@ -509,23 +507,30 @@ def bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     relaxation rounds of the (min, +1) semiring. Deterministic, so the
     distance table is bit-identical to the chained-CTE oracle.
 
-    Scale: the same Pregel loop discipline as PageRank/LPA — per round
-    one broadcast of the frontier-distance vector (|nodes| rows) onto
-    the edge list, one min-aggregate on dst; state linear in nodes.
-    Four rounds bound the radius walked, exactly like an iterative
-    ``GraphFrames.bfs`` with maxPathLength=4.
+    Scale: the edge list is bounded at 2x``_TOP_EDGES`` rows BY
+    CONSTRUCTION (the rank filter, not the data, sets its size), so the
+    relaxation rounds run row-locally over one packed edge array
+    (``operators/microg.py``) — the distributed cost is the star-join
+    aggregate that builds the graph, and the four bounded rounds add a
+    single projection instead of four serialized broadcast+shuffle
+    micro-stages (measured 4.3 s of round overhead at sf0.1). On an
+    UNbounded graph this collapses back to the Pregel loop discipline
+    PageRank uses — state linear in nodes, one shuffle per round.
     """
-    und = _und_edges(spark, sf_dir).persist()
-    dist = (
-        und.agg(F.min("src").alias("node")).withColumn("d", F.lit(0))
+    from waterbear_spark.operators import microg
+
+    packed = microg.pack_edges(_und_edges(spark, sf_dir))
+    edges = F.col("edges")
+    dist = microg.bfs_distances(
+        edges,
+        _BFS_ROUNDS,
+        F.array_min(F.transform(edges, lambda e: e["src"])),
     )
-    for _ in range(_BFS_ROUNDS):
-        prop = (
-            und.join(F.broadcast(dist), F.col("src") == F.col("node"))
-            .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
-        )
-        dist = dist.unionAll(prop).groupBy("node").agg(F.min("d").alias("d"))
-    return dist.orderBy("d", "node")
+    return (
+        packed.select(F.explode(dist).alias("x"))
+        .select(F.col("x.node").alias("node"), F.col("x.d").alias("d"))
+        .orderBy("d", "node")
+    )
 
 
 def _bfs_sql() -> str:
@@ -554,11 +559,11 @@ SELECT node, d FROM {prev} ORDER BY d, node
 
 
 _KCORE_K = 3
-# loop guard only — peeling runs to a FIXPOINT (a round that drops no
-# edge), never to a fixed round count: on adversarial shapes (a path
-# graph peels one node per round) truncation would return nodes whose
-# degree is still < k, i.e. not a k-core at all (ADVICE round 3)
-_KCORE_MAX_ROUNDS = 64
+# peeling runs to a FIXPOINT (a round that drops no edge), never to a
+# fixed round count: on adversarial shapes (a path graph peels one node
+# per round) truncation would return nodes whose degree is still < k,
+# i.e. not a k-core at all (ADVICE round 3). |nodes| row-local rounds
+# guarantee the fixpoint — every effective round removes >= 1 node.
 # the oracle unrolls this many peel rounds; past the fixpoint extra
 # rounds are identities, so it is exact as long as the test data
 # converges within the unroll (measured: sf0.01 converges by round 4 —
@@ -578,13 +583,14 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree — the standard graph-sampling/community-seed primitive.
     Integer degrees only, so the chained-CTE oracle is bit-identical.
 
-    Scale: same Pregel loop discipline as [[bfs_shortest_paths]] — per
-    round one degree aggregate (|nodes| rows) broadcast back onto the
-    edge list plus one count for the convergence test; state linear in
-    nodes, edge list shuffled never (the semi-joins broadcast the tiny
-    survivor set). Peel depth is data-dependent (O(nodes) worst case on
-    a path graph); ``_KCORE_MAX_ROUNDS`` is a runaway guard, and hitting
-    it raises instead of returning a non-core.
+    Scale: the edge list is bounded at 2x``_TOP_EDGES`` rows by
+    construction, so the peel runs row-locally over one packed edge
+    array (``operators/microg.py``) with |nodes| rounds — every
+    effective round removes at least one node, so the fixpoint is
+    GUARANTEED, replacing the previous per-round checkpoint +
+    convergence-count driver loop. The distributed cost is the star-join
+    aggregate that builds the graph; an unbounded graph swaps back to
+    the degree-aggregate + semi-join Pregel loop.
     """
     alive = peel_kcore(_und_edges(spark, sf_dir), _KCORE_K)
     return (
@@ -596,42 +602,21 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def peel_kcore(edges: DataFrame, k: int) -> DataFrame:
     """Peel a symmetric (both-directions) edge list to its k-core
-    fixpoint; returns the surviving edges."""
-    alive = edges.localCheckpoint(eager=True)
-    n_edges = alive.count()
-    for _ in range(_KCORE_MAX_ROUNDS):
-        if n_edges == 0:
-            break
-        keep = (
-            alive.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select(F.col("src").alias("node"))
-        )
-        # truncate lineage each round: `alive` feeds both the degree
-        # census and the semi-joins, so without a checkpoint the plan
-        # tree doubles per round (exponential analysis cost — measured
-        # 28 s of pure planning on a 100-edge graph)
-        alive = (
-            alive.join(
-                F.broadcast(keep), alive["src"] == keep["node"], "left_semi"
-            )
-            .join(
-                F.broadcast(keep.withColumnRenamed("node", "node2")),
-                F.col("dst") == F.col("node2"),
-                "left_semi",
-            )
-            .localCheckpoint(eager=True)
-        )
-        n_next = alive.count()
-        if n_next == n_edges:
-            break
-        n_edges = n_next
-    else:
-        raise RuntimeError(
-            f"k-core peel did not converge in {_KCORE_MAX_ROUNDS} rounds"
-        )
-    return alive
+    fixpoint; returns the surviving edges.
+
+    The input contract is a BOUNDED edge list (the callers pass top-K
+    subgraphs), so the peel runs row-locally (``operators/microg.py``)
+    with a guaranteed fixpoint in |nodes| rounds — no per-round
+    checkpoint/count driver loop (which previously cost 2 jobs per peel
+    round; lineage no longer grows because the whole peel is ONE
+    expression)."""
+    from waterbear_spark.operators import microg
+
+    packed = microg.pack_edges(edges)
+    alive = microg.kcore_surviving_edges(F.col("edges"), k)
+    return packed.select(F.explode(alive).alias("x")).select(
+        F.col("x.src").alias("src"), F.col("x.dst").alias("dst")
+    )
 
 
 def _kcore_sql() -> str:

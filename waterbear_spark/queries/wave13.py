@@ -50,10 +50,9 @@ _D38 = "decimal(38,0)"
 # Bellman-Ford weighted SSSP to fixpoint
 # ---------------------------------------------------------------------------
 
-_SSSP_MAX_ROUNDS = 64
 # oracle unroll depth; extra rounds past the fixpoint are identities and
-# the Spark side asserts convergence, so a deeper-than-unroll dataset
-# diverges loudly in the differential check
+# the Spark side always reaches the fixpoint (|nodes|-1 relaxations), so
+# a deeper-than-unroll dataset diverges loudly in the differential check
 _SSSP_SQL_ROUNDS = 8
 
 
@@ -65,48 +64,27 @@ def weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual shortest paths on any graph shape (cf. the k-core lesson:
     fixed round counts silently truncate on long paths).
 
-    Scale: the same Pregel loop as [[bfs_shortest_paths]] — per round
-    one broadcast of the |nodes|-row distance vector onto the edge
-    list, one min-aggregate on dst, plus one 2-value aggregate for the
-    convergence test (monotone: total distance never increases).
-    ``_SSSP_MAX_ROUNDS`` is a runaway guard that raises rather than
-    returning non-shortest paths.
+    Scale: the edge list is bounded at 2x``_TOP_EDGES`` rows BY
+    CONSTRUCTION, so the relaxations run row-locally over one packed
+    edge array (``operators/microg.py``): |nodes| - 1 rounds bound every
+    simple path, extra rounds are no-ops under the monotone min fold, so
+    the fixpoint is GUARANTEED — the same result as the previous
+    iterate-until-unchanged driver loop without its per-round
+    checkpoint + convergence-collect jobs (the distributed cost is the
+    star-join aggregate that builds the graph). On an unbounded graph
+    this collapses back to the Pregel loop [[pagerank_bipartite]] keeps.
     """
-    undw = und_edges_weighted(spark, sf_dir).persist()
-    # isNotNull: MIN(src) on an empty edge list seeds one all-NULL row
-    # that would otherwise ride through every relaxation round (the
-    # [[bipartite_check]] phantom-node lesson)
-    dist = (
-        undw.agg(F.min("src").alias("node"))
-        .filter(F.col("node").isNotNull())
-        .withColumn("d", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
+    from waterbear_spark.operators import microg
+
+    packed = microg.pack_edges(
+        und_edges_weighted(spark, sf_dir), "src", "dst", "w"
     )
-    # convergence signature: (nodes reached, total distance) — min-only
-    # updates can only grow the former or shrink the latter
-    state = (dist.count(), 0)
-    for _ in range(_SSSP_MAX_ROUNDS):
-        prop = undw.join(
-            F.broadcast(dist), F.col("src") == F.col("node")
-        ).select(F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d"))
-        dist = (
-            dist.unionAll(prop)
-            .groupBy("node")
-            .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=True)
-        )
-        agg = dist.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("d").alias("s")
-        ).collect()[0]
-        nxt = (agg["n"], agg["s"])
-        if nxt == state:
-            break
-        state = nxt
-    else:
-        raise RuntimeError(
-            f"Bellman-Ford did not converge in {_SSSP_MAX_ROUNDS} rounds"
-        )
-    return dist.orderBy("d", "node")
+    dist = microg.bellman_ford_distances(F.col("edges"))
+    return (
+        packed.select(F.explode(dist).alias("x"))
+        .select(F.col("x.node").alias("node"), F.col("x.d").alias("d"))
+        .orderBy("d", "node")
+    )
 
 
 def _sssp_sql() -> str:

@@ -321,33 +321,53 @@ def harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: state is the reachable pair set — on small-diameter graphs
     the product space, so this exact form is for dimension-sized
-    graphs (the edge list broadcasts; each round is one |pairs|
-    aggregate with lineage cut). Web-scale graphs swap in HyperBall
-    (HLL neighborhood sketches), trading exactness for |V| state.
+    graphs (the bounded edge array rides along each exploded source row
+    and every per-source BFS is row-local). Web-scale graphs swap in
+    HyperBall (HLL neighborhood sketches), trading exactness for |V|
+    state.
     """
+    from waterbear_spark.operators import microg
     from waterbear_spark.queries.graph import _und_edges
 
-    und = _und_edges(spark, sf_dir).persist()
-    dist = und.select(F.col("src").alias("v")).distinct().select(
-        F.col("v").alias("s"), F.col("v").alias("t"), F.lit(0).alias("d")
+    # bounded graph (2 x top-100 edges by construction): explode one row
+    # per source node, then run that source's BFS row-locally over the
+    # packed edge array — |nodes| parallel row-local BFS computations
+    # instead of _HC_ROUNDS serialized checkpoint+shuffle rounds over
+    # the pair space (operators/microg.py)
+    packed = microg.pack_edges(_und_edges(spark, sf_dir))
+    nodes = F.array_sort(
+        F.array_distinct(F.transform(F.col("edges"), lambda e: e["src"]))
     )
-    for _ in range(_HC_ROUNDS):
-        dist = dist.localCheckpoint(eager=True)
-        ext = (
-            dist.join(F.broadcast(und), dist["t"] == und["src"])
-            .select("s", F.col("dst").alias("t"), (F.col("d") + 1).alias("d"))
-        )
-        dist = dist.unionAll(ext).groupBy("s", "t").agg(F.min("d").alias("d"))
+    per_src = packed.select(
+        F.col("edges"), F.explode(nodes).alias("s")
+    ).repartition(F.col("s"))  # one-task explode -> spread the |nodes|
+    # row-local BFS computations across the cluster
+    # explode-of-one-element barrier: the per-source BFS is evaluated
+    # exactly ONCE per row and materialized as a generator output column
+    # (plain column references would inline — and re-run — the whole
+    # BFS once per referencing expression)
+    bfs = microg.bfs_distances(F.col("edges"), _HC_ROUNDS, F.col("s"))
+    dists = per_src.select(
+        F.col("s"), F.explode(F.array(bfs)).alias("dist")
+    )
+    reached = F.filter(F.col("dist"), lambda x: x["node"] != F.col("s"))
+    # exact decimal fold, order-free — same arithmetic as the previous
+    # SUM(round(1/d, 6) :: DECIMAL) aggregate
+    harm = F.round(
+        F.aggregate(
+            reached,
+            F.lit(0).cast("decimal(38,6)"),
+            lambda acc, x: (
+                acc + F.round(F.lit(1.0) / x["d"], 6).cast(DEC)
+            ).cast("decimal(38,6)"),
+        ),
+        6,
+    ).cast("double")
     return (
-        dist.filter(F.col("s") != F.col("t"))
-        .groupBy(F.col("s").alias("node"))
-        .agg(
-            F.count(F.lit(1)).alias("n_reached"),
-            F.round(
-                F.sum(F.round(F.lit(1.0) / F.col("d"), 6).cast(DEC)), 6
-            )
-            .cast("double")
-            .alias("harmonic"),
+        dists.select(
+            F.col("s").alias("node"),
+            F.size(reached).cast("bigint").alias("n_reached"),
+            harm.alias("harmonic"),
         )
         .orderBy(F.col("harmonic").desc(), "node")
     )
