@@ -91,3 +91,39 @@ def test_lateral_decorrelates_to_window_join(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_above_threshold_distributed_path_matches(spark):
+    # > SPARK_GRAFT_CC_LOCAL_MAX (512) distinct edges: exercises the
+    # alternating-star loop (the 100 TB path) post-dispatch
+    rng = random.Random(11)
+    seen = set()
+    while len(seen) < 700:
+        a, b = rng.randrange(500), rng.randrange(500)
+        if a != b:
+            seen.add((min(a, b), max(a, b)))
+    _check(spark, sorted(seen))
+
+
+def test_local_and_distributed_paths_agree(spark, monkeypatch):
+    # same 300-edge graph through both engines: identical label sets
+    rng = random.Random(13)
+    seen = set()
+    while len(seen) < 300:
+        a, b = rng.randrange(150), rng.randrange(150)
+        if a != b:
+            seen.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(seen), "src long, dst long")
+    local = {
+        (r.vertex, r.component) for r in star_connected_components(df).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_MAX", "0")
+    dist = {
+        (r.vertex, r.component) for r in star_connected_components(df).collect()
+    }
+    assert local == dist
+
+
+def test_long_chain_above_threshold(spark):
+    # 600-edge path graph: adversarial diameter for the distributed loop
+    _check(spark, [(i, i + 1) for i in range(600)])

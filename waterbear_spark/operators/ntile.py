@@ -27,21 +27,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def bucketed_ntile(
+def ntile_bounds(
     df: DataFrame,
     value_col: str,
     key_col: str,
     k: int,
-    out_col: str = "tile",
     part_cols: list[str] | None = None,
     width: float = 64.0,
+    bnds_col: str = "__bnds",
 ) -> DataFrame:
-    """Attach ``out_col`` = NTILE(k) OVER (PARTITION BY part_cols
-    ORDER BY value_col, key_col) to ``df``, computed partition-parallel.
-
-    ``key_col`` must make (part, value, key) unique — NTILE over a
-    non-unique order is nondeterministic anyway.
-    """
+    """The <= k-1 tile-boundary (value, key) pairs per partition as one
+    sorted array column ``bnds_col`` (steps 1-3 of the module recipe) —
+    split out so callers tiling the SAME relation along several
+    independent dimensions (e.g. [[rfm_segments]]' R/F/M quintiles) can
+    compute every dimension's boundary relation as parallel subtrees of
+    one job and attach all tiles in a single projection, instead of
+    nesting whole tilings serially."""
     part_cols = part_cols or []
     p = [F.col(c) for c in part_cols]
     rows = df.withColumn("__pb", F.floor(F.col(value_col) / F.lit(width)))
@@ -102,24 +103,51 @@ def bucketed_ntile(
         ranked[key_col].alias("__bk"),
     )
 
-    bounds = picked.groupBy(*p).agg(
+    return picked.groupBy(*p).agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("__bv"), F.col("__bk")))
-        ).alias("__bnds")
+        ).alias(bnds_col)
     )
 
-    if part_cols:
-        joined = rows.join(F.broadcast(bounds), part_cols, "left")
-    else:
-        joined = rows.crossJoin(F.broadcast(bounds))
+
+def ntile_tile_expr(bnds_col: str, value_col: str, key_col: str):
+    """Row-local tile assignment against a boundary array column:
+    ``1 + #boundaries strictly below (value, key)``."""
     v, kcol = F.col(value_col), F.col(key_col)
-    # every nonempty partition has >= 1 boundary (tile 1's end rank is
-    # always >= 1), so the join never misses
-    tile = F.lit(1) + F.size(
+    return F.lit(1) + F.size(
         F.filter(
-            F.col("__bnds"),
+            F.col(bnds_col),
             lambda b: (b["__bv"] < v)
             | ((b["__bv"] == v) & (b["__bk"] < kcol)),
         )
     )
+
+
+def bucketed_ntile(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int,
+    out_col: str = "tile",
+    part_cols: list[str] | None = None,
+    width: float = 64.0,
+) -> DataFrame:
+    """Attach ``out_col`` = NTILE(k) OVER (PARTITION BY part_cols
+    ORDER BY value_col, key_col) to ``df``, computed partition-parallel.
+
+    ``key_col`` must make (part, value, key) unique — NTILE over a
+    non-unique order is nondeterministic anyway.
+    """
+    part_cols = part_cols or []
+    bounds = ntile_bounds(
+        df, value_col, key_col, k, part_cols=part_cols, width=width
+    )
+    rows = df.withColumn("__pb", F.floor(F.col(value_col) / F.lit(width)))
+    if part_cols:
+        joined = rows.join(F.broadcast(bounds), part_cols, "left")
+    else:
+        joined = rows.crossJoin(F.broadcast(bounds))
+    # every nonempty partition has >= 1 boundary (tile 1's end rank is
+    # always >= 1), so the join never misses
+    tile = ntile_tile_expr("__bnds", value_col, key_col)
     return joined.withColumn(out_col, tile).drop("__pb", "__bnds")

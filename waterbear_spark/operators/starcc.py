@@ -94,6 +94,22 @@ def star_connected_components(
         return tuple(row)
 
     sig = _signature(edges)
+    # size-adaptive dispatch (the signature's count is already paid): a
+    # pair graph below the threshold — near-dup clusters are a
+    # pairs-sized relation, tiny vs the corpus — computes its components
+    # row-locally over one packed edge array (microg.cc_labels_local,
+    # identical min-reachable output contract) instead of paying 2-4
+    # serialized micro-stages per star round. Above the threshold the
+    # alternating-star loop below is the 100 TB path, unchanged. The
+    # dial is data-size-adaptive, not cluster-tuned: the default bounds
+    # the row-local fold's O(rounds * nodes * edges) work, not local[32].
+    import os as _os
+
+    local_max = int(_os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX", "512"))
+    if sig[0] <= local_max:
+        from waterbear_spark.operators import microg
+
+        return microg.cc_labels_local(microg.pack_edges(edges, "u", "v"))
     for _ in range(max_rounds):
         after = _small_star(_large_star(edges)).localCheckpoint()
         new_sig = _signature(after)

@@ -909,7 +909,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partition three times. The anchor date is a 1-row broadcast
     scalar; the census aggregate has at most 125 groups.
     """
-    from waterbear_spark.operators.ntile import bucketed_ntile
+    from waterbear_spark.operators.ntile import ntile_bounds, ntile_tile_expr
     from waterbear_spark.queries.tables import DEC
 
     orders = table(spark, sf_dir, "orders").select(
@@ -924,9 +924,12 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("monetary_cents"),
     )
     anchor = per_cust.agg(F.max("last_day").alias("g"))
-    # each bucketed_ntile references its input twice (boundary pass +
-    # assignment join), so the three nested tilings would re-derive the
-    # customer aggregate up to 8x without pinning the fan-out points
+    # the three quintile tilings are INDEPENDENT dimensions over the
+    # same customer relation: compute each dimension's <= 4 boundary
+    # rows as parallel subtrees of one job (they share the persisted
+    # feats scan) and attach all three tiles in a single projection —
+    # nesting whole tilings serially instead costs ~3x the stage depth
+    # for identical values
     feats = (
         per_cust.crossJoin(F.broadcast(anchor))
         .select(
@@ -939,25 +942,42 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    t1 = bucketed_ntile(
-        feats, "recency_days", "o_custkey", 5, out_col="r_q", width=16.0
-    ).persist()
-    t2 = bucketed_ntile(
-        t1, "frequency", "o_custkey", 5, out_col="f_q", width=2.0
-    ).persist()
-    tiled = bucketed_ntile(
-        t2, "monetary_cents", "o_custkey", 5, out_col="m_q", width=1e7
+    # materialize BEFORE the parallel boundary subtrees: they kick off
+    # as concurrent broadcast jobs, and racing on a cold cache would
+    # re-derive the customer aggregate once per subtree
+    feats.count()
+    b_r = ntile_bounds(
+        feats, "recency_days", "o_custkey", 5, width=16.0, bnds_col="__b_r"
+    )
+    b_f = ntile_bounds(
+        feats, "frequency", "o_custkey", 5, width=2.0, bnds_col="__b_f"
+    )
+    b_m = ntile_bounds(
+        feats, "monetary_cents", "o_custkey", 5, width=1e7, bnds_col="__b_m"
+    )
+    tiled = (
+        feats.crossJoin(F.broadcast(b_r))
+        .crossJoin(F.broadcast(b_f))
+        .crossJoin(F.broadcast(b_m))
+        .withColumn("r_q", ntile_tile_expr("__b_r", "recency_days", "o_custkey"))
+        .withColumn("f_q", ntile_tile_expr("__b_f", "frequency", "o_custkey"))
+        .withColumn(
+            "m_q", ntile_tile_expr("__b_m", "monetary_cents", "o_custkey")
+        )
+    )
+    # avg to whole cents in exact integer arithmetic: HALF_UP of
+    # sum/n == (2*sum + n) div (2*n) for positive cents — double-based
+    # ROUND() straddles half-cent cells differently per engine (a
+    # sum of 507430035 over n=2 lands on 2537150.175 and flips the
+    # second decimal), while integer div is bit-identical everywhere
+    avg_cents = F.expr(
+        "(2 * sum(monetary_cents) + count(1)) div (2 * count(1))"
     )
     return (
         tiled.groupBy("r_q", "f_q", "m_q")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(
-                F.sum("monetary_cents").cast("double")
-                / F.count(F.lit(1))
-                / 100.0,
-                2,
-            ).alias("avg_monetary"),
+            (avg_cents.cast("double") / 100.0).alias("avg_monetary"),
         )
         .orderBy("r_q", "f_q", "m_q")
     )
@@ -988,8 +1008,10 @@ tiled AS (
 )
 SELECT r_q, f_q, m_q,
        COUNT(*) AS n_customers,
-       ROUND(CAST(SUM(monetary_cents) AS DOUBLE) / COUNT(*) / 100.0, 2)
-           AS avg_monetary
+       -- exact integer HALF_UP to whole cents (see the Spark side):
+       -- double ROUND() flips half-cent cells differently per engine
+       CAST((2 * SUM(monetary_cents) + COUNT(*)) // (2 * COUNT(*))
+            AS DOUBLE) / 100.0 AS avg_monetary
 FROM tiled
 GROUP BY r_q, f_q, m_q
 ORDER BY r_q, f_q, m_q

@@ -443,6 +443,42 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .persist()
     )
+    # size-adaptive dispatch, mirroring starcc: a pair graph this small
+    # (near-dup clusters are pairs-sized, tiny vs the corpus) runs its
+    # min-label descent row-locally (with path-halving — still the
+    # min-label family) instead of paying 3 driver jobs per propagation
+    # round; the distributed loop below is the unbounded-graph path.
+    import os as _os
+
+    local_max = int(_os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX", "512"))
+    if edges.count() <= 2 * local_max:
+        from waterbear_spark.operators import microg
+
+        # pack the canonical (a < b) half of the PERSISTED symmetric
+        # list — half the edge array for the same components; edges
+        # stays persisted, the returned plan reads it lazily
+        labels = microg.cc_labels_local(
+            microg.pack_edges(
+                edges.filter(F.col("src") < F.col("dst")).select(
+                    F.col("src").alias("u"), F.col("dst").alias("v")
+                ),
+                "u",
+                "v",
+            )
+        ).select(F.col("vertex").alias("doc_id"), F.col("component").alias("comp"))
+        sizes = labels.groupBy("comp").agg(
+            F.count(F.lit(1)).alias("cluster_size")
+        )
+        return (
+            labels.join(sizes, "comp")
+            .select(
+                "doc_id",
+                F.col("comp").alias("cluster_id"),
+                F.col("cluster_size").cast("int").alias("cluster_size"),
+                (F.col("doc_id") == F.col("comp")).alias("is_canonical"),
+            )
+            .orderBy("doc_id")
+        )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
