@@ -43,13 +43,14 @@ SF1 = os.path.join(REPO, "localdata", "sf1")
 
 def breakdown(spark: SparkSession, sf_dir: str) -> dict:
     t0 = time.perf_counter()
-    edges_deg, deg, n_nodes = _pagerank_setup(spark, sf_dir)
-    n_edges = edges_deg.count()  # also materializes the persist
+    pairs_deg, nodes, n_nodes = _pagerank_setup(spark, sf_dir)
+    # one pair row = both directed edges; also materializes the persist
+    n_edges = pairs_deg.count() * 2
     setup_s = round(time.perf_counter() - t0, 3)
 
     base = _SCALE * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN // n_nodes
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(_SCALE // n_nodes).alias("r")
+    ranks = nodes.select(
+        "node", F.lit(_SCALE // n_nodes).alias("r")
     ).localCheckpoint()
     rounds = []
     for _ in range(_ITERS):
@@ -57,10 +58,10 @@ def breakdown(spark: SparkSession, sf_dir: str) -> dict:
         # checkpoint the OUTPUT so the next round starts from materialized
         # state — the timed region is exactly one broadcast + edge scan +
         # contribution aggregate
-        ranks = _pagerank_round(edges_deg, ranks, base).localCheckpoint()
+        ranks = _pagerank_round(pairs_deg, ranks, base).localCheckpoint()
         rounds.append(round(time.perf_counter() - t0, 3))
-    edges_deg.unpersist()
-    deg.unpersist()
+    pairs_deg.unpersist()
+    nodes.unpersist()
     return {
         "n_nodes": n_nodes,
         "n_edges": n_edges,

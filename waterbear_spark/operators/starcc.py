@@ -23,7 +23,13 @@ from pyspark.sql import functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor of u to min(N(u) + {u})."""
+    """Connect every strictly-larger neighbor of u to min(N(u) + {u}).
+
+    No trailing ``distinct``: every consumer is duplicate-insensitive
+    (``_small_star``'s min-aggregate, and its OWN output distinct), so
+    the dedup exchange here bought nothing — one round used to pay 5
+    shuffles, this and the ``nbrs`` dedup below bring it to 3.
+    """
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -36,13 +42,14 @@ def _large_star(edges: DataFrame) -> DataFrame:
         sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Orient to (larger, smaller), then point every smaller-or-equal
-    neighbor (and u itself) at min(N(u) + {u})."""
+    neighbor (and u itself) at min(N(u) + {u}). Tolerates duplicate
+    input edges (min-aggregate; the output distinct dedupes), which lets
+    ``_large_star`` skip its own dedup exchange."""
     orient = edges.filter(F.col("u") != F.col("v")).select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     )
@@ -51,7 +58,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
         .agg(F.min("v").alias("mn"))
         .select("u", F.least("mn", "u").alias("m"))
     )
-    nbrs = orient.union(orient.select("u", F.col("u").alias("v"))).distinct()
+    nbrs = orient.union(orient.select("u", F.col("u").alias("v")))
     return (
         nbrs.join(mins, "u")
         .filter(F.col("v") != F.col("m"))

@@ -803,7 +803,13 @@ def dup_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1 digest per corpus token, which is what exact substring dedup
     costs anywhere.
     """
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # widen the scan BEFORE the per-window digesting: one md5 per corpus
+    # token otherwise runs inside the 1-split scan stage (measured 2.2 s
+    # of this query's 2.1-3.5 s at sf0.1 on one task); no-op on
+    # production-width scans
+    docs = _fan_out(
+        spark, table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     arr = docs.select(
         "doc_id", _tokens(F.col("text")).alias("t")
     ).filter(F.size("t") >= _SPAN_K)

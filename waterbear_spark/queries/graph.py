@@ -37,35 +37,73 @@ def _pagerank_setup(
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .select("o_custkey", "l_suppkey")
         .distinct()
+        .persist()
     )
-    fwd = pairs.select(
-        F.col("o_custkey").alias("src"),
-        (F.col("l_suppkey") + _SUPP_OFF).alias("dst"),
+    # the symmetric-bipartite degrees come straight off the pair list:
+    # deg(cust) = #distinct supps, deg(supp) = #distinct custs — two
+    # node-sized aggregates of the cached pairs. Attaching them ONCE and
+    # keeping the graph in pair form (each pair row = both directed
+    # edges) halves the persisted bytes and every round's scan vs the
+    # old materialized 2x edge union (1.17M rows -> 587k at sf0.1).
+    cdeg = pairs.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cdeg"))
+    sdeg = pairs.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("sdeg"))
+    pairs_deg = (
+        pairs.join(F.broadcast(cdeg), "o_custkey")
+        .join(F.broadcast(sdeg), "l_suppkey")
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + _SUPP_OFF).alias("supp"),
+            "cdeg",
+            "sdeg",
+        )
+        .persist()
     )
-    rev = pairs.select(
-        (F.col("l_suppkey") + _SUPP_OFF).alias("src"),
-        F.col("o_custkey").alias("dst"),
-    )
-    edges = fwd.unionAll(rev)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # degree is static: attach it to the edge list ONCE, not per round
-    edges_deg = edges.join(deg, "src").persist()
-    # deg has exactly one row per node (symmetrized edges: every node is
-    # a src), so it doubles as the node list
-    deg.persist()
+    # node list = one row per cust + one per supp (disjoint id spaces);
+    # every node has >= 1 edge, so this is exactly the old deg relation's
+    # key set
+    nodes = cdeg.select(F.col("o_custkey").alias("node")).unionAll(
+        sdeg.select((F.col("l_suppkey") + _SUPP_OFF).alias("node"))
+    ).persist()
     # max(.., 1): on an empty graph every frame below has zero rows, so
     # the sentinel only keeps the scalar math defined — no row uses it
-    n_nodes = max(deg.count(), 1)
-    return edges_deg, deg, n_nodes
+    n_nodes = max(nodes.count(), 1)
+    return pairs_deg, nodes, n_nodes
 
 
-def _pagerank_round(edges_deg: DataFrame, ranks: DataFrame, base: int) -> DataFrame:
+def _pagerank_round(pairs_deg: DataFrame, ranks: DataFrame, base: int) -> DataFrame:
     """One power iteration: broadcast the node-sized rank vector onto the
-    persisted edge list, aggregate contributions by destination."""
+    persisted pair list (both directed edges per row, so the rank vector
+    is probed once per endpoint), aggregate contributions by
+    destination. Same integer arithmetic on the same contribution
+    multiset as the explicit 2x edge-union form — bit-identical ranks."""
+    both = (
+        pairs_deg.join(
+            F.broadcast(ranks.withColumnRenamed("r", "rc")),
+            F.col("cust") == F.col("node"),
+        )
+        .drop("node")
+        .join(
+            F.broadcast(ranks.withColumnRenamed("r", "rs")),
+            F.col("supp") == F.col("node"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("supp").alias("dst"),
+                        F.expr("rc div cdeg").alias("c"),
+                    ),
+                    F.struct(
+                        F.col("cust").alias("dst"),
+                        F.expr("rs div sdeg").alias("c"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.dst", "e.c")
+    )
     return (
-        edges_deg.join(F.broadcast(ranks), F.col("src") == F.col("node"))
-        .select("dst", F.expr("r div deg").alias("c"))
-        .groupBy("dst")
+        both.groupBy("dst")
         .agg(
             (
                 F.lit(base) + F.expr(f"sum(c) * {_DAMP_NUM} div {_DAMP_DEN}")
@@ -87,17 +125,17 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     side. State never exceeds one row per node — this is the same loop
     discipline GraphX/Pregel uses, expressed in plain DataFrame ops.
     """
-    edges_deg, deg, n_nodes = _pagerank_setup(spark, sf_dir)
+    pairs_deg, nodes, n_nodes = _pagerank_setup(spark, sf_dir)
     base = _SCALE * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN // n_nodes
 
     # the rank vector is one row per NODE (not per edge) — broadcast it
-    # onto the partitioned edge list each round, so the only shuffle per
+    # onto the partitioned pair list each round, so the only shuffle per
     # iteration is the contribution aggregate on dst. Symmetry also means
     # every node receives contributions, so the aggregate output IS the
     # next rank vector — no join back onto a node list. (On a graph whose
     # rank vector outgrows a broadcast, drop the hint and AQE falls back
     # to a shuffle join — the loop shape is unchanged.)
-    ranks = deg.select(F.col("src").alias("node"), F.lit(_SCALE // n_nodes).alias("r"))
+    ranks = nodes.select("node", F.lit(_SCALE // n_nodes).alias("r"))
     for _ in range(_ITERS):
         # cut lineage every round: the chained 5-deep broadcast plan
         # costs ~2x the sum of its rounds at sf1 (plan depth + AQE
@@ -108,7 +146,7 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # eager checkpoint made merely building this DataFrame run all
         # 5 iteration jobs, e.g. under scripts/dump_plans.py's EXPLAIN);
         # each round still materializes exactly once at the first action
-        ranks = _pagerank_round(edges_deg, ranks, base).localCheckpoint(
+        ranks = _pagerank_round(pairs_deg, ranks, base).localCheckpoint(
             eager=False
         )
     return (

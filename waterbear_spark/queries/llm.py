@@ -255,10 +255,12 @@ def dedup_near_minhash(
     (recall per exact-Jaccard bucket) as an oracle-checked query, and
     the band-degree cap bounds the one blowup the banding itself can't.
     """
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", _tokens(F.col("text")).alias("toks")
-    )
-    docs = _fan_out(spark, docs)
+    # widen BEFORE tokenizing: a projection built below the repartition
+    # exchange runs inside the (often 1-split) scan stage, serializing
+    # the per-token work the fan-out exists to spread
+    docs = _fan_out(
+        spark, table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", _tokens(F.col("text")).alias("toks"))
     # the shingle-set frame is reused three times (hashing + both sides of
     # the verify join); persist it so shingling runs once
     sets = (
@@ -2277,13 +2279,25 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen; the only exchange is the final ~10-row bucket aggregate. No
     join, no shuffle of text. Recall audits at 100 TB cost one scan.
     """
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", _tokens(F.col("text")).alias("toks")
-    )
-    docs = _fan_out(spark, docs)
+    # widen BEFORE tokenizing (see dedup_near_minhash): otherwise the
+    # token projection lands below the repartition exchange, inside the
+    # 1-split scan stage
+    docs = _fan_out(
+        spark, table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", _tokens(F.col("text")).alias("toks"))
     m = F.lit(2) + F.pmod(F.col("doc_id"), F.lit(5))
+    # |vtoks| in closed form: the variant keeps indices i in [1..n] with
+    # i % m != 0, so exactly n - (n div m) survive. Filtering on the
+    # arithmetic instead of size(vtoks) matters because Catalyst pushes
+    # filters below the repartition exchange, re-deriving every
+    # expression the predicate mentions inside the scan stage — with
+    # size(vtoks) that re-ran the whole per-token variant construction
+    # serially in the 1-split scan (measured 3.9 s of this query's 4.5 s)
+    n_toks = F.size("toks")
     pairs = (
-        docs.filter(F.size("toks") >= 3)
+        docs.filter(
+            (n_toks >= 3) & (n_toks - F.expr("size(toks) div (2 + pmod(doc_id, 5))") >= 3)
+        )
         .withColumn(
             "vtoks",
             F.transform(
@@ -2294,7 +2308,6 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.element_at("toks", i),
             ),
         )
-        .filter(F.size("vtoks") >= 3)
         .select(
             "doc_id",
             F.array_distinct(_shingles(F.col("toks"))).alias("arr_a"),

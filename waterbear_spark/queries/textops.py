@@ -57,12 +57,11 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from waterbear_spark.queries.llm import _shingles
 
+    # widen BEFORE tokenizing: a projection built under the repartition
+    # exchange runs inside the 1-split scan stage (see dedup_near_minhash)
     docs = _fan_out(
-        spark,
-        table(spark, sf_dir, "documents").select(
-            "doc_id", _tokens(F.col("text")).alias("raw")
-        ),
-    )
+        spark, table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", _tokens(F.col("text")).alias("raw"))
     shingled = docs.filter(F.size("raw") >= 3).select(
         "doc_id", F.array_distinct(_shingles(F.col("raw"))).alias("toks")
     )

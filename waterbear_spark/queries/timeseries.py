@@ -11,6 +11,8 @@ explicitly pinned order on both engines).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1032,7 +1034,9 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global index over the micro-relation (|days| rows — the one place
     # a single-partition window is free by construction, as in the ACF)
     w = Window.orderBy("day")
-    idx = daily.select("day", "cents", F.row_number().over(w).alias("i"))
+    idx = daily.select(
+        "day", "cents", F.row_number().over(w).alias("i")
+    ).persist()
     n = idx.agg(F.max("i").alias("n"))
     a = (
         idx.crossJoin(F.broadcast(n))
@@ -1059,66 +1063,80 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_b", "day_a"
     )
     sl = a.join(F.broadcast(b), "j").select(slope.alias("slope")).persist()
+    # materialize the two shared relations BEFORE building the selection
+    # phases below: their broadcast subtrees (n, b, stats, hits, med)
+    # kick off as concurrent jobs at action time and, racing on a cold
+    # cache, each re-derived the slope pipeline from the orders scan
+    # (measured at sf0.1: orders scanned 12x, 165 s of executor time for
+    # a ~35 s DAG). One eager job pins idx; the stats collect below
+    # materializes the slope cache.
+    idx.count()
 
     # Exact median WITHOUT `percentile(...)`: Spark's exact percentile
     # buffers every value and merges them on ONE reducer (measured ~9 s
     # of this query's runtime at sf0.1). Instead, the equidepth_histogram
     # selection trick: the interpolated median is determined by at most
     # two order statistics (ranks floor/ceil of (N+1)/2), so bucket the
-    # slopes by value, locate the bucket(s) holding those ranks from the
-    # tiny cumulative bucket relation, and sort only inside the hit
-    # bucket(s) (~N/8192 rows). Every pass is fully parallel; nothing
-    # ever concentrates the pair space on one task.
+    # slopes by value, locate the bucket(s) holding those ranks, and sort
+    # only inside the hit bucket(s) (~N/8192 rows). Every pass is fully
+    # parallel; nothing ever concentrates the pair space on one task.
+    #
+    # The selection scalars are BOUNDED driver values — a 1-row stats
+    # aggregate and a <= B-row bucket histogram (bounded by the constant
+    # B, not by data) — so they are collected and drive the later passes
+    # as literals. Kept as broadcast subtrees instead (the old shape),
+    # every reference re-scanned the cached slope relation: stats was
+    # re-aggregated 3x, the save phase alone measured 4.8 s at sf0.1 in
+    # crossJoin/BNLJ subtrees and their AQE re-plans. Literal-driven
+    # passes scan the cache exactly 3x total.
     B = 8192
-    stats = sl.agg(
-        F.min("slope").alias("mn"),
-        F.max("slope").alias("mx"),
-        F.count(F.lit(1)).alias("n_pairs"),
-    )
-    pb_expr = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
-        F.least(
-            F.floor(
-                (F.col("slope") - F.col("mn"))
-                / (F.col("mx") - F.col("mn"))
-                * B
-            ),
+    mn, mx, n_pairs = sl.agg(
+        F.min("slope"), F.max("slope"), F.count(F.lit(1))
+    ).collect()[0]
+    if n_pairs and mx != mn:
+        # identical IEEE arithmetic to the old column form: mn/mx are the
+        # exact doubles the old crossJoin carried, (mx - mn) is the same
+        # double subtraction
+        pb_expr = F.least(
+            F.floor((F.col("slope") - F.lit(mn)) / F.lit(mx - mn) * B),
             F.lit(B - 1),
         )
-    )
-    bucketed = sl.crossJoin(F.broadcast(stats)).select(
-        "slope", pb_expr.alias("pb")
-    )
-    cum_w = Window.orderBy("pb").rowsBetween(Window.unboundedPreceding, 0)
-    pbc = (
-        bucketed.groupBy("pb")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("cum", F.sum("cnt").over(cum_w))
-        .withColumn("cum_prev", F.col("cum") - F.col("cnt"))
-    )
+    else:
+        pb_expr = F.lit(0)
+    bucketed = sl.select("slope", pb_expr.alias("pb"))
     # ranks of the two central order statistics (equal when N is odd)
-    ranks = F.expr(
-        "array_distinct(array((n_pairs + 1) div 2, n_pairs div 2 + 1))"
-    )
-    hits = (
-        pbc.crossJoin(F.broadcast(stats.select("n_pairs")))
-        .select("pb", "cum_prev", "cum", F.explode(ranks).alias("rk"))
-        .filter((F.col("rk") > F.col("cum_prev")) & (F.col("rk") <= F.col("cum")))
-        .select("pb", (F.col("rk") - F.col("cum_prev")).alias("local_rk"))
-    )
-    rn_w = Window.partitionBy("pb").orderBy("slope")
-    cand = (
-        bucketed.join(F.broadcast(hits.select("pb").distinct()), "pb")
-        .withColumn("rn", F.row_number().over(rn_w))
-    )
-    picked = cand.join(
-        F.broadcast(hits),
-        (cand.pb == hits.pb) & (cand.rn == hits.local_rk),
-    ).select("slope")
+    r_lo, r_hi = (n_pairs + 1) // 2, n_pairs // 2 + 1
+    cum = 0
+    hits: dict[int, list[int]] = {}
+    for row in sorted(
+        bucketed.groupBy("pb").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    ):
+        lo, hi = cum, cum + row["cnt"]
+        for rk in {r_lo, r_hi}:
+            if lo < rk <= hi:
+                hits.setdefault(row["pb"], []).append(rk - lo)
+        cum = hi
+    if hits:
+        rn_w = Window.partitionBy("pb").orderBy("slope")
+        cand = bucketed.filter(
+            F.col("pb").isin(*hits)
+        ).withColumn("rn", F.row_number().over(rn_w))
+        picked = cand.filter(
+            reduce(
+                lambda a, b: a | b,
+                (
+                    (F.col("pb") == pb) & F.col("rn").isin(*rks)
+                    for pb, rks in hits.items()
+                ),
+            )
+        ).select("slope")
+    else:  # empty input: 1 output row with a NULL median, as before
+        picked = bucketed.select("slope").filter(F.lit(False))
     med = picked.agg(
         (F.sum("slope") / F.count(F.lit(1))).alias("median_slope")
     )
-    return stats.select("n_pairs").crossJoin(F.broadcast(med)).select(
-        "n_pairs",
+    return med.select(
+        F.lit(n_pairs).cast("bigint").alias("n_pairs"),
         F.round(F.col("median_slope") / 100.0, 4).alias("ts_slope_per_day"),
     )
 

@@ -65,13 +65,14 @@ def dedup_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
     0..n-1 ids; on ragged corpora make them left joins and let hybrid
     fall back to Jaccard).
     """
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", _tokens(F.col("text")).alias("toks")
-    )
     # the shingle+MinHash fold is CPU-per-byte-dense and otherwise runs
     # at the scan's file-split width; widen to cluster width first
-    # (AQE_PROBE_r11 A/B: 1.14x at sf1; no-op on wide production scans)
-    docs = _fan_out(spark, docs)
+    # (AQE_PROBE_r11 A/B: 1.14x at sf1; no-op on wide production scans).
+    # Tokenize AFTER the widen: a projection built under the repartition
+    # exchange runs inside the 1-split scan stage (see dedup_near_minhash)
+    docs = _fan_out(
+        spark, table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", _tokens(F.col("text")).alias("toks"))
     sets = (
         docs.filter(F.size("toks") >= 3)
         .select(

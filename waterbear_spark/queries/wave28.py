@@ -53,10 +53,11 @@ def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same scan/band shapes as [[dedup_near_minhash]]; the signature
     frame additionally carries the 8 hash components for the
     agreement count."""
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", _tokens(F.col("text")).alias("toks")
-    )
-    docs = _fan_out(spark, docs)
+    # widen BEFORE tokenizing: a projection built under the repartition
+    # exchange runs inside the 1-split scan stage (see dedup_near_minhash)
+    docs = _fan_out(
+        spark, table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", _tokens(F.col("text")).alias("toks"))
     sets = docs.filter(F.size("toks") >= 3).select(
         "doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("arr")
     )

@@ -137,12 +137,11 @@ def near_dup_degree_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-degree histogram of the LSH band graph — see module
     docstring. Output: (degree, n_docs) over every shingled document,
     degree 0 included, ordered by degree."""
+    # widen BEFORE tokenizing: a projection built under the repartition
+    # exchange runs inside the 1-split scan stage (see dedup_near_minhash)
     docs = _fan_out(
-        spark,
-        table(spark, sf_dir, "documents").select(
-            "doc_id", _tokens(F.col("text")).alias("toks")
-        ),
-    )
+        spark, table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", _tokens(F.col("text")).alias("toks"))
     sets = docs.filter(F.size("toks") >= 3).select(
         "doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("arr")
     )
