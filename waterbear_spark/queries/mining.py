@@ -171,29 +171,39 @@ def itemset_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``P(a,b) / (P(a) * P(b))``. This is the co-occurrence counting at
     the bottom of every association-rules / FP-growth pipeline.
 
-    Scale: the pair generation is a self-EQUI-join on ``l_orderkey``
-    whose per-key cardinality is the basket size (single digits) — the
-    pair space is sum-of-squares over baskets, linear-ish in orders,
-    never |parts|². Item supports and the order count are dimension-
-    sized and broadcast; the top-k is ``TakeOrderedAndProject``. Lift
-    arithmetic casts to double BEFORE multiplying so the intermediate
-    products cannot overflow BIGINT at corpus scale.
+    Scale: pair generation is ROW-LOCAL — each order's sorted distinct
+    item array unnests its own C(basket, 2) ascending pairs (baskets
+    are single-digit, so the pair space is sum-of-squares over baskets,
+    linear-ish in orders, never |parts|²) — replacing the former
+    self-equi-join's exchange with one basket aggregate. Item supports
+    and the order count read the same persisted basket relation; the
+    top-k is ``TakeOrderedAndProject``. Lift arithmetic casts to double
+    BEFORE multiplying so the intermediate products cannot overflow
+    BIGINT at corpus scale.
     """
-    # the distinct basket relation fans out four ways (pair sides, item
-    # supports, order count) — persist so the dedup shuffle runs once
-    li = (
+    # the basket relation fans out three ways (pairs, item supports,
+    # order count) — persist so the grouping shuffle runs once
+    baskets = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
         .persist()
     )
-    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
-    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    item = (
+        baskets.select(F.explode("items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    pair_arr = F.expr(
+        "flatten(transform(items, (x, i) ->"
+        " transform(slice(items, i + 2, size(items)),"
+        " y -> struct(x AS pa, y AS pb))))"
+    )
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n_pair"))
     )

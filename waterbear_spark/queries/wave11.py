@@ -122,56 +122,95 @@ def bipartite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     endpoints share a color — each is an odd cycle witness; zero means
     bipartite (within the reached subgraph). Output: one row with node,
     edge, reached, and conflict counts plus the verdict.
+
+    Scale: the edge list is bounded at 2x top-K rows BY CONSTRUCTION, so
+    the BFS rounds and the conflict census run row-locally over one
+    packed edge array (``operators/microg.py``) — the distributed plan
+    keeps only the star-join aggregate that builds the graph, replacing
+    {r} broadcast+shuffle micro-stages plus three count/conflict joins
+    with two projections.
     """
+    from waterbear_spark.operators import microg
     from waterbear_spark.queries.graph import _und_edges
 
-    und = _und_edges(spark, sf_dir).persist()
-    # the isNotNull guard drops MIN(src)'s one all-NULL row on an empty
-    # edge list, so an empty graph reports n_reached = 0, not a phantom
-    # NULL-keyed node riding through every BFS round
-    dist = (
-        und.agg(F.min("src").alias("node"))
-        .filter(F.col("node").isNotNull())
-        .withColumn("d", F.lit(0))
+    packed = microg.pack_edges(_und_edges(spark, sf_dir))
+    edges0 = F.col("edges")
+    # the isNotNull filter drops MIN(src)'s one all-NULL seed on an
+    # empty edge list, so an empty graph reports n_reached = 0, not a
+    # phantom NULL-keyed node riding through every BFS round
+    dist0 = F.filter(
+        microg.bfs_distances(
+            edges0,
+            _BP_ROUNDS,
+            F.array_min(F.transform(edges0, lambda e: e["src"])),
+        ),
+        lambda x: x["node"].isNotNull(),
     )
-    for _ in range(_BP_ROUNDS):
-        dist = dist.localCheckpoint(eager=True)
-        prop = (
-            und.join(F.broadcast(dist), F.col("src") == F.col("node"))
-            .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
-        )
-        dist = dist.unionAll(prop).groupBy("node").agg(F.min("d").alias("d"))
-    color = dist.select("node", F.pmod(F.col("d"), F.lit(2)).alias("c"))
-    conf = (
-        und.join(
-            F.broadcast(color.select(F.col("node").alias("src"), F.col("c").alias("cs"))),
-            "src",
-        )
-        .join(
-            F.broadcast(
-                color.select(F.col("node").alias("dst"), F.col("c").alias("cd"))
+    # generator barrier: materialize the BFS fold once — an expression
+    # referenced by several output columns is re-evaluated per reference
+    # (the interpreted-HOF trap documented in microg.py)
+    s1 = packed.select(
+        F.explode(
+            F.array(F.struct(edges0.alias("edges"), dist0.alias("dist")))
+        ).alias("s")
+    )
+    edges = F.col("s.edges")
+    dist = F.col("s.dist")
+
+    def _d(u: Column) -> Column:
+        return microg._lookup(dist, u, "node", "d")
+
+    def _fold(acc: Column, e: Column) -> Column:
+        ds, dd = _d(e["src"]), _d(e["dst"])
+        reached = ds.isNotNull() & dd.isNotNull()
+        return F.struct(
+            (acc["er"] + F.when(reached, F.lit(1)).otherwise(F.lit(0))).alias(
+                "er"
             ),
-            "dst",
+            (
+                acc["conf"]
+                + F.when(
+                    reached & (F.pmod(ds, F.lit(2)) == F.pmod(dd, F.lit(2))),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("conf"),
         )
-        .agg(
-            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges_reached"),
-            (F.sum((F.col("cs") == F.col("cd")).cast("int")) / 2)
-            .cast("bigint")
-            .alias("n_conflicts"),
-        )
+
+    # one traversal counts reached directed edges and same-color
+    # (odd-cycle witness) directed edges; both halve to undirected counts
+    stats = F.aggregate(
+        edges,
+        F.struct(
+            F.lit(0).cast("long").alias("er"),
+            F.lit(0).cast("long").alias("conf"),
+        ),
+        _fold,
     )
-    nodes = und.select("src").distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
-    reached = color.agg(F.count(F.lit(1)).alias("n_reached"))
-    return (
-        conf.crossJoin(F.broadcast(nodes))
-        .crossJoin(F.broadcast(reached))
-        .select(
-            "n_nodes",
-            "n_reached",
-            "n_edges_reached",
-            "n_conflicts",
-            (F.col("n_conflicts") == 0).alias("is_bipartite"),
-        )
+    n_nodes = F.size(
+        F.array_distinct(F.transform(edges, lambda e: e["src"]))
+    ).cast("long")
+    out = s1.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    n_nodes.alias("n_nodes"),
+                    F.size(dist).cast("long").alias("n_reached"),
+                    stats.alias("st"),
+                )
+            )
+        ).alias("t")
+    )
+    # SUM over zero reached edges is NULL in the join formulation (and
+    # the oracle); mirror that exactly so the verdict stays NULL there
+    n_conflicts = F.when(
+        F.col("t.st.er") > 0, (F.col("t.st.conf") / 2).cast("bigint")
+    )
+    return out.select(
+        F.col("t.n_nodes").alias("n_nodes"),
+        F.col("t.n_reached").alias("n_reached"),
+        (F.col("t.st.er") / 2).cast("bigint").alias("n_edges_reached"),
+        n_conflicts.alias("n_conflicts"),
+        (n_conflicts == 0).alias("is_bipartite"),
     )
 
 bipartite_check.__doc__ = bipartite_check.__doc__.format(r=_BP_ROUNDS)

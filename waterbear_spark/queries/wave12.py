@@ -594,27 +594,30 @@ def copurchase_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     both supply ("related items" / co-occurrence projection). Returns
     the 25 heaviest pairs.
 
-    Scale: the self-join key is the ORDER, so fan-out per order is
-    C(items_per_order, 2) <= 21 for TPC-H-shaped data — bounded, unlike
-    a supplier-keyed join. On data with pathological container sizes
-    the standard cap (drop orders above a line-count threshold) bolts
-    on as one census filter; the s1 < s2 canonicalization halves the
-    pair space and makes each pair unique per order before counting.
+    Scale: pair generation is ROW-LOCAL — each order's sorted distinct
+    supplier array unnests its own C(items_per_order, 2) <= 21
+    ascending pairs (bounded for TPC-H-shaped data, unlike a
+    supplier-keyed join), replacing the former self-equi-join's
+    exchange with one basket aggregate. On data with pathological
+    container sizes the standard cap (drop orders above a line-count
+    threshold) bolts on as one size filter on the basket array; the
+    s1 < s2 enumeration order makes each pair unique per order before
+    counting.
     """
-    li = (
+    baskets = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("items"))
     )
-    a = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2")
+    pair_arr = F.expr(
+        "flatten(transform(items, (x, i) ->"
+        " transform(slice(items, i + 2, size(items)),"
+        " y -> struct(x AS s1, y AS s2))))"
     )
     return (
-        a.join(b, "ok")
-        .filter(F.col("s1") < F.col("s2"))
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
         .groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), "s1", "s2")

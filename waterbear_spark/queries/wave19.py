@@ -75,12 +75,23 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dupN_frac`` is (chars inside n-grams occurring >= 2 times in the
     doc, counting every occurrence) / (chars inside all n-gram
     occurrences), as a ratio of per-source integer sums.
+
+    Scale: the duplicate census is PER DOCUMENT, so it never needs the
+    (doc_id, n, gram) shuffle of the count-then-pivot formulation: each
+    doc sorts its own n-gram array and one fold over the sorted runs
+    yields (total_chars, dup_chars) row-locally — a run of c >= 2 equal
+    grams contributes c*len(gram), exactly the cnt >= 2 rule. The only
+    shuffle left is the |sources|-row final aggregate. The scan widens
+    to cluster width first ([[profile_table]]'s `_fan_out` pattern) so
+    the per-token work is not pinned to the parquet split count.
     """
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "source", _tokens(F.col("text")).alias("toks")
+    from waterbear_spark.queries.llm import _fan_out
+
+    docs = _fan_out(spark, table(spark, sf_dir, "documents")).select(
+        "source", _tokens(F.col("text")).alias("toks")
     )
 
-    def gram_rows(n: int) -> DataFrame:
+    def gram_stats(n: int) -> F.Column:
         grams = F.transform(
             F.sequence(F.lit(1), F.size("toks") - (n - 1)),
             lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
@@ -91,44 +102,54 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         safe = F.when(F.size("toks") >= n, grams).otherwise(
             F.array().cast("array<string>")
         )
-        return docs.select(
-            "doc_id", F.lit(n).alias("n"), F.explode(safe).alias("gram")
+
+        def _fold(acc: F.Column, g: F.Column) -> F.Column:
+            rpt = g == acc["prev"]  # NULL-init prev: first element -> false
+            return F.struct(
+                g.alias("prev"),
+                F.when(rpt, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+                (acc["total"] + F.length(g)).alias("total"),
+                (
+                    acc["dup"]
+                    + F.when(
+                        rpt,
+                        F.when(
+                            acc["run"] == 1, F.lit(2) * F.length(g)
+                        ).otherwise(F.length(g)),
+                    ).otherwise(F.lit(0))
+                ).alias("dup"),
+            )
+
+        return F.aggregate(
+            F.array_sort(safe),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).cast("long").alias("total"),
+                F.lit(0).cast("long").alias("dup"),
+            ),
+            _fold,
         )
 
-    per_doc = (
-        gram_rows(2)
-        .unionByName(gram_rows(3))
-        .groupBy("doc_id", "n", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id", "n")
-        .agg(
-            F.sum(F.col("cnt") * F.length("gram")).alias("total_chars"),
-            F.sum(
-                F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("gram")).otherwise(
-                    F.lit(0)
+    # generator barrier: each stats struct is computed ONCE per doc; the
+    # field extractions below would otherwise re-run the fold per
+    # reference (the interpreted-HOF trap documented in microg.py)
+    wide = docs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("source").alias("source"),
+                    gram_stats(2).alias("s2"),
+                    gram_stats(3).alias("s3"),
                 )
-            ).alias("dup_chars"),
-        )
-    )
-    # pivot the two n values into columns; docs too short for an n-gram
-    # have no row for that n and coalesce to 0/0 (kept in the census)
-    wide = (
-        docs.select("doc_id", "source")  # one row per doc already
-        .join(
-            per_doc.groupBy("doc_id").pivot("n", [2, 3]).agg(
-                F.first("dup_chars").alias("dup"),
-                F.first("total_chars").alias("total"),
-            ),
-            "doc_id",
-            "left",
-        )
-        .select(
-            "source",
-            F.coalesce("2_dup", F.lit(0)).alias("dup2"),
-            F.coalesce("2_total", F.lit(0)).alias("total2"),
-            F.coalesce("3_dup", F.lit(0)).alias("dup3"),
-            F.coalesce("3_total", F.lit(0)).alias("total3"),
-        )
+            )
+        ).alias("g")
+    ).select(
+        F.col("g.source").alias("source"),
+        F.col("g.s2.dup").alias("dup2"),
+        F.col("g.s2.total").alias("total2"),
+        F.col("g.s3.dup").alias("dup3"),
+        F.col("g.s3.total").alias("total3"),
     )
     n2, d2 = _DUP2_THRESH
     n3, d3 = _DUP3_THRESH
@@ -228,14 +249,40 @@ _BUCKET_DUCK = (
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-unigram DSIR scoring — see module docstring. Returns the
     top {k} non-target documents by importance weight."""
-    toks = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", "source", F.explode(_tokens(F.col("text"))).alias("tok"))
-        .withColumn("h", F.expr(_BUCKET_SPARK))
+    from waterbear_spark.queries.llm import _fan_out
+
+    docs = _fan_out(spark, table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", _tokens(F.col("text")).alias("toks")
     )
-    # (doc, bucket) counts: the only corpus-sized shuffle
-    dh = toks.groupBy("doc_id", "source", "h").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # (doc, bucket) counts computed ROW-LOCALLY: hash every token to its
+    # bucket, sort, and one run-length fold yields the per-doc
+    # (h, cnt) pairs — the per-token explode + corpus-sized
+    # (doc, bucket) shuffle of the groupBy formulation disappears; the
+    # exploded relation below is already one row per (doc, bucket).
+    # Appends happen once per RUN (<= 256 per doc), not per token.
+    hc = F.expr(
+        "aggregate("
+        f" array_sort(transform(toks, tok -> {_BUCKET_SPARK})),"
+        " struct("
+        "   CAST(array() AS ARRAY<STRUCT<h: BIGINT, cnt: BIGINT>>) AS arr,"
+        "   CAST(NULL AS BIGINT) AS prev, CAST(0 AS BIGINT) AS cur),"
+        " (acc, h) -> CASE"
+        "   WHEN acc.prev IS NULL THEN"
+        "     struct(acc.arr AS arr, h AS prev, 1L AS cur)"
+        "   WHEN h = acc.prev THEN"
+        "     struct(acc.arr AS arr, acc.prev AS prev, acc.cur + 1L AS cur)"
+        "   ELSE struct(concat(acc.arr, array(struct(acc.prev AS h,"
+        "        acc.cur AS cnt))) AS arr, h AS prev, 1L AS cur) END,"
+        " acc -> CASE WHEN acc.prev IS NULL THEN acc.arr"
+        "   ELSE concat(acc.arr, array(struct(acc.prev AS h,"
+        "        acc.cur AS cnt))) END)"
+    )
+    # both consumers (256-row bucket relation, per-doc scores) re-read
+    # this compact relation — persist so tokenize+fold runs once
+    dh = (
+        docs.select("doc_id", "source", F.explode(hc).alias("e"))
+        .select("doc_id", "source", F.col("e.h").alias("h"), F.col("e.cnt").alias("cnt"))
+        .persist()
     )
     is_target = F.col("source") == _DSIR_TARGET
     # 256-row bucket relation with target/raw counts and the quantized

@@ -253,27 +253,35 @@ _TRI_TOPK = 15
 
 def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent part TRIPLES from order baskets — Apriori depth 3,
-    extending [[itemset_pair_lift]]: the 3-way self equi-join on the
-    order key with pa < pb < pc, so the candidate space is
-    sum-of-C(basket,3) over baskets (single-digit baskets: linear-ish
-    in orders, never |parts|^3). Support = triple orders / total
-    orders. Top {k} by count.
+    extending [[itemset_pair_lift]]: each order's sorted distinct item
+    array unnests its own C(basket, 3) ascending triples ROW-LOCALLY
+    (the oracle's per-basket form; the former 3-way self equi-join on
+    the order key produced the identical relation through two extra
+    exchanges). Baskets are single-digit, so the candidate space is
+    sum-of-C(basket,3) over baskets — linear-ish in orders, never
+    |parts|^3. Support = triple orders / total orders. Top {k} by count.
     """
-    li = (
+    baskets = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        .persist()
     )
-    li = li.persist()
-    tot = li.agg(F.countDistinct("l_orderkey").alias("tot_orders"))
-    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    c = li.select("l_orderkey", F.col("l_partkey").alias("pc"))
+    tot = baskets.agg(F.count(F.lit(1)).alias("tot_orders"))
+    triple_arr = F.expr(
+        "flatten(transform(items, (x, i) ->"
+        " flatten(transform(slice(items, i + 2, size(items)), (y, j) ->"
+        " transform(slice(items, i + j + 3, size(items)),"
+        " z -> struct(x AS pa, y AS pb, z AS pc))))))"
+    )
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .join(c, "l_orderkey")
-        .filter(F.col("pb") < F.col("pc"))
+        baskets.select(F.explode(triple_arr).alias("t"))
+        .select(
+            F.col("t.pa").alias("pa"),
+            F.col("t.pb").alias("pb"),
+            F.col("t.pc").alias("pc"),
+        )
         .groupBy("pa", "pb", "pc")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .crossJoin(F.broadcast(tot))
