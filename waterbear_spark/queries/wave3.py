@@ -388,11 +388,11 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints, and the mean fingerprint density.
 
     Scale: everything before the final census is row-local — the k-gram
-    explode is a bounded map-side fan-out (positions per doc), and the
-    window-min runs per doc ordered by position, partitioned on doc_id,
-    so it hash-partitions across the cluster. The census is one small
+    hashes AND the w-wide window mins are computed per doc inside one
+    projection (no position-level rows ever shuffle), and only each
+    doc's DISTINCT fingerprints are exploded into the one census
     aggregate on source. Identical shape at 100 TB; fingerprints (not
-    text) are what shuffles.
+    text, not per-position hashes) are what shuffles.
     """
     # per-k-gram md5 hashing is the query's budget and runs in the scan
     # stage, i.e. at file-split width; widen to cluster width first
@@ -405,64 +405,52 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "text")
         .filter(F.length("text") >= _WIN_K + _WIN_W - 1),
     )
-    grams = docs.select(
+    # r11 row-local rewrite (guide §2.4): the old form exploded every
+    # k-gram position, shuffled the corpus-sized (doc, pos, hkey) stream
+    # through a per-doc window-min and a DISTINCT, then aggregated. The
+    # winnowing selection is per-document by definition, so the hash
+    # array, the sliding mins, and the per-doc dedup all run in one
+    # projection; the explode below emits only distinct fingerprints
+    # (density 2/(w+1) before dedup). The single-element explode is the
+    # generator barrier materializing ``hk`` once — without it the
+    # interpreted slice/min lambda re-derives the md5 array per window
+    # (the documented HOF re-evaluation trap, operators/microg.py).
+    with_hk = docs.select(
         "doc_id",
         "source",
-        "text",
-        F.length("text").alias("len"),
+        F.expr(
+            f"""
+            transform(sequence(1, length(text) - {_WIN_K - 1}), pos ->
+              CAST(CONV(SUBSTRING(md5(SUBSTRING(text, pos, {_WIN_K})), 1, 12),
+                        16, 10) AS BIGINT) * 1024 + pos)
+            """
+        ).alias("hk"),
+    )
+    barrier = with_hk.select(
+        "doc_id", "source", F.explode(F.array("hk")).alias("hk")
+    )
+    fps = barrier.select(
+        "doc_id",
+        "source",
         F.explode(
-            F.sequence(F.lit(1), F.length("text") - F.lit(_WIN_K - 1))
-        ).alias("pos"),
-    ).select(
-        "doc_id",
-        "source",
-        "len",
-        "pos",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.expr(f"substring(text, pos, {_WIN_K})")), 1, 12
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            * 1024
-            + F.col("pos")
-        ).alias("hkey"),
+            F.expr(
+                f"""
+                array_distinct(transform(
+                  sequence(1, size(hk) - {_WIN_W - 1}),
+                  i -> array_min(slice(hk, i, {_WIN_W})) div 1024))
+                """
+            )
+        ).alias("fp"),
     )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(0, _WIN_W - 1)
-    )
-    selected = (
-        grams.select(
-            "doc_id",
-            "source",
-            "pos",
-            "len",
-            F.min("hkey").over(w).alias("sel"),
-        )
-        # only full windows: winnowing slides w-wide windows over the
-        # n-k+1 hashes, so the last w-1 starts are partial and excluded
-        .filter(F.col("pos") <= F.col("len") - F.lit(_WIN_K + _WIN_W - 2))
-        .select("doc_id", "source", F.expr("sel div 1024").alias("fp"))
-        .distinct()
-    )
-    per_doc = selected.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).alias("n_fp")
-    )
+    # every doc passing the length filter yields >= 1 full window, so
+    # n_docs == COUNT(DISTINCT doc_id) and total_fps == COUNT(*) over
+    # the per-doc-distinct fingerprint rows — one aggregate, one scan
     return (
-        per_doc.groupBy("source")
+        fps.groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_fp").alias("total_fps"),
-        )
-        .join(
-            selected.groupBy("source").agg(
-                F.countDistinct("fp").alias("distinct_fps")
-            ),
-            "source",
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("total_fps"),
+            F.countDistinct("fp").alias("distinct_fps"),
         )
         .select("source", "n_docs", "total_fps", "distinct_fps")
         .orderBy("source")

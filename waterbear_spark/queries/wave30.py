@@ -218,20 +218,27 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output per phase (1 = most fluent quartile): doc and token mass,
     quality bounds, and the cumulative token share the schedule hands
     a trainer."""
-    stop = F.array(*[F.lit(s) for s in _RAKE_STOP])
+    # tokenize+score once and persist: bucketed_ntile evaluates its
+    # input relation three times (bucket counts, hit-bucket rank, tile
+    # assignment), and without the persist each evaluation re-runs the
+    # whole token scan (r11; the same fix rfm_segments carries).
+    # Stopword membership is ``isin`` — an O(1) InSet probe per token —
+    # not array_contains over the 33-literal array (O(|stop|) per
+    # token); same count, bit-identical quality.
     docs = (
-        table(spark, sf_dir, "documents")
+        _fan_out(spark, table(spark, sf_dir, "documents").select("doc_id", "text"))
         .select("doc_id", _tokens(F.col("text")).alias("toks"))
         .filter(F.size("toks") > 0)
         .select(
             "doc_id",
             F.size("toks").alias("n_toks"),
             F.round(
-                F.size(F.filter("toks", lambda t: F.array_contains(stop, t)))
+                F.size(F.filter("toks", lambda t: t.isin(*_RAKE_STOP)))
                 / F.size("toks"),
                 6,
             ).alias("quality"),
         )
+        .persist()
     )
     phased = bucketed_ntile(
         docs.withColumn("negq", -F.col("quality")),

@@ -427,9 +427,10 @@ def containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate generation blocks on RARE shingles (document frequency in
     [2, {m}]) and keeps only pairs sharing >= {k} of them — measured at
     sf0.1: >=1 shared admits 2.24M pairs, >=3 admits 20k, a 100x cut
-    before the expensive exact-intersection join (one (shingle, doc_b)
-    equi-join per candidate's A-side shingles — no pair ever
-    materializes a set product). Pairs whose overlap is all common
+    before the exact intersection, which is one row-local
+    ``array_intersect`` of the two docs' shingle-set arrays per
+    candidate — no pair ever materializes a set product, and no
+    (shingle, doc) stream is ever shuffled for verification. Pairs whose overlap is all common
     shingles, or spread over < {k} rare ones, are missed by design
     (blocking recall, cf. [[dedup_recall_report]]); a true-containment
     pair at >= 50% shares half of A's shingle set, which at typical df
@@ -443,46 +444,67 @@ def containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _fan_out(
         spark, table(spark, sf_dir, "documents").select("doc_id", "text")
     ).select("doc_id", _tokens(F.col("text")).alias("toks"))
-    # array_distinct makes (doc_id, sh) unique already — no distinct
-    # shuffle needed after the explode
-    sh = docs.filter(F.size("toks") >= 3).select(
-        "doc_id",
-        F.explode(F.array_distinct(_shingles(F.col("toks")))).alias("sh"),
+    # keep the SET form: each doc's distinct shingles stay one array row,
+    # so the exact-intersection phase is a row-local array_intersect
+    # instead of two corpus-sized (shingle, doc) shuffles (r11; guide
+    # §2.3 "shuffle keys, not payloads", §2.4)
+    docs_arr = (
+        docs.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("sharr")
+        )
+        .persist()
     )
-    sh = sh.persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sh = docs_arr.select("doc_id", F.explode("sharr").alias("sh"))
     rare = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter((F.col("df") >= 2) & (F.col("df") <= _CT_DF_MAX))
         .select("sh")
     )
-    rare_sh = sh.join(rare, "sh")
+    # candidate pairs without a self-join: df <= {m} bounds each rare
+    # shingle's doc list, so the C(df,2) ordered pairs are enumerated
+    # ROW-LOCALLY from one bounded collect (the basket pattern of
+    # itemset_pair_lift) instead of shuffling rare_sh twice through an
+    # equi-join. The count-then-collect split keeps the collect bounded:
+    # hub shingles never reach the list aggregate.
     cand = (
-        rare_sh.alias("a")
-        .join(rare_sh.alias("b"), "sh")
-        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        sh.join(rare, "sh")
+        .groupBy("sh")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, a ->"
+                    " transform(filter(ds, b -> b != a),"
+                    " b -> struct(a AS da, b AS db))))"
+                )
+            ).alias("p")
         )
+        .select("p.da", "p.db")
+        .groupBy("da", "db")
         .agg(F.count(F.lit(1)).alias("n_rare_shared"))
         .filter(F.col("n_rare_shared") >= _CT_MIN_SHARED)
         .select("da", "db")
     )
-    inter = (
-        cand.join(sh.withColumnRenamed("doc_id", "da"), "da")
-        .join(
-            sh.select(
-                F.col("doc_id").alias("db2"), F.col("sh").alias("sh2")
-            ),
-            (F.col("db") == F.col("db2")) & (F.col("sh") == F.col("sh2")),
-        )
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     return (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sz_a")), "da"
+        cand.join(
+            docs_arr.select(
+                F.col("doc_id").alias("da"), F.col("sharr").alias("sa")
+            ),
+            "da",
+        )
+        .join(
+            docs_arr.select(
+                F.col("doc_id").alias("db"), F.col("sharr").alias("sb")
+            ),
+            "db",
+        )
+        .select(
+            "da",
+            "db",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("n_inter"),
+            F.size("sa").cast("long").alias("sz_a"),
         )
         .select(
             "da",
