@@ -306,3 +306,20 @@ def test_curriculum_quality_stopword_probe(spark, tmp_path):
     assert set(got_bounds) <= set(quals)
     assert sum(r["n_docs"] for r in out) == len(rows)
     assert min(quals) in got_bounds and max(quals) in got_bounds
+
+
+def test_und_edges_symmetric_single_subtree(spark):
+    """The r11 explode symmetrization of the shared nation-trade graph:
+    every edge appears in both directions with equal weight, no
+    duplicates, and the physical plan contains a single star-join
+    subtree (no Union re-deriving the aggregate)."""
+    from waterbear_spark.queries.graph import und_edges_weighted
+
+    df = und_edges_weighted(spark, "/root/testdata/sf0.001")
+    rows = {(r["src"], r["dst"]): r["w"] for r in df.collect()}
+    assert rows, "graph must be non-empty"
+    assert len(rows) % 2 == 0
+    for (s, d), w in rows.items():
+        assert rows[(d, s)] == w
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan

@@ -507,13 +507,27 @@ def und_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     edges = ranked.filter(F.col("rk") <= _TOP_EDGES).select("a", "b", "rk")
+    # symmetrize ROW-LOCALLY: a unionAll of two projections plans the
+    # whole star-join + aggregate subtree TWICE (measured: no exchange
+    # reuse across the union children — the base cost doubled for every
+    # graph query). One explode emits both directions from one subtree
+    # (r11; guide §2.4).
     return edges.select(
-        F.col("a").alias("src"), F.col("b").alias("dst"), F.col("rk").alias("w")
-    ).unionAll(
-        edges.select(
-            F.col("b").alias("src"), F.col("a").alias("dst"), F.col("rk").alias("w")
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("src"),
+                    F.col("b").alias("dst"),
+                    F.col("rk").alias("w"),
+                ),
+                F.struct(
+                    F.col("b").alias("src"),
+                    F.col("a").alias("dst"),
+                    F.col("rk").alias("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
 
 
 # weighted twin of _EDGES_CTE: undw carries the revenue-rank weight

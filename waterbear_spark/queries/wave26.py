@@ -150,38 +150,59 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    probes = emb.filter(F.col("vec_id") < _SWEEP_K).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+
+    # r11: the two self-dots of each block distance are per-VECTOR and
+    # per-PROBE constants — compute them once per corpus row / probe row
+    # instead of once per (pair, reference); only the cross term qb.vb
+    # is per-pair work (guide §1.2 per-task work). Same fold order, so
+    # the assembled (a - 2c) + q doubles are bit-identical.
+    def _block_norms(col: Column) -> Column:
+        arr, prev = [], 0
+        for dim in _MAT_DIMS:
+            sl = F.slice(col, prev + 1, dim - prev)
+            arr.append(_dot(sl, sl))
+            prev = dim
+        return F.array(*arr)
+
+    emb2 = emb.select("vec_id", "v", _block_norms(F.col("v")).alias("nb"))
+    probes = emb2.filter(F.col("vec_id") < _SWEEP_K).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nb").alias("qnb"),
+    )
+    pairs = emb2.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("query_id")
     )
     # one corpus scan: per-block fixed-point partial distances, summed
-    # cumulatively into the four prefix distances
-    blocks = []
-    prev = 0
-    for dim in _MAT_DIMS:
+    # cumulatively into the four prefix distances. The single-element
+    # explode materializes the block array ONCE per pair — without the
+    # barrier each block's interpreted dot re-evaluates inside every
+    # cumulative prefix referencing it (the documented HOF trap).
+    blocks, prev = [], 0
+    for i, dim in enumerate(_MAT_DIMS):
         width = dim - prev
         vb = F.slice("v", prev + 1, width)
         qb = F.slice("qv", prev + 1, width)
-        part = (_dot(vb, vb) - 2 * _dot(qb, vb)) + _dot(qb, qb)
+        part = (
+            F.element_at("nb", i + 1) - 2 * _dot(qb, vb)
+        ) + F.element_at("qnb", i + 1)
         blocks.append(F.floor(part * _ADC_FP + F.lit(0.5)).cast("long"))
         prev = dim
-    cum, acc = [], None
-    for b in blocks:
-        acc = b if acc is None else (acc + b)
-        cum.append(acc)
-    pairs = emb.crossJoin(F.broadcast(probes)).filter(
-        F.col("vec_id") != F.col("query_id")
+    barrier = pairs.select(
+        "query_id", "vec_id", F.explode(F.array(F.array(*blocks))).alias("bs")
     )
-    dists = pairs.select(
+    dims_sql = ", ".join(str(d) for d in _MAT_DIMS)
+    dists = barrier.select(
         "query_id",
         "vec_id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("dim_kept"), c.alias("dist_fp")
-                    )
-                    for d, c in zip(_MAT_DIMS, cum)
-                ]
+            F.expr(
+                f"""
+                transform(sequence(1, {len(_MAT_DIMS)}), i -> named_struct(
+                  'dim_kept', element_at(array({dims_sql}), i),
+                  'dist_fp', aggregate(slice(bs, 1, i), CAST(0 AS BIGINT),
+                                       (s, x) -> s + x)))
+                """
             )
         ).alias("x"),
     ).select("query_id", "vec_id", "x.dim_kept", "x.dist_fp")
