@@ -93,9 +93,22 @@ def test_lateral_decorrelates_to_window_join(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_above_threshold_distributed_path_matches(spark):
-    # > SPARK_GRAFT_CC_LOCAL_MAX (512) distinct edges: exercises the
-    # alternating-star loop (the 100 TB path) post-dispatch
+def test_above_threshold_driver_tier_matches(spark):
+    # > SPARK_GRAFT_CC_LOCAL_MAX (512) distinct edges but under the
+    # driver-tier bound: exercises the bounded-collect union-find
+    rng = random.Random(11)
+    seen = set()
+    while len(seen) < 700:
+        a, b = rng.randrange(500), rng.randrange(500)
+        if a != b:
+            seen.add((min(a, b), max(a, b)))
+    _check(spark, sorted(seen))
+
+
+def test_above_threshold_distributed_path_matches(spark, monkeypatch):
+    # driver tier disabled: exercises the alternating-star loop (the
+    # 100 TB path) post-dispatch on the same 700-edge graph
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_MAX", "0")
     rng = random.Random(11)
     seen = set()
     while len(seen) < 700:
@@ -106,7 +119,7 @@ def test_above_threshold_distributed_path_matches(spark):
 
 
 def test_local_and_distributed_paths_agree(spark, monkeypatch):
-    # same 300-edge graph through both engines: identical label sets
+    # same 300-edge graph through all three engines: identical label sets
     rng = random.Random(13)
     seen = set()
     while len(seen) < 300:
@@ -118,12 +131,17 @@ def test_local_and_distributed_paths_agree(spark, monkeypatch):
         (r.vertex, r.component) for r in star_connected_components(df).collect()
     }
     monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_MAX", "0")
+    driver = {
+        (r.vertex, r.component) for r in star_connected_components(df).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_MAX", "0")
     dist = {
         (r.vertex, r.component) for r in star_connected_components(df).collect()
     }
-    assert local == dist
+    assert local == driver == dist
 
 
-def test_long_chain_above_threshold(spark):
+def test_long_chain_above_threshold(spark, monkeypatch):
     # 600-edge path graph: adversarial diameter for the distributed loop
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_MAX", "0")
     _check(spark, [(i, i + 1) for i in range(600)])

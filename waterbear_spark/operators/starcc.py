@@ -117,6 +117,40 @@ def star_connected_components(
         from waterbear_spark.operators import microg
 
         return microg.cc_labels_local(microg.pack_edges(edges, "u", "v"))
+    # middle tier: a graph too big for the interpreted row-local fold
+    # (O(rounds * nodes * edges) element ops) but still BOUNDED — e.g.
+    # grid_dbscan's cell graph is <= 32x32 cells * 9 neighbours by
+    # construction — computes its components with one bounded collect
+    # (<= driver_max 16-byte edge rows, ~1 MB at the default) and a
+    # driver union-find, instead of 3 shuffles + 2 driver jobs per star
+    # round. Same bounded-driver-scalar discipline as the k-row k-means
+    # seeds (wave20) and theil_sen's median selection; the count gating
+    # the collect is the signature count already paid above. Union roots
+    # by MIN vertex id, so the root of every tree is the component's
+    # minimum — the exact output contract of both other paths.
+    driver_max = int(_os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX", "65536"))
+    if sig[0] <= driver_max:
+        parent: dict[int, int] = {}
+
+        def _find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.collect():
+            u, v = row[0], row[1]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = _find(u), _find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        labels = sorted((x, _find(x)) for x in parent)
+        return edges_df.sparkSession.createDataFrame(
+            labels, "vertex bigint, component bigint"
+        )
     for _ in range(max_rounds):
         after = _small_star(_large_star(edges)).localCheckpoint()
         new_sig = _signature(after)
