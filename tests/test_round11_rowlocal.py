@@ -323,3 +323,32 @@ def test_und_edges_symmetric_single_subtree(spark):
         assert rows[(d, s)] == w
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Union" not in plan
+
+
+def test_triangle_enumeration_matches_itertools(spark):
+    """The r11 row-local triangle closure over a packed edge array must
+    match a Python replay (canonical a<b<c, each triangle once) on a
+    graph with two overlapping cliques, a chain, and an isolated edge."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from waterbear_spark.queries.graph import _triangle_nations
+
+    nodes = ["A", "B", "C", "D", "E", "F", "G", "H"]
+    eset = {tuple(sorted(p)) for p in combinations(nodes[:4], 2)}  # K4
+    eset |= {tuple(sorted(p)) for p in combinations(nodes[2:6], 2)}  # K4 overlap
+    eset |= {("F", "G"), ("G", "H")}  # chain: no triangle
+    eset |= {("X", "Y")}  # isolated edge
+    want = []
+    for a, b, c in combinations(sorted({n for e in eset for n in e}), 3):
+        if {(a, b), (b, c), (a, c)} <= eset:
+            want += [a, b, c]
+    df = spark.createDataFrame(sorted(eset), "a string, b string")
+    got = (
+        df.agg(F.array_sort(F.collect_list(F.struct("a", "b"))).alias("es"))
+        .select(_triangle_nations(F.col("es")).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert sorted(got) == sorted(want)
+    assert len(want) > 0

@@ -199,6 +199,33 @@ LIMIT 25
 _TOP_EDGES = 100
 
 
+def _triangle_nations(es) -> F.Column:
+    """Per-triangle nation memberships of a packed (a < b) edge array:
+    one flat array holding a, b, c for every a<b<c triangle, each
+    triangle exactly once. For e1=(a,b), every e2=(b,c) is a wedge
+    (c > b since stored pairs are least<greatest), closed iff (a,c) is
+    also an edge."""
+    return F.flatten(
+        F.flatten(
+            F.transform(
+                es,
+                lambda e1: F.transform(
+                    F.filter(
+                        es,
+                        lambda e2: (e2["a"] == e1["b"])
+                        & F.exists(
+                            es,
+                            lambda e3: (e3["a"] == e1["a"])
+                            & (e3["b"] == e2["b"]),
+                        ),
+                    ),
+                    lambda e2: F.array(e1["a"], e1["b"], e2["b"]),
+                ),
+            )
+        )
+    )
+
+
 def triangle_count_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting on the nation trade graph: nodes are nations,
     undirected edges are the top-100 supplier-nation↔customer-nation
@@ -248,21 +275,23 @@ def triangle_count_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     edges = ranked.filter(F.col("rk") <= _TOP_EDGES).select("a", "b")
-    e2 = edges.select(F.col("a").alias("b2"), F.col("b").alias("c"))
-    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
-    tris = (
-        edges.join(e2, F.col("b") == F.col("b2"))
-        .join(
-            e3,
-            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
-            "left_semi",
-        )
-        .select(F.explode(F.array("a", "b", "c")).alias("nation"))
+    # the edge list is <= _TOP_EDGES rows BY CONSTRUCTION (the rank
+    # filter, not the data, sets the size) — close the wedges row-locally
+    # over ONE packed array (the microg pattern) instead of a three-way
+    # self-join whose physical plan re-derived the whole star-join
+    # subtree once per join arm (40 Exchange / 3 duplicated fact scans).
+    # Same canonical a<b<c closure: for e1=(a,b), every e2=(b,c) is a
+    # wedge (c>b since stored pairs are least<greatest), closed iff
+    # (a,c) is also an edge — each triangle counted exactly once.
+    packed = edges.agg(
+        F.array_sort(F.collect_list(F.struct("a", "b"))).alias("es")
+    )
+    return (
+        packed.select(F.explode(_triangle_nations(F.col("es"))).alias("nation"))
         .groupBy("nation")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .orderBy(F.col("n_triangles").desc(), "nation")
     )
-    return tris
 
 
 TRIANGLE_SQL = f"""
