@@ -813,17 +813,21 @@ def dup_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = docs.select(
         "doc_id", _tokens(F.col("text")).alias("t")
     ).filter(F.size("t") >= _SPAN_K)
+    # binary digests (16 bytes vs 32-char hex — bijective, so the digest
+    # census groups identically); persisted, because the plan otherwise
+    # re-derives the one-md5-per-corpus-token pass once per consumer
+    # (shared census, run-length semi join, per-doc totals = 3 scans)
     wins = arr.select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), F.size("t") - _SPAN_K + 1),
-                lambda i: F.md5(
-                    F.array_join(F.slice(F.col("t"), i, _SPAN_K), " ")
+                lambda i: F.unhex(
+                    F.md5(F.array_join(F.slice(F.col("t"), i, _SPAN_K), " "))
                 ),
             )
         ).alias("pos", "dig"),
-    )
+    ).persist()
     shared = (
         wins.groupBy("dig")
         .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))

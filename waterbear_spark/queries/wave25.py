@@ -63,17 +63,27 @@ def _removal_manifest(docs: DataFrame, k: int = _MANIFEST_K) -> DataFrame:
         F.size("t") >= k
     )
     # (doc_id, s, dig): s = 1-based window start, dig = md5 of the
-    # k-token window; digests are computed inside the per-row transform
-    # so only 16-byte digests (never window text) reach the shuffle
-    wins = arr.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - k + 1),
-                lambda i: F.md5(F.array_join(F.slice(F.col("t"), i, k), " ")),
-            )
-        ).alias("p0", "dig"),
-    ).select("doc_id", (F.col("p0") + 1).alias("s"), "dig")
+    # k-token window — UNHEXed to its 16-byte binary form, halving the
+    # shuffled key bytes vs the 32-char hex (bijective, so grouping and
+    # joining on it is exactly the oracle's hex grouping). Persisted:
+    # the digest pass (one md5 per corpus token) otherwise re-evaluates
+    # once per consumer (census + cut join = 2 full scans, measured in
+    # the plan as duplicated parquet scans with zero exchange reuse).
+    wins = (
+        arr.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - k + 1),
+                    lambda i: F.unhex(
+                        F.md5(F.array_join(F.slice(F.col("t"), i, k), " "))
+                    ),
+                )
+            ).alias("p0", "dig"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("s"), "dig")
+        .persist()
+    )
     # keeper census per digest: min doc keeps; cross-doc iff min != max
     census = wins.groupBy("dig").agg(
         F.min("doc_id").alias("keeper"), F.max("doc_id").alias("mx")
