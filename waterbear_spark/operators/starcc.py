@@ -67,6 +67,32 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _driver_components(edges: DataFrame, session) -> DataFrame:
+    """Components of a BOUNDED (u, v) edge frame via one bounded collect
+    + driver union-find rooted at the minimum vertex id — the
+    (vertex, component) contract shared by every CC path. Callers gate
+    on an already-paid edge count; see star_connected_components."""
+    parent: dict[int, int] = {}
+
+    def _find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.collect():
+        u, v = row[0], row[1]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = _find(u), _find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    labels = sorted((x, _find(x)) for x in parent)
+    return session.createDataFrame(labels, "vertex bigint, component bigint")
+
+
 def star_connected_components(
     edges_df: DataFrame, src: str = "src", dst: str = "dst",
     max_rounds: int = 50,
@@ -112,45 +138,30 @@ def star_connected_components(
     # the row-local fold's O(rounds * nodes * edges) work, not local[32].
     import os as _os
 
+    # BOUNDED-graph tier: a graph under SPARK_GRAFT_CC_DRIVER_MAX edges
+    # (e.g. grid_dbscan's <= 32x32-cell * 9-neighbour adjacency, or a
+    # near-dup pair graph — pairs-sized, tiny vs the corpus) computes
+    # its components with one bounded collect (<= 65536 16-byte edge
+    # rows, ~1 MB at the default) and a driver union-find, instead of 3
+    # shuffles + 2 driver jobs per star round. Same bounded-driver-
+    # scalar discipline as the k-row k-means seeds (wave20) and
+    # theil_sen's median selection; the count gating the collect is the
+    # signature count already paid above. Union roots by MIN vertex id,
+    # so the root of every tree is the component's minimum — the exact
+    # output contract of the other paths. Measured vs the interpreted
+    # row-local fold on the 256-edge sf0.1 near-dup graph: the fold
+    # pays 1.2-1.7 s of per-element expression evaluation, the driver
+    # union-find ~0.05 s — so the driver tier dispatches FIRST, and the
+    # fold (microg.cc_labels_local) remains the no-driver fallback for
+    # tiny graphs when the tier is disabled (SPARK_GRAFT_CC_DRIVER_MAX=0).
+    driver_max = int(_os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX", "65536"))
+    if sig[0] <= driver_max:
+        return _driver_components(edges, edges_df.sparkSession)
     local_max = int(_os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX", "512"))
     if sig[0] <= local_max:
         from waterbear_spark.operators import microg
 
         return microg.cc_labels_local(microg.pack_edges(edges, "u", "v"))
-    # middle tier: a graph too big for the interpreted row-local fold
-    # (O(rounds * nodes * edges) element ops) but still BOUNDED — e.g.
-    # grid_dbscan's cell graph is <= 32x32 cells * 9 neighbours by
-    # construction — computes its components with one bounded collect
-    # (<= driver_max 16-byte edge rows, ~1 MB at the default) and a
-    # driver union-find, instead of 3 shuffles + 2 driver jobs per star
-    # round. Same bounded-driver-scalar discipline as the k-row k-means
-    # seeds (wave20) and theil_sen's median selection; the count gating
-    # the collect is the signature count already paid above. Union roots
-    # by MIN vertex id, so the root of every tree is the component's
-    # minimum — the exact output contract of both other paths.
-    driver_max = int(_os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX", "65536"))
-    if sig[0] <= driver_max:
-        parent: dict[int, int] = {}
-
-        def _find(x: int) -> int:
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
-        for row in edges.collect():
-            u, v = row[0], row[1]
-            parent.setdefault(u, u)
-            parent.setdefault(v, v)
-            ru, rv = _find(u), _find(v)
-            if ru != rv:
-                parent[max(ru, rv)] = min(ru, rv)
-        labels = sorted((x, _find(x)) for x in parent)
-        return edges_df.sparkSession.createDataFrame(
-            labels, "vertex bigint, component bigint"
-        )
     for _ in range(max_rounds):
         after = _small_star(_large_star(edges)).localCheckpoint()
         new_sig = _signature(after)

@@ -446,28 +446,35 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     # size-adaptive dispatch, mirroring starcc: a pair graph this small
-    # (near-dup clusters are pairs-sized, tiny vs the corpus) runs its
-    # min-label descent row-locally (with path-halving — still the
-    # min-label family) instead of paying 3 driver jobs per propagation
-    # round; the distributed loop below is the unbounded-graph path.
+    # (near-dup clusters are pairs-sized, tiny vs the corpus) labels its
+    # components from one bounded collect + driver union-find (r11: the
+    # interpreted row-local fold measured 1.2-1.7 s on the 256-edge
+    # sf0.1 graph vs ~0.05 s for the union-find; cc_labels_local remains
+    # the no-driver fallback when the tier is disabled); the distributed
+    # min-label loop below is the unbounded-graph path.
     import os as _os
 
+    n_edges = edges.count()
+    half = edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    driver_max = int(_os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX", "65536"))
     local_max = int(_os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX", "512"))
-    if edges.count() <= 2 * local_max:
-        from waterbear_spark.operators import microg
+    if n_edges <= 2 * driver_max or n_edges <= 2 * local_max:
+        from waterbear_spark.operators import microg, starcc
 
-        # pack the canonical (a < b) half of the PERSISTED symmetric
-        # list — half the edge array for the same components; edges
-        # stays persisted, the returned plan reads it lazily
-        labels = microg.cc_labels_local(
-            microg.pack_edges(
-                edges.filter(F.col("src") < F.col("dst")).select(
-                    F.col("src").alias("u"), F.col("dst").alias("v")
-                ),
-                "u",
-                "v",
+        if n_edges <= 2 * driver_max:
+            labels = starcc._driver_components(half, spark)
+        else:
+            # pack the canonical (a < b) half of the PERSISTED symmetric
+            # list — half the edge array for the same components; edges
+            # stays persisted, the returned plan reads it lazily
+            labels = microg.cc_labels_local(
+                microg.pack_edges(half, "u", "v")
             )
-        ).select(F.col("vertex").alias("doc_id"), F.col("component").alias("comp"))
+        labels = labels.select(
+            F.col("vertex").alias("doc_id"), F.col("component").alias("comp")
+        )
         sizes = labels.groupBy("comp").agg(
             F.count(F.lit(1)).alias("cluster_size")
         )
