@@ -918,7 +918,14 @@ def haversine_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest-of-K-facilities at 100 TB — for huge K one would grid-bucket
     first ([[grid_neighbor_join]]).
     """
-    cust = table(spark, sf_dir, "customer").select(
+    from waterbear_spark.queries.llm import _fan_out
+
+    # widen BEFORE the per-customer trig fold: 25 haversines per row is
+    # the CPU-densest map stage in the catalog, and the single-file
+    # bench split otherwise runs it all on one task (med 1.38 -> 0.50 s
+    # at sf0.1, interleaved batch A/B); file-count-gated no-op on
+    # production-width scans
+    cust = _fan_out(spark, table(spark, sf_dir, "customer")).select(
         "c_custkey",
         _pseudo_deg(F.col("c_custkey"), "lat|", 180).alias("lat"),
         _pseudo_deg(F.col("c_custkey"), "lon|", 360).alias("lon"),
