@@ -667,8 +667,9 @@ def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole point of the sketch: it is merged map-side (partial aggregation)
     and broadcast back for the estimate join, so heavy-hitter detection
     over 100 TB shuffles only the 2k-row sketch plus one row per distinct
-    candidate key. The exact-count verification column is a second
-    aggregate over the same scan, shuffled on the key.
+    candidate key. The sketch counters ride the per-key exact aggregate
+    (a bucket is a function of the key alone), so the table is scanned
+    exactly once.
     """
     orders = table(spark, sf_dir, "orders")
 
@@ -686,19 +687,15 @@ def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _CMS_WIDTH
         )
 
-    rows = orders.select(
-        "o_custkey",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(r).alias("r"),
-                    bucket(F.col("o_custkey"), r).alias("b"),
-                )
-                for r in range(_CMS_DEPTH)
-            ])
-        ).alias("h"),
-    ).select("o_custkey", F.col("h.r").alias("r"), F.col("h.b").alias("b"))
-    sketch = rows.groupBy("r", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    # r11: the sketch rides the per-key exact aggregate instead of a
+    # second full scan — a bucket is a function of the KEY alone, so
+    # counting (r, b) over all order rows == summing exact_count over
+    # distinct keys by bucket (identical counters, same oracle). This
+    # drops one orders scan and cuts the md5 budget from 4 per ROW to
+    # 4 per DISTINCT KEY (~15x fewer at sf0.1). On a stream where keys
+    # cannot be pre-aggregated the classic row-feed applies; as a batch
+    # operator the counter algebra is what makes the sketch mergeable
+    # in the first place.
     exact = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("exact_count")
     )
@@ -717,6 +714,9 @@ def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "o_custkey", "exact_count",
         F.col("h.r").alias("r"), F.col("h.b").alias("b"),
+    ).persist()
+    sketch = keyed.groupBy("r", "b").agg(
+        F.sum("exact_count").alias("cnt")
     )
     est = (
         keyed.join(F.broadcast(sketch), ["r", "b"])
