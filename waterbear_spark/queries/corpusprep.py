@@ -653,17 +653,33 @@ def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign tiles by broadcast comparison. The naive windows remain the
     oracle; the decile means are exact decimal sums.
     """
-    from waterbear_spark.operators.ntile import bucketed_ntile
+    from waterbear_spark.operators.ntile import ntile_bounds, ntile_tile_expr
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    tiled = bucketed_ntile(
-        bucketed_ntile(
-            docs, "n_chars", "doc_id", _QN_BUCKETS,
-            out_col="src_decile", part_cols=["source"], width=64.0,
-        ),
-        "n_chars", "doc_id", _QN_BUCKETS,
-        out_col="pool_decile", width=64.0,
-    ).select("source", "n_chars", "src_decile", "pool_decile")
+    # the two tilings are INDEPENDENT dimensions of the same relation
+    # (the rfm_segments r11 pattern): nesting whole bucketed_ntile calls
+    # re-evaluated the inner tiling inside all three subtrees of the
+    # outer. Compute both boundary relations as parallel subtrees and
+    # attach both tiles in one projection — identical tile values, the
+    # boundary math never reads the other dimension's column.
+    b_src = ntile_bounds(
+        docs, "n_chars", "doc_id", _QN_BUCKETS,
+        part_cols=["source"], width=64.0, bnds_col="__b_s",
+    )
+    b_pool = ntile_bounds(
+        docs, "n_chars", "doc_id", _QN_BUCKETS, width=64.0, bnds_col="__b_p"
+    )
+    # persisted: the pooled and per-source aggregates below would each
+    # re-derive docs plus all four boundary subtrees otherwise (the
+    # plan showed the whole tiling duplicated per consumer)
+    tiled = (
+        docs.join(F.broadcast(b_src), ["source"], "left")
+        .crossJoin(F.broadcast(b_pool))
+        .withColumn("src_decile", ntile_tile_expr("__b_s", "n_chars", "doc_id"))
+        .withColumn("pool_decile", ntile_tile_expr("__b_p", "n_chars", "doc_id"))
+        .select("source", "n_chars", "src_decile", "pool_decile")
+        .persist()
+    )
     pooled = (
         tiled.groupBy("pool_decile")
         .agg(davg(F.col("n_chars"), "pool_mean", scale=4))
