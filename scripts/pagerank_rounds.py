@@ -43,9 +43,10 @@ SF1 = os.path.join(REPO, "localdata", "sf1")
 
 def breakdown(spark: SparkSession, sf_dir: str) -> dict:
     t0 = time.perf_counter()
-    pairs_deg, nodes, n_nodes = _pagerank_setup(spark, sf_dir)
-    # one pair row = both directed edges; also materializes the persist
-    n_edges = pairs_deg.count() * 2
+    edges_deg, nodes, n_nodes = _pagerank_setup(spark, sf_dir)
+    # r12: the persisted frame is the directed-edge list itself; the
+    # count also materializes the persist
+    n_edges = edges_deg.count()
     setup_s = round(time.perf_counter() - t0, 3)
 
     base = _SCALE * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN // n_nodes
@@ -58,10 +59,9 @@ def breakdown(spark: SparkSession, sf_dir: str) -> dict:
         # checkpoint the OUTPUT so the next round starts from materialized
         # state — the timed region is exactly one broadcast + edge scan +
         # contribution aggregate
-        ranks = _pagerank_round(pairs_deg, ranks, base).localCheckpoint()
+        ranks = _pagerank_round(edges_deg, ranks, base).localCheckpoint()
         rounds.append(round(time.perf_counter() - t0, 3))
-    pairs_deg.unpersist()
-    nodes.unpersist()
+    edges_deg.unpersist()
     return {
         "n_nodes": n_nodes,
         "n_edges": n_edges,

@@ -152,6 +152,10 @@ NESTED_LOOP_OK = {
     "boilerplate_prefix_census",
     # per-width census assembly: three 1-row aggregates joined per row
     "contamination_ngram_sweep",
+    # r12: six 1-row single-column distinct-count aggregates attached to
+    # the 1-row base profile by broadcast (replaced the expand-x7 fused
+    # aggregate — 2.4x at sf0.1)
+    "profile_table",
     # 1-row corpus-token-total scalar onto the vocabulary relation
     # (the perplexity_buckets shape)
     "doremi_mix_weights",

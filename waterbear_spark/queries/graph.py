@@ -27,86 +27,64 @@ _ITERS = 5
 def _pagerank_setup(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, int]:
-    """(edges_deg persisted, deg persisted, n_nodes) — the static graph
-    state shared by every power iteration. Split out so
+    """(edges_deg persisted, nodes, n_nodes) — the static graph state
+    shared by every power iteration. Split out so
     ``scripts/pagerank_rounds.py`` can time setup vs per-round cost on
-    the exact production code."""
+    the exact production code.
+
+    r12: the graph is persisted in DIRECTED-edge form (src, dst, deg)
+    with the out-degree attached, instead of the r11 pair form probed at
+    both endpoints. Each round then needs ONE broadcast of the rank
+    vector (one build job + one exchange) instead of two, and the
+    per-round explode moves here, paid once. Degrees also collapse to a
+    single aggregate: deg(src) over directed edges IS cdeg/sdeg of the
+    pair form (each pair row contributes one out-edge per endpoint)."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .select("o_custkey", "l_suppkey")
         .distinct()
-        .persist()
     )
-    # the symmetric-bipartite degrees come straight off the pair list:
-    # deg(cust) = #distinct supps, deg(supp) = #distinct custs — two
-    # node-sized aggregates of the cached pairs. Attaching them ONCE and
-    # keeping the graph in pair form (each pair row = both directed
-    # edges) halves the persisted bytes and every round's scan vs the
-    # old materialized 2x edge union (1.17M rows -> 587k at sf0.1).
-    cdeg = pairs.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cdeg"))
-    sdeg = pairs.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("sdeg"))
-    pairs_deg = (
-        pairs.join(F.broadcast(cdeg), "o_custkey")
-        .join(F.broadcast(sdeg), "l_suppkey")
-        .select(
-            F.col("o_custkey").alias("cust"),
-            (F.col("l_suppkey") + _SUPP_OFF).alias("supp"),
-            "cdeg",
-            "sdeg",
-        )
-        .persist()
-    )
-    # node list = one row per cust + one per supp (disjoint id spaces);
-    # every node has >= 1 edge, so this is exactly the old deg relation's
-    # key set
-    nodes = cdeg.select(F.col("o_custkey").alias("node")).unionAll(
-        sdeg.select((F.col("l_suppkey") + _SUPP_OFF).alias("node"))
-    ).persist()
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("o_custkey").alias("src"),
+                    (F.col("l_suppkey") + _SUPP_OFF).alias("dst"),
+                ),
+                F.struct(
+                    (F.col("l_suppkey") + _SUPP_OFF).alias("src"),
+                    F.col("o_custkey").alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(F.broadcast(deg), "src").persist()
+    # node list = out-degree keys (symmetric graph: every node has >= 1
+    # out-edge), same key set as the old cdeg+supp union
+    nodes = deg.select(F.col("src").alias("node"))
     # max(.., 1): on an empty graph every frame below has zero rows, so
     # the sentinel only keeps the scalar math defined — no row uses it
-    n_nodes = max(nodes.count(), 1)
-    return pairs_deg, nodes, n_nodes
+    n_nodes = max(deg.count(), 1)
+    return edges_deg, nodes, n_nodes
 
 
-def _pagerank_round(pairs_deg: DataFrame, ranks: DataFrame, base: int) -> DataFrame:
+def _pagerank_round(edges_deg: DataFrame, ranks: DataFrame, base: int) -> DataFrame:
     """One power iteration: broadcast the node-sized rank vector onto the
-    persisted pair list (both directed edges per row, so the rank vector
-    is probed once per endpoint), aggregate contributions by
-    destination. Same integer arithmetic on the same contribution
-    multiset as the explicit 2x edge-union form — bit-identical ranks."""
-    both = (
-        pairs_deg.join(
-            F.broadcast(ranks.withColumnRenamed("r", "rc")),
-            F.col("cust") == F.col("node"),
-        )
-        .drop("node")
-        .join(
-            F.broadcast(ranks.withColumnRenamed("r", "rs")),
-            F.col("supp") == F.col("node"),
-        )
-        .select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("supp").alias("dst"),
-                        F.expr("rc div cdeg").alias("c"),
-                    ),
-                    F.struct(
-                        F.col("cust").alias("dst"),
-                        F.expr("rs div sdeg").alias("c"),
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.dst", "e.c")
-    )
+    persisted directed-edge list, aggregate contributions by
+    destination. Same per-edge floor division on the same contribution
+    multiset as the pair-probed / 2x edge-union forms — bit-identical
+    ranks; one broadcast + one shuffle per round."""
     return (
-        both.groupBy("dst")
+        edges_deg.join(
+            F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+        )
+        .groupBy("dst")
         .agg(
             (
-                F.lit(base) + F.expr(f"sum(c) * {_DAMP_NUM} div {_DAMP_DEN}")
+                F.lit(base) + F.expr(f"sum(r div deg) * {_DAMP_NUM} div {_DAMP_DEN}")
             ).alias("r")
         )
         .withColumnRenamed("dst", "node")
@@ -125,7 +103,7 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     side. State never exceeds one row per node — this is the same loop
     discipline GraphX/Pregel uses, expressed in plain DataFrame ops.
     """
-    pairs_deg, nodes, n_nodes = _pagerank_setup(spark, sf_dir)
+    edges_deg, nodes, n_nodes = _pagerank_setup(spark, sf_dir)
     base = _SCALE * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN // n_nodes
 
     # the rank vector is one row per NODE (not per edge) — broadcast it
@@ -146,7 +124,7 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # eager checkpoint made merely building this DataFrame run all
         # 5 iteration jobs, e.g. under scripts/dump_plans.py's EXPLAIN);
         # each round still materializes exactly once at the first action
-        ranks = _pagerank_round(pairs_deg, ranks, base).localCheckpoint(
+        ranks = _pagerank_round(edges_deg, ranks, base).localCheckpoint(
             eager=False
         )
     return (

@@ -151,19 +151,21 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     null / distinct counts and normalized min/max — the stats sweep behind
     data-quality monitoring and CBO statistics collection.
 
-    Scale: ONE pass over the table computes every metric (a single
-    aggregate node; the distinct counts rewrite into Spark's expand +
-    two-level aggregate); the per-column rows are then produced by
-    exploding an in-row struct array — no second scan, no union of six
-    per-column jobs.
+    Scale: the null/min/max metrics ride ONE narrow pass (a single
+    aggregate node), and each exact distinct count runs as its OWN
+    single-column two-level aggregate subtree, attached by broadcast
+    crossJoins of 1-row relations. r11 fused all six countDistincts into
+    the main aggregate, which Spark rewrites into an expand x7 — every
+    row replicated seven times through one hash aggregate keyed on
+    (gid, value); splitting them drops the expand entirely, each subtree
+    scans just its parquet column, and the seven independent subtrees
+    run concurrently (guide §2.6) — measured 2.4x at sf0.1 (2.50 ->
+    1.05 s interleaved min). The r11 ``_fan_out`` pin is removed with
+    the expand: the split subtrees need no full-width repartition (the
+    widened variant measured 2.2x SLOWER than the narrow split), and at
+    production scan widths it was a no-op anyway.
     """
-    # six countDistincts rewrite into one expand(x7) + two-level agg —
-    # CPU-dense partials that otherwise run at the scan's file-split
-    # width; widen to cluster width first (AQE_PROBE_r11 family: 1.9x
-    # at the bench scale; no-op on production-width scans)
-    from waterbear_spark.queries.llm import _fan_out
-
-    orders = _fan_out(spark, table(spark, sf_dir, "orders"))
+    orders = table(spark, sf_dir, "orders")
 
     def norm(kind, c):
         if kind == "double":
@@ -176,11 +178,16 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c, kind in _PROFILE_COLS:
         aggs += [
             F.count(c).alias(f"n_{c}"),
-            F.countDistinct(c).alias(f"d_{c}"),
             norm(kind, F.min(c)).alias(f"mn_{c}"),
             norm(kind, F.max(c)).alias(f"mx_{c}"),
         ]
     row = orders.agg(*aggs)
+    for c, _ in _PROFILE_COLS:
+        row = row.crossJoin(
+            F.broadcast(
+                orders.select(c).agg(F.countDistinct(c).alias(f"d_{c}"))
+            )
+        )
     entries = F.array(
         *[
             F.struct(

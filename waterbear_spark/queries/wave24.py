@@ -49,9 +49,14 @@ def contamination_ngram_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contaminated-doc counts at n-gram widths {3, 5, 8} — see module
     docstring. Output: (ngram_n, bench_ngrams, train_docs,
     contaminated_docs, contaminated_bp)."""
+    # r12: persist the tokenized frame ONCE — the three width passes each
+    # materialize their shingle-set persist from these cached tokens
+    # instead of re-scanning + re-tokenizing the corpus per width
+    # (scans 3 -> 1; guide §2.4 — same never-unpersisted-by-a-lazy-builder
+    # caveat as the per-width persists below)
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", _tokens(F.col("text")).alias("toks")
-    )
+    ).persist()
     parts = []
     for n in _SWEEP_NS:
         # persist: the materialization barrier the shingle explode needs —

@@ -528,15 +528,21 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("exact_union"),
         F.sum(F.col("in_a") * F.col("in_b")).alias("exact_inter"),
     )
-    est_a = per_type.filter(F.col("event_type") == _KMV_A).select(
-        F.col("est").alias("est_a")
-    )
-    est_b = per_type.filter(F.col("event_type") == _KMV_B).select(
-        F.col("est").alias("est_b")
+    # r12: pivot the 2-row per-type relation into one (est_a, est_b) row
+    # with conditional aggregates — the r11 pair of filters evaluated the
+    # whole two-phase rank-window chain once PER SIDE (plan: 2x Window
+    # chain -> 1x); exactly one row per type exists, so max(when(...))
+    # is that row's est verbatim
+    ests = per_type.agg(
+        F.max(F.when(F.col("event_type") == _KMV_A, F.col("est"))).alias(
+            "est_a"
+        ),
+        F.max(F.when(F.col("event_type") == _KMV_B, F.col("est"))).alias(
+            "est_b"
+        ),
     )
     return (
-        union_sk.crossJoin(F.broadcast(est_a))
-        .crossJoin(F.broadcast(est_b))
+        union_sk.crossJoin(F.broadcast(ests))
         .crossJoin(F.broadcast(exact))
         .select(
             F.lit(_KMV_K).alias("k"),
