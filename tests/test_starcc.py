@@ -119,7 +119,11 @@ def test_above_threshold_distributed_path_matches(spark, monkeypatch):
 
 
 def test_local_and_distributed_paths_agree(spark, monkeypatch):
-    # same 300-edge graph through all three engines: identical label sets
+    # same 300-edge graph through all three engines: identical label
+    # sets. Dispatch order is driver tier FIRST, so the row-local fold
+    # only runs with the driver tier disabled (r11 advice: the old
+    # first collect silently used the driver tier and compared it to
+    # itself).
     rng = random.Random(13)
     seen = set()
     while len(seen) < 300:
@@ -127,18 +131,46 @@ def test_local_and_distributed_paths_agree(spark, monkeypatch):
         if a != b:
             seen.add((min(a, b), max(a, b)))
     df = spark.createDataFrame(sorted(seen), "src long, dst long")
+    # row-local fold: driver tier off, 300 <= LOCAL_MAX default (512)
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_MAX", "0")
     local = {
         (r.vertex, r.component) for r in star_connected_components(df).collect()
     }
-    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_MAX", "0")
+    # driver union-find: default driver tier dispatches first
+    monkeypatch.delenv("SPARK_GRAFT_CC_DRIVER_MAX")
     driver = {
         (r.vertex, r.component) for r in star_connected_components(df).collect()
     }
+    # alternating-star loop: both bounded tiers off
     monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_MAX", "0")
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_MAX", "0")
     dist = {
         (r.vertex, r.component) for r in star_connected_components(df).collect()
     }
     assert local == driver == dist
+
+
+def test_over_threshold_graph_never_collects(spark, monkeypatch):
+    """The driver tier's collect is gated on the already-paid signature
+    count: a graph over SPARK_GRAFT_CC_DRIVER_MAX edges must fall through
+    to the next tier without _driver_components ever being invoked — an
+    unbounded future consumer cannot silently collect (r11 verdict #8)."""
+    from waterbear_spark.operators import starcc
+
+    def _boom(*a, **k):
+        raise AssertionError("driver tier collected an over-threshold graph")
+
+    monkeypatch.setattr(starcc, "_driver_components", _boom)
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_MAX", "10")
+    edges = [(i, i + 1) for i in range(40)]  # 40 > 10: over the tier bound
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.vertex, r.component) for r in star_connected_components(df).collect()}
+    want = set(_union_find_components(edges).items())
+    assert got == want  # row-local fold tier (40 <= LOCAL_MAX) answered
+    # and with BOTH bounded tiers off the star loop itself answers
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_MAX", "0")
+    got2 = {(r.vertex, r.component) for r in star_connected_components(df).collect()}
+    assert got2 == want
 
 
 def test_long_chain_above_threshold(spark, monkeypatch):

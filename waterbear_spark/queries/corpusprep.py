@@ -671,7 +671,9 @@ def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persisted: the pooled and per-source aggregates below would each
     # re-derive docs plus all four boundary subtrees otherwise (the
-    # plan showed the whole tiling duplicated per consumer)
+    # plan showed the whole tiling duplicated per consumer). No matching
+    # unpersist — the returned plan reads it lazily; entry lives until
+    # session end / LRU eviction (one session per bench pass)
     tiled = (
         docs.join(F.broadcast(b_src), ["source"], "left")
         .crossJoin(F.broadcast(b_pool))
@@ -832,7 +834,9 @@ def dup_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     # binary digests (16 bytes vs 32-char hex — bijective, so the digest
     # census groups identically); persisted, because the plan otherwise
     # re-derives the one-md5-per-corpus-token pass once per consumer
-    # (shared census, run-length semi join, per-doc totals = 3 scans)
+    # (shared census, run-length semi join, per-doc totals = 3 scans).
+    # No matching unpersist — the returned plan reads it lazily; entry
+    # lives until session end / LRU eviction (one session per bench pass)
     wins = arr.select(
         "doc_id",
         F.posexplode(

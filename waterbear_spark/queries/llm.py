@@ -465,6 +465,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         if n_edges <= 2 * driver_max:
             labels = starcc._driver_components(half, spark)
+            # the union-find collected eagerly — the returned frame is a
+            # materialized createDataFrame that never reads the edge
+            # cache again, so drop it now (r11 advice: the entry was a
+            # pure leak in this branch; the row-local fold below, by
+            # contrast, reads the persisted edges lazily)
+            edges.unpersist()
         else:
             # pack the canonical (a < b) half of the PERSISTED symmetric
             # list — half the edge array for the same components; edges

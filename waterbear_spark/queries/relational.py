@@ -27,8 +27,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: lineitem pricing summary (TPC-H Q1 shape).
 
     Scale: single scan -> partial hash agg (6 groups) -> tiny shuffle ->
-    final agg. No joins; whole-stage codegen end to end; the only data
-    movement is 6 groups x n_partitions partial rows.
+    final agg. No joins; whole-stage codegen end to end. On scans wider
+    than the core count the only data movement is 6 groups x
+    n_partitions partial rows; on narrow scans (fewer files than cores,
+    e.g. the single-file bench split) _fan_out first repartitions the
+    filtered 6-column projection so the partial agg parallelizes.
     """
     from waterbear_spark.queries.llm import _fan_out
 

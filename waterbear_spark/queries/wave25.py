@@ -69,6 +69,9 @@ def _removal_manifest(docs: DataFrame, k: int = _MANIFEST_K) -> DataFrame:
     # the digest pass (one md5 per corpus token) otherwise re-evaluates
     # once per consumer (census + cut join = 2 full scans, measured in
     # the plan as duplicated parquet scans with zero exchange reuse).
+    # No matching unpersist — the returned plan reads it lazily; the
+    # entry lives until session end / LRU eviction (one session per
+    # bench pass; repeated in-session invocations re-cache).
     wins = (
         arr.select(
             "doc_id",

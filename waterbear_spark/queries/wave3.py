@@ -715,6 +715,9 @@ def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "exact_count",
         F.col("h.r").alias("r"), F.col("h.b").alias("b"),
     ).persist()
+    # no matching unpersist: the returned plan reads this lazily, so the
+    # entry lives until session end / LRU eviction (bench runs one
+    # session per catalog pass; repeated in-session invocations re-cache)
     sketch = keyed.groupBy("r", "b").agg(
         F.sum("exact_count").alias("cnt")
     )
